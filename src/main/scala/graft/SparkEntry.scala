@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{Clean, Relate, TopK}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY.md §7.2 M1): the reference's clean → top-N per
+    * group → grouped collect → left-enrich pipeline
+    * (REDDIT-Nettoyage-Comms.py + REDDIT-jointure.py), expressed over the
+    * orders/lineitem parent/child stand-in at sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    // clean: viable children only (stand-in for marker/bot filters)
+    val cleaned = li.filter(col("l_quantity") > 0)
+    // top-20 children per parent by score (= extendedprice), deterministic
+    val top = TopK.topNPerGroup("l_orderkey", "l_extendedprice", "l_linenumber", 20)(cleaned)
+    // grouped child ids
+    val grouped = Relate.collectChildIds("l_orderkey", "l_linenumber", "line_numbers")(top)
+    // left-enrich parents
+    Relate.enrich(Tables.orders(spark, dir), grouped, "o_orderkey", "l_orderkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracle
 }
