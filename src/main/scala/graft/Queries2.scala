@@ -1,0 +1,381 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{Chunk, Dedup, Embed, Multimodal, Rag, Relate, Sessionize, Similarity}
+import graft.functions.{HashFns, TextFns}
+import graft.streaming.Stream
+
+/** Second query wave: dedup family, vector similarity, text analysis,
+  * chunking, sessionization, event windows, RAG composition, multimodal
+  * plumbing, clustering. Same determinism rules as [[Queries]].
+  *
+  * Queries without an oracle entry (SimHash, KMeans — xxhash64 / MLlib are
+  * not expressible in DuckDB) get the driver's weaker rows-only check and
+  * are covered by invariant specs instead.
+  */
+object Queries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB spelling of [[graft.ops.Dedup.normalized]]. */
+  private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** DuckDB word-bigram shingles CTE body over `documents` (mirrors
+    * TextFns.wordShingles(text, 2): normalized single-space tokens,
+    * adjacent pairs, distinct). */
+  private val ShinglesCte =
+    s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+       |       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 1),
+       |              i -> tk[i::INT] || ' ' || tk[(i + 1)::INT])) END AS sh
+       |  FROM t)""".stripMargin
+
+  // ------------------------------------------------------------- U3/dedup
+  /** Exact content dedup via md5 of normalized text. */
+  val q13DedupExact: Q = (spark, dir) =>
+    Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+  val q13Sql: String =
+    s"""SELECT md5($NormSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- MinHash LSH
+  /** MinHash(12) + LSH(4 bands × 3) near-dup pairs, Jaccard-verified at
+    * 0.5 over word bigrams. */
+  val q14MinHashLsh: Q = (spark, dir) =>
+    Dedup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text", 12, 4, 0.5)
+  val q14Sql: String =
+    s"""WITH $ShinglesCte,
+       |mh AS (SELECT doc_id, list_transform(generate_series(0, 11),
+       |         k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
+       |       FROM sh),
+       |bands AS (SELECT doc_id, b,
+       |            md5(array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '')) AS bsig
+       |          FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.bsig = c.bsig
+       |           AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(x.sh, y.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+       |            JOIN sh y ON y.doc_id = cand.id_b) v
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  // -------------------------------------------------------------- SimHash
+  /** SimHash fingerprints (xxhash64 — no SQL oracle; invariant-tested). */
+  val q15SimHash: Q = (spark, dir) =>
+    Dedup.simHashFingerprints(Tables.documents(spark, dir), "doc_id", "text")
+
+  // ----------------------------------------------------- embedding dedup
+  /** Exact all-pairs embedding-cosine near-dup (O(n²) verify form). */
+  val q16NearDupEmbed: Q = (spark, dir) =>
+    Similarity.nearDupPairsExact(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.35)
+  val q16Sql: String =
+    """SELECT id_a, id_b, sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) v
+      |WHERE sim >= 0.35""".stripMargin
+
+  /** Bucketed (IVF-style) near-dup: pairs only within a coarse label. */
+  val q17BucketedNearDup: Q = (spark, dir) =>
+    Similarity.bucketedNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding", "label", 0.2)
+  val q17Sql: String =
+    """SELECT id_a, id_b, sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id) v
+      |WHERE sim >= 0.2""".stripMargin
+
+  // ------------------------------------------------------------ O10 / W2
+  /** Single-query cosine top-k with threshold (the Qdrant search shape). */
+  val q18CosineTopK: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val query = e.filter(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    Similarity.cosineTopK(e, "vec_id", "embedding", query, "qvec", 10, 0.0)
+  }
+  val q18Sql: String =
+    """SELECT vec_id, sim FROM (
+      |  SELECT e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q) v
+      |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Multi-query brute-force kNN join (k=5, 5 query vectors). */
+  val q19KnnJoin: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    Similarity.knnJoin(e, "vec_id", "embedding", queries, "q_id", "qvec", 5)
+  }
+  val q19Sql: String =
+    """SELECT q_id, vec_id, sim, rank FROM (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM (
+      |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      |      round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |    FROM embeddings e JOIN embeddings q
+      |      ON q.vec_id < 5 AND e.vec_id != q.vec_id) p) r
+      |WHERE rank <= 5""".stripMargin
+
+  // --------------------------------------------------------- text stats
+  /** Token counting + punctuation ratio (quality signals). */
+  val q20TokenStats: Q = (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      TextFns.bpeTokenCount(col("text")).as("n_bpe"),
+      round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+      col("n_chars"))
+  val q20Sql: String =
+    """SELECT doc_id,
+      | CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
+      | round(CASE WHEN length(text) = 0 THEN 0.0
+      |   ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE
+      |        / length(text)::DOUBLE END, 6) AS punct_ratio,
+      | n_chars
+      |FROM documents""".stripMargin
+
+  /** Composite quality score (length / punctuation / stopword blend),
+    * emitted as integer micro-units so both engines floor the identical
+    * IEEE double — no round-half-way ambiguity. */
+  val q21Quality: Q = (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFns.qualityScoreMicro(col("text")).as("quality_e6"))
+  val q21Sql: String = {
+    val stops = TextFns.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, floor((
+       |  least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+       |  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
+       |           / length(text)::DOUBLE END) * 5.0, 0.0) * 0.3
+       |  + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+       |      ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |             t -> list_contains([$stops], t)))::DOUBLE
+       |           / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END) * 5.0, 1.0) * 0.3
+       |  ) * 1000000.0 + 0.5)::BIGINT AS quality_e6
+       |FROM documents""".stripMargin
+  }
+
+  /** Heuristic language ID vs the fixture's lang column. */
+  val q22LangGuess: Q = (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), TextFns.langGuess(col("text")).as("lang_guess"))
+  val q22Sql: String = {
+    val hitCols = TextFns.LangMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(tks, t -> list_contains([$lst], t))) AS h_$l"
+    }.mkString(",\n  ")
+    val branches = TextFns.LangMarkers.map { case (l, _) =>
+      val geAll = TextFns.LangMarkers.collect { case (o, _) if o != l => s"h_$l >= h_$o" }
+        .mkString(" AND ")
+      s"WHEN $geAll AND h_$l > 0 THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS tks FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |  $hitCols
+       |  FROM t)
+       |SELECT doc_id, lang, CASE
+       |  $branches
+       |  ELSE 'und' END AS lang_guess
+       |FROM h""".stripMargin
+  }
+
+  /** Document fingerprints: md5 hex + 8-hex-digit long form. */
+  val q23Fingerprint: Q = (spark, dir) => {
+    val norm = Dedup.normalized(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      HashFns.md5Hex(norm).as("fp"),
+      HashFns.md5Long(norm, 8).as("fp_long"))
+  }
+  val q23Sql: String =
+    s"""SELECT doc_id, md5($NormSql) AS fp,
+       | ('0x' || substr(md5($NormSql), 1, 8))::BIGINT AS fp_long
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ chunking
+  /** Fixed-size overlapping char chunks (size 200, step 150). */
+  val q24Chunks: Q = (spark, dir) =>
+    Chunk.charChunks(Tables.documents(spark, dir), "doc_id", "text", 200, 150)
+  val q24Sql: String =
+    """SELECT doc_id, ((i - 1) // 150)::BIGINT AS chunk_id, i::BIGINT AS chunk_start,
+      | substr(text, i::INT, 200) AS chunk
+      |FROM documents, unnest(generate_series(1, greatest(length(text), 1), 150)) AS u(i)""".stripMargin
+
+  // ------------------------------------------------------------ J3 / O12
+  /** Co-cluster neighbor lists over the embeddings labels (cap 20). */
+  val q25ClusterNeighbors: Q = (spark, dir) =>
+    Relate.clusterNeighbors(Tables.embeddings(spark, dir).select("vec_id", "label"),
+        "vec_id", "label", "neighbors", 20)
+      .select(
+        col("vec_id"), col("label"),
+        array_join(transform(col("neighbors"), x => x.cast("string")), ",").as("neighbors"),
+        size(col("neighbors")).cast("long").as("n_neighbors"))
+  val q25Sql: String =
+    """WITH m AS (SELECT label, list_sort(list(vec_id)) AS mem
+      |           FROM embeddings GROUP BY label)
+      |SELECT e.vec_id, e.label,
+      | array_to_string(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20), ',') AS neighbors,
+      | len(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20))::BIGINT AS n_neighbors
+      |FROM embeddings e JOIN m USING (label)""".stripMargin
+
+  // ------------------------------------------------------------- O8 embed
+  /** Deterministic hashing embedder, 16-dim, emitted as fixed-format CSV. */
+  val q26HashingEmbed: Q = (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_join(transform(Embed.hashingEmbed(col("text"), 16),
+        x => format_number(x, 6)), ",").as("embedding_csv"))
+  val q26Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id,
+       |  list_transform(tk, s -> ('0x' || substr(md5(s), 1, 4))::BIGINT % 16) AS bk FROM t),
+       |c AS (SELECT doc_id, list_transform(generate_series(0, 15),
+       |  i -> len(list_filter(bk, x -> x = i))::DOUBLE) AS cnt FROM b),
+       |n AS (SELECT doc_id, cnt,
+       |  sqrt(list_sum(list_transform(cnt, x -> x * x))) AS nrm FROM c)
+       |SELECT doc_id, array_to_string(list_transform(cnt,
+       |  x -> printf('%.6f', round(CASE WHEN nrm = 0 THEN x ELSE x / nrm END, 6))), ',')
+       |  AS embedding_csv
+       |FROM n""".stripMargin
+
+  // ------------------------------------------------------ events windows
+  /** Tumbling 1-hour per-type event aggregation (streaming-shaped; the
+    * same transform runs under readStream with the watermark active). */
+  val q27EventsWindow: Q = (spark, dir) =>
+    Stream.windowedTypeCounts(Tables.events(spark, dir), "ts", "event_type", "value")
+  val q27Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS win_start_us, event_type,
+      | count(*) AS n_events, sum(round(value * 10000)::BIGINT)::BIGINT AS value_e4
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min idle timeout) + per-session stats. */
+  val q28Sessionize: Q = (spark, dir) =>
+    Sessionize.sessionStats(Tables.events(spark, dir), "user_id", "ts", "event_id", "value", 30)
+  val q28Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id, ts, value,
+      |    (sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_idx
+      |  FROM s)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      | min(epoch_us(ts))::BIGINT AS start_us, max(epoch_us(ts))::BIGINT AS end_us,
+      | sum(round(value * 10000)::BIGINT)::BIGINT AS value_e4
+      |FROM s2 GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ O13 RAG
+  /** Full RAG context retrieval: top-1 vector hit (threshold 0.4) → ≤20
+    * co-cluster neighbors → context documents. */
+  val q29RagContext: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val query = e.filter(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    Rag.contextDocs(e, "vec_id", "embedding", "label",
+        Tables.documents(spark, dir), "doc_id", query, 0.4, 20)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+  val q29Sql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+      |sc AS (SELECT e.vec_id, e.label,
+      |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings e, q),
+      |top1 AS (SELECT vec_id, label FROM sc WHERE sim >= 0.4
+      |         ORDER BY sim DESC, vec_id LIMIT 1),
+      |nb AS (SELECT e.vec_id FROM embeddings e JOIN top1 t
+      |       ON e.label = t.label AND e.vec_id != t.vec_id
+      |       ORDER BY e.vec_id LIMIT 20),
+      |ids AS (SELECT vec_id FROM top1 UNION SELECT vec_id FROM nb)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN ids ON d.doc_id = ids.vec_id""".stripMargin
+
+  // --------------------------------------------------------- multimodal
+  /** Binary-asset decode plumbing (stub decoder, real mapPartitions). */
+  val q30Multimodal: Q = (spark, dir) =>
+    Multimodal.decodeFeatures(
+        Multimodal.fromText(Tables.documents(spark, dir), "doc_id", "text", "image"))
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("fp"))
+  val q30Sql: String =
+    """SELECT doc_id AS asset_id, 'image' AS kind,
+      | octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS fp
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- O11 KMeans
+  /** Seeded KMeans cluster labels (MLlib — no SQL oracle; rows-only check
+    * plus invariant spec). */
+  val q31KMeans: Q = (spark, dir) =>
+    Embed.kmeansLabels(Tables.embeddings(spark, dir), "embedding", 10, 42L)
+      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"))
+
+  /** Per-label centroids (IVF training step), fixed-format CSV. */
+  val q32Centroids: Q = (spark, dir) =>
+    Similarity.centroids(Tables.embeddings(spark, dir), "label", "embedding")
+      .select(col("label"),
+        array_join(transform(col("centroid"), x => format_number(x, 6)), ",").as("centroid_csv"))
+  val q32Sql: String =
+    """WITH x AS (SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+      |a AS (SELECT label, pos, avg(v) AS m FROM x GROUP BY 1, 2)
+      |SELECT label,
+      | string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv
+      |FROM a GROUP BY label""".stripMargin
+
+  // ------------------------------------------------------- registry ----
+  val all: Map[String, Q] = Map(
+    "q13_dedup_exact" -> q13DedupExact,
+    "q14_minhash_lsh" -> q14MinHashLsh,
+    "q15_simhash" -> q15SimHash,
+    "q16_near_dup_embed" -> q16NearDupEmbed,
+    "q17_bucketed_near_dup" -> q17BucketedNearDup,
+    "q18_cosine_topk" -> q18CosineTopK,
+    "q19_knn_join" -> q19KnnJoin,
+    "q20_token_stats" -> q20TokenStats,
+    "q21_quality" -> q21Quality,
+    "q22_lang_guess" -> q22LangGuess,
+    "q23_fingerprint" -> q23Fingerprint,
+    "q24_chunks" -> q24Chunks,
+    "q25_cluster_neighbors" -> q25ClusterNeighbors,
+    "q26_hashing_embed" -> q26HashingEmbed,
+    "q27_events_window" -> q27EventsWindow,
+    "q28_sessionize" -> q28Sessionize,
+    "q29_rag_context" -> q29RagContext,
+    "q30_multimodal" -> q30Multimodal,
+    "q31_kmeans" -> q31KMeans,
+    "q32_centroids" -> q32Centroids)
+
+  val oracle: Map[String, String] = Map(
+    "q13_dedup_exact" -> q13Sql,
+    "q14_minhash_lsh" -> q14Sql,
+    "q16_near_dup_embed" -> q16Sql,
+    "q17_bucketed_near_dup" -> q17Sql,
+    "q18_cosine_topk" -> q18Sql,
+    "q19_knn_join" -> q19Sql,
+    "q20_token_stats" -> q20Sql,
+    "q21_quality" -> q21Sql,
+    "q22_lang_guess" -> q22Sql,
+    "q23_fingerprint" -> q23Sql,
+    "q24_chunks" -> q24Sql,
+    "q25_cluster_neighbors" -> q25Sql,
+    "q26_hashing_embed" -> q26Sql,
+    "q27_events_window" -> q27Sql,
+    "q28_sessionize" -> q28Sql,
+    "q29_rag_context" -> q29Sql,
+    "q30_multimodal" -> q30Sql,
+    "q32_centroids" -> q32Sql)
+}

@@ -85,6 +85,17 @@ object TextFns {
     round(lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3, 6)
   }
 
+  /** [[qualityScore]] in integer micro-units via floor(x*1e6 + 0.5) — the
+    * same IEEE double ops in any engine, so oracle hash-comparable with no
+    * round-half-way ambiguity (Spark HALF_UP vs DuckDB's libm rounding). */
+  def qualityScoreMicro(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(c) * 5.0, lit(0.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    floor((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3) * 1000000.0 + 0.5)
+      .cast("long")
+  }
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the normalized
     * text, via xxhash64 on the lowercased, whitespace-collapsed body.
     * Deterministic across runs and partitions. */
@@ -122,12 +133,17 @@ object TextFns {
     "es" -> Seq("el", "los", "es", "una", "por", "que", "para"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不", "人"))
 
+  /** Priority-chain pick: the first language (in [[LangMarkers]] order)
+    * whose hit count is positive and >= every other language's — portable
+    * to plain SQL CASE, no struct-ordering semantics involved. */
   def langGuess(c: Column): Column = {
     val toks = split(lower(trim(c)), "\\s+")
-    val scored = LangMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"), lit(lang).as("lang"))
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    hits.foldRight(lit("und")) { case ((lang, h), rest) =>
+      val others = hits.collect { case (l, o) if l != lang => h >= o }
+      when(others.reduce(_ && _) && h > 0, lit(lang)).otherwise(rest)
+    }
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFns, TextFns, VectorFns}
+
+/** Deduplication operators — the training-data-pipeline extension family
+  * (exact, MinHash+LSH, SimHash), generalizing the reference's ingest-time
+  * dict dedup (reference: REDDIT-Ingestion.py:102,116,124 keys a dict by
+  * post id; our engine dedups by content, not just id).
+  *
+  * Scale design: every variant shuffles *fingerprints* (16-64 bytes), never
+  * document bodies; candidate generation is always blocked (LSH bands /
+  * hash buckets) so no O(n²) pair explosion reaches the 100 TB path.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, lowercased, trimmed text — the normalization
+    * every fingerprint is computed over. */
+  def normalized(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedup groups: md5 of normalized text → (fingerprint, smallest
+    * member id, group size). One hash shuffle on a 32-char key; at 100 TB
+    * the shuffle carries fingerprints, not documents. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), HashFns.md5Hex(normalized(col(textCol))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-duplicate pairs over word-bigram shingles:
+    * shingle → `numHashes`-long MinHash signature → `bands` band signatures
+    * → candidates = pairs sharing any band bucket → exact Jaccard verify at
+    * `threshold`. The band join is the scale path: candidate generation is
+    * an equi-join on (band, signature), so only near-dup pairs are ever
+    * materialized — never the full cross product. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), TextFns.wordShingles(col(textCol), 2).as("sh"))
+    val banded = sh
+      .select(col("id"),
+        posexplode(HashFns.bandSigs(HashFns.minHashSig(col("sh"), numHashes), bands, rows))
+          .as(Seq("band", "bsig")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard", round(VectorFns.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint per document over whitespace tokens (xxhash64
+    * perf path — not oracle-expressible, covered by invariant specs).
+    * Near-dup candidates at scale = group by the top `prefixBits` bits. */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
+      prefixBits: Int = 16): DataFrame = {
+    val toks = split(normalized(col(textCol)), " ")
+    df.select(col(idCol),
+      VectorFns.simHash(toks).as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - prefixBits))
+  }
+
+  /** N-gram Jaccard similarity for a bounded candidate set produced by any
+    * blocking key (bucket column): pairs within a block, exact Jaccard. */
+  def jaccardWithinBlocks(df: DataFrame, idCol: String, shCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(shCol).as("sh_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(shCol).as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(VectorFns.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

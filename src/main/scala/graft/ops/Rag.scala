@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RAG context retrieval — the reference's serving-side composition
+  * (reference: PLATFORM-GenerationLLM.py:126-172 / app2.py:47-67): embed
+  * the question, top-1 vector search with a score threshold, expand to the
+  * hit's co-cluster neighbors, fetch the context documents.
+  *
+  * The whole flow is ONE composed DataFrame query (O10 → J3 → J2), so
+  * Catalyst plans it end to end: the top-1 search is a TakeOrderedAndProject
+  * over the index scan, the expansions are broadcast joins of one-row /
+  * cap-row sets — the corpus is never shuffled.
+  */
+object Rag {
+
+  /** Context documents for a single query vector.
+    *
+    * @param index     (idCol, vecCol, clusterCol) vector-index table
+    * @param documents doc table whose `docIdCol` matches index ids
+    * @param queryVec  1-row DataFrame with column `qvec`
+    * @param threshold minimum cosine similarity for the top-1 hit
+    * @param cap       max co-cluster neighbors (reference caps at 20)
+    * @return documents of {hit} ∪ {≤cap smallest-id co-cluster members}
+    */
+  def contextDocs(index: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      documents: DataFrame, docIdCol: String,
+      queryVec: DataFrame, threshold: Double, cap: Int): DataFrame = {
+    val top1 = Similarity.cosineTopK(index, idCol, vecCol, queryVec, "qvec", 1, threshold)
+    val hit = index.join(broadcast(top1.select(col(idCol))), Seq(idCol))
+      .select(col(idCol).as("__qid"), col(clusterCol).as("__qcluster"))
+    val neighbors = index.join(broadcast(hit),
+        index(clusterCol) === col("__qcluster") && index(idCol) =!= col("__qid"))
+      .select(col(idCol)).orderBy(col(idCol)).limit(cap)
+    val contextIds = top1.select(col(idCol)).union(neighbors)
+    documents.join(broadcast(contextIds.withColumnRenamed(idCol, docIdCol)),
+      Seq(docIdCol), "left_semi")
+  }
+}

@@ -64,7 +64,10 @@ object Relate {
       .agg(array_sort(collect_list(col(idCol))).as("__members"))
     df.join(members, Seq(clusterCol), "left")
       .withColumn(outCol,
-        when(col(clusterCol) === noiseLabel, array().cast("array<string>"))
+        // noise branch: empty slice of the members array, so the empty
+        // array keeps the element type of the id column (works for string
+        // AND numeric ids)
+        when(col(clusterCol) === noiseLabel, slice(col("__members"), 1, 0))
           .otherwise(slice(array_remove(col("__members"), col(idCol)), 1, cap)))
       .drop("__members")
   }

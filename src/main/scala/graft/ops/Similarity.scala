@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Vector similarity search — the engine's replacement for the reference's
+  * Qdrant index (reference: PLATFORM-contextual-Chunking.py:132-174 builds
+  * the collection; PLATFORM-GenerationLLM.py:42-58 does cosine top-k with a
+  * score threshold).
+  *
+  * Scale design:
+  *  - single-query top-k broadcasts the query vector and plans as
+  *    TakeOrderedAndProject — per-partition heap, no global sort, no shuffle
+  *    of the corpus;
+  *  - multi-query kNN broadcasts the (small) query set and window-ranks per
+  *    query — the corpus is scanned once, shuffled once on query_id;
+  *  - all-pairs near-dup has an exact O(n²) form (for oracle parity at test
+  *    scale) and an IVF-style label-bucketed form for the 100 TB path.
+  */
+object Similarity {
+
+  /** O10/W2 — brute-force cosine top-k of `corpus` against a single query
+    * vector (1-row DataFrame `query(qvecCol)`), with a similarity threshold.
+    * Similarity is rounded to 6 dp so ranking ties break identically across
+    * engines (tiebreak = id asc). */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, qvecCol: String, k: Int, threshold: Double): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(query))
+      .withColumn("sim", round(VectorFns.cosine(col(vecCol), col(qvecCol)), 6))
+      .filter(col("sim") >= threshold)
+    scored.orderBy(col("sim").desc, col(idCol).asc)
+      .select(col(idCol), col("sim"))
+      .limit(k)
+  }
+
+  /** Multi-query brute-force kNN: for each row of `queries`, the `k` nearest
+    * corpus rows by cosine. Queries are broadcast; ranking is one window
+    * shuffle keyed by the query id. */
+  def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", round(VectorFns.cosine(col(corpusVec), col(queryVec)), 6))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId).asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rank"))
+  }
+
+  /** Exact all-pairs near-duplicates by cosine >= threshold (a < b). O(n²):
+    * correct at any scale but quadratic — use [[bucketedNearDup]] at size. */
+  def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFns.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** IVF-style near-dup: restrict pair generation to rows sharing a coarse
+    * bucket (e.g. a cluster/label id, or an LSH band), then verify exactly.
+    * This is the 100 TB path: the join key co-locates candidates, so the
+    * cross product only happens within buckets. */
+  def bucketedNearDup(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(bucketCol).as("b"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(bucketCol).as("b"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFns.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Coarse centroids per bucket (IVF training step): element-wise mean of
+    * vectors per label via posexplode + positional re-assembly. Two shuffles
+    * ((label,pos) agg + label collect), both on bounded keys. */
+  def centroids(df: DataFrame, bucketCol: String, vecCol: String): DataFrame =
+    df.select(col(bucketCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(bucketCol), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col(bucketCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+      .select(col(bucketCol),
+        transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+}
