@@ -10,14 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // absorb one-time session costs (executor spin-up, codegen framework
+    // warm-up, parquet footer reads) so the first timed query isn't charged
+    // for them
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq(io.Tables.lineitem _, io.Tables.orders _, io.Tables.documents _,
+      io.Tables.embeddings _, io.Tables.events _)
+      .foreach(t => t(spark, sfDir).count())
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -47,13 +47,18 @@ object Queries2 {
     * 0.5 over word bigrams. */
   val q14MinHashLsh: Q = (spark, dir) =>
     Dedup.minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text", 12, 4, 0.5)
-  val q14Sql: String =
+  val q14Sql: String = {
+    val perms = HashFns.minHashCoeffs(12).map { case (a, b) =>
+      s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
+    }.mkString(",\n       ")
     s"""WITH $ShinglesCte,
-       |mh AS (SELECT doc_id, list_transform(generate_series(0, 11),
-       |         k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
-       |       FROM sh),
+       |hbs AS (SELECT doc_id, list_transform(sh,
+       |          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % ${HashFns.MinHashP}) AS hb
+       |        FROM sh),
+       |mh AS (SELECT doc_id, [$perms] AS sig
+       |       FROM hbs),
        |bands AS (SELECT doc_id, b,
-       |            md5(array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '')) AS bsig
+       |            array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '_') AS bsig
        |          FROM mh, unnest(generate_series(0, 3)) AS u(b)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
        |         FROM bands a JOIN bands c ON a.b = c.b AND a.bsig = c.bsig
@@ -65,6 +70,7 @@ object Queries2 {
        |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
        |            JOIN sh y ON y.doc_id = cand.id_b) v
        |WHERE jaccard >= 0.5""".stripMargin
+  }
 
   // -------------------------------------------------------------- SimHash
   /** SimHash fingerprints (xxhash64 — no SQL oracle; invariant-tested). */
@@ -166,10 +172,23 @@ object Queries2 {
        |FROM documents""".stripMargin
   }
 
-  /** Heuristic language ID vs the fixture's lang column. */
-  val q22LangGuess: Q = (spark, dir) =>
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"), TextFns.langGuess(col("text")).as("lang_guess"))
+  /** Heuristic language ID vs the fixture's lang column. Spelled as
+    * explode → conditional-sum hash aggregate rather than per-row
+    * `filter()` HOFs: higher-order functions are CodegenFallback
+    * (interpreted), while explode + sum(when) stays entirely inside
+    * whole-stage codegen — and the same shape scales out (map-side partial
+    * aggregation, shuffle keyed on doc_id). */
+  val q22LangGuess: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val aggs = TextFns.LangMarkers.map { case (l, ms) =>
+      sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"h_$l")
+    }
+    toks.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("lang"),
+        TextFns.langPick(TextFns.LangMarkers.map { case (l, _) => l -> col(s"h_$l") })
+          .as("lang_guess"))
+  }
   val q22Sql: String = {
     val hitCols = TextFns.LangMarkers.map { case (l, ms) =>
       val lst = ms.map(m => s"'$m'").mkString(", ")

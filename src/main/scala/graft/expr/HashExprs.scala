@@ -1,0 +1,94 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash+LSH band-key kernel.
+  *
+  * Spec (shared verbatim with the DuckDB oracle SQL in Queries2.q14Sql):
+  *   h(s)    = ('0x' || substr(md5(s), 1, 8))::BIGINT % p   (p = 2^31 − 1)
+  *   sig_k   = min over shingles of (a_k · h + b_k) % p
+  *   band_j  = sig[j·rows .. j·rows+rows) joined with '_' (decimal strings)
+  *
+  * The built-in spelling (transform(md5 → conv → %) → k × array_min ×
+  * transform → concat_ws over slices) evaluates every step as an
+  * interpreted higher-order function — ~25 boxed virtual calls per shingle.
+  * This kernel is one Java loop per row: md5 once per shingle (first 4
+  * digest bytes ARE the first 8 hex chars), then k running minima. Yields
+  * identical values; CodegenFallback only severs whole-stage codegen at
+  * this single projection.
+  */
+case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val p = 2147483647L
+  private val rows = { require(coeffs.size % bands == 0); coeffs.size / bands }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = coeffs.size
+    val mins = Array.fill(k)(Long.MaxValue)
+    val digest = md.get()
+    var i = 0
+    var any = false
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        digest.reset()
+        val d = digest.digest(arr.getUTF8String(i).getBytes)
+        // first 8 hex chars of md5 == first 4 digest bytes, unsigned
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        var j = 0
+        while (j < k) {
+          val (a, b) = coeffs(j)
+          val v = (a * h + b) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null // empty / all-null shingle set → no signature
+    val keys = new Array[Any](bands)
+    var bIdx = 0
+    while (bIdx < bands) {
+      val sb = new java.lang.StringBuilder(32)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('_')
+        sb.append(mins(bIdx * rows + r))
+        r += 1
+      }
+      keys(bIdx) = UTF8String.fromString(sb.toString)
+      bIdx += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExprs {
+  /** Column wrapper for [[MinHashBandKeys]]. */
+  def minHashBandKeys(shingles: Column, coeffs: Seq[(Long, Long)], bands: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandKeys(ExpressionUtils.expression(shingles), coeffs, bands))
+}

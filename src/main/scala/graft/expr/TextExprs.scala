@@ -1,0 +1,73 @@
+package graft.expr
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word-n-gram shingling kernel.
+  *
+  * Spec (identical to TextFns.wordShingles, the oracle-SQL reference form):
+  *   toks = split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')
+  *   if |toks| < n → [join(toks, ' ')]
+  *   else         → sort(distinct([join(toks[i..i+n), ' ') for i]))
+  *
+  * The builtin spelling evaluates transform/slice/array_join as interpreted
+  * higher-order functions — ~5 boxed calls per token. One Java loop per row
+  * instead. Semantics parity notes: lower/trim use UTF8String (Spark's own
+  * unicode lowercasing, space-only trim — NOT java.lang.String locale
+  * lowercasing), the whitespace collapse uses the same Java regex
+  * runtime regexp_replace uses, and the final sort compares UTF8String
+  * binary order exactly like array_sort.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val normalized = ws.matcher(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString).replaceAll(" ")
+    val toks = normalized.split(" ", -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val seen = new mutable.HashSet[String]
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) out += UTF8String.fromString(s)
+      i += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  /** Column wrapper for [[WordShingles]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+}

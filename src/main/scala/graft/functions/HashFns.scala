@@ -23,18 +23,52 @@ object HashFns {
   def md5Bucket(c: Column, buckets: Int): Column =
     pmod(md5Long(c, 4), lit(buckets.toLong))
 
-  /** MinHash signature (array<string>, length k): for seed i, the
-    * lexicographic minimum of md5(i + "|" + shingle) over the shingle set.
-    * Hex strings compare identically in every engine (ASCII, lowercase). */
-  def minHashSig(shingles: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingles, s => md5Hex(concat(lit(seed + "|"), s))))
+  /** Mersenne prime 2^31−1: the MinHash permutation modulus. Keeps every
+    * product a_k·h < 2^62, so the arithmetic is overflow-free int64 in BOTH
+    * engines (DuckDB raises on BIGINT overflow rather than wrapping). */
+  val MinHashP: Long = 2147483647L
+
+  /** Fixed affine-permutation coefficients (a_k odd-ish, b_k), seeded and
+    * deterministic — shared verbatim by [[minHashSig]] and the oracle SQL. */
+  def minHashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(20260212L)
+    Seq.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Base hash array: each shingle md5-hashed ONCE to h ∈ [0, p). Project
+    * this as its own column before [[minHashSigFromBase]] — inlining it
+    * there would re-evaluate the md5 per permutation. */
+  def minHashBase(shingles: Column): Column =
+    transform(shingles, s => md5Long(s, 8) % MinHashP)
+
+  /** MinHash signature (array<long>, length k) over an already-projected
+    * base-hash array: permutation k takes min over (a_k·h + b_k) mod p —
+    * the classic a·x+b universal-hashing MinHash, portable to any engine
+    * with md5. */
+  def minHashSigFromBase(base: Column, k: Int): Column =
+    array(minHashCoeffs(k).map { case (a, b) =>
+      array_min(transform(base, h => (lit(a) * h + lit(b)) % MinHashP))
     }: _*)
 
-  /** LSH band signatures: md5 over each of `bands` consecutive `rows`-sized
-    * slices of the signature. Returns array<string> of length `bands`. */
+  /** One-shot spelling (base inlined — fine for single rows or tests). */
+  def minHashSig(shingles: Column, k: Int): Column =
+    minHashSigFromBase(minHashBase(shingles), k)
+
+  /** DuckDB spelling of [[minHashSig]] over a list-of-varchar expression. */
+  def minHashSigSql(listExpr: String, k: Int): String = {
+    val perms = minHashCoeffs(k).map { case (a, b) =>
+      s"list_min(list_transform(hb, h -> ($a * h + $b) % $MinHashP))"
+    }.mkString(", ")
+    s"(SELECT [$perms] FROM (SELECT list_transform($listExpr, " +
+      s"s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $MinHashP) AS hb))"
+  }
+
+  /** LSH band keys: each of `bands` consecutive `rows`-sized signature
+    * slices joined to a string — the equi-join key for candidate
+    * generation. No hashing needed; the slice itself is the bucket id. */
   def bandSigs(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      md5Hex(concat_ws("", slice(sig, b * rows + 1, rows)))
+      concat_ws("_", slice(sig, b * rows + 1, rows))
     }: _*)
 }

@@ -133,17 +133,27 @@ object TextFns {
     "es" -> Seq("el", "los", "es", "una", "por", "que", "para"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不", "人"))
 
-  /** Priority-chain pick: the first language (in [[LangMarkers]] order)
-    * whose hit count is positive and >= every other language's — portable
-    * to plain SQL CASE, no struct-ordering semantics involved. */
-  def langGuess(c: Column): Column = {
+  /** Per-language marker-hit counts over whitespace tokens — one
+    * `size(filter(...))` per language. Project these ONCE (as columns),
+    * then pick with [[langPick]]: inlining them into the pick chain would
+    * evaluate each count ~(n_langs − 1) times per row. */
+  def langHits(c: Column): Seq[(String, Column)] = {
     val toks = split(lower(trim(c)), "\\s+")
-    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, markers) =>
+    LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
+  }
+
+  /** Priority-chain pick over already-projected hit-count columns: the
+    * first language (in [[LangMarkers]] order) whose count is positive and
+    * >= every other language's — portable to plain SQL CASE. */
+  def langPick(hits: Seq[(String, Column)]): Column =
     hits.foldRight(lit("und")) { case ((lang, h), rest) =>
       val others = hits.collect { case (l, o) if l != lang => h >= o }
       when(others.reduce(_ && _) && h > 0, lit(lang)).otherwise(rest)
     }
-  }
+
+  /** One-shot spelling of langHits → langPick (inline; fine for single
+    * rows, use the two-step form in scans). */
+  def langGuess(c: Column): Column = langPick(langHits(c))
 }

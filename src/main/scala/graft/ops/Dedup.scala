@@ -38,10 +38,15 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), TextFns.wordShingles(col(textCol), 2).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+      graft.expr.TextExprs.wordShingles(col(textCol), 2).as("sh"))
+    // fused kernel: md5 + k permutations + band keys in one pass per row
+    // (the pure-builtin spelling, kept in HashFns, pays ~25 interpreted
+    // HOF calls per shingle — see graft.expr.MinHashBandKeys)
     val banded = sh
       .select(col("id"),
-        posexplode(HashFns.bandSigs(HashFns.minHashSig(col("sh"), numHashes), bands, rows))
+        posexplode(graft.expr.HashExprs.minHashBandKeys(
+          col("sh"), HashFns.minHashCoeffs(numHashes), bands))
           .as(Seq("band", "bsig")))
     val cand = banded.as("a")
       .join(banded.as("b"),
