@@ -347,13 +347,22 @@ object Queries2 {
     Similarity.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .select(col("label"),
         array_join(transform(col("centroid"), x => format_number(x, 6)), ",").as("centroid_csv"))
-  val q32Sql: String =
-    """WITH x AS (SELECT label, i AS pos, embedding[i]::DOUBLE AS v
-      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
-      |a AS (SELECT label, pos, avg(v) AS m FROM x GROUP BY 1, 2)
+  val q32Sql: String = CentroidSqlCte +
+    """
       |SELECT label,
       | string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv
       |FROM a GROUP BY label""".stripMargin
+
+  /** Shared centroid CTE: mean per (label, pos) as a left-to-right fold
+    * over the value-sorted list — bitwise identical to Similarity.centroids
+    * (plain avg would be FP-summation-order dependent). */
+  private[graft] lazy val CentroidSqlCte: String =
+    """WITH x AS (SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+      |a AS (SELECT label, pos,
+      |  list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(v))),
+      |              (acc, x) -> acc + x) / count(*) AS m
+      |  FROM x GROUP BY 1, 2)""".stripMargin
 
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.io.Tables
+import graft.ops.{Multimodal, Relate, Similarity}
+import graft.streaming.Stream
+
+/** Third query wave: U5 stringified-list parsing, native session windows,
+  * sliding windows, multimodal frame sampling, IVF vector search. Same
+  * determinism rules as [[Queries]]. */
+object Queries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------- U5
+  /** Stringified-list round trip (the reference's `ast.literal_eval` repair
+    * of CSV-degraded array columns, PLATFORM-GenerationLLM.py:69-72):
+    * aggregate child ids to a CSV string, parse back with from_json, and
+    * reduce — proving the array survives the text round trip. */
+  val q33FromJson: Q = (spark, dir) => {
+    val grouped = Relate.collectChildIdsCsv(
+      "l_orderkey", "l_linenumber", "line_numbers", "n_items")(Tables.lineitem(spark, dir))
+    grouped.select(
+      col("l_orderkey"),
+      from_json(concat(lit("["), col("line_numbers"), lit("]")), ArrayType(LongType)).as("ids"))
+      .select(
+        col("l_orderkey"),
+        size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("sum_ids"))
+  }
+  val q33Sql: String =
+    """WITH g AS (SELECT l_orderkey,
+      |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS s
+      | FROM lineitem GROUP BY 1),
+      |p AS (SELECT l_orderkey,
+      |  list_transform(string_split(s, ','), x -> x::BIGINT) AS ids FROM g)
+      |SELECT l_orderkey, len(ids)::BIGINT AS n_ids,
+      | list_reduce(list_prepend(0::BIGINT, ids), (a, x) -> a + x)::BIGINT AS sum_ids
+      |FROM p""".stripMargin
+
+  // ------------------------------------------- native session windows
+  /** Gap sessions via the native session_window operator (batch-checked
+    * here; the same transform runs under readStream with watermark state
+    * eviction — see StreamingSpec). End = last event + gap. */
+  val q34SessionWindow: Q = (spark, dir) =>
+    Stream.sessionWindowStats(Tables.events(spark, dir), "user_id", "ts", "value", "30 minutes")
+  val q34Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id, ts, value,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM s)
+      |SELECT user_id, min(epoch_us(ts))::BIGINT AS start_us,
+      | (max(epoch_us(ts)) + 1800000000)::BIGINT AS end_us,
+      | count(*) AS n_events,
+      | sum(round(value * 10000)::BIGINT)::BIGINT AS value_e4
+      |FROM s2 GROUP BY user_id, sess""".stripMargin
+
+  // ----------------------------------------------------- sliding windows
+  /** Sliding 1-hour windows every 15 minutes per event type. Each event
+    * lands in exactly 4 windows (win/slide), aligned to epoch multiples of
+    * the slide — Spark's window() alignment, reproduced arithmetically in
+    * the oracle. */
+  val q35SlidingWindow: Q = (spark, dir) =>
+    Stream.slidingTypeCounts(Tables.events(spark, dir), "ts", "event_type",
+      "1 hour", "15 minutes")
+  val q35Sql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+      |w AS (SELECT ((us // 900000000) - j) * 900000000 AS start_us, event_type
+      |      FROM e, unnest(generate_series(0, 3)) AS t(j))
+      |SELECT start_us AS win_start_us, (start_us + 3600000000) AS win_end_us,
+      | event_type, count(*) AS n_events
+      |FROM w GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------- multimodal frames
+  /** Frame-sampling expansion of binary assets: one row per 4 KiB slice
+    * (stand-in for a video time stride); emits md5 + length per frame so
+    * the binary plumbing is hash-checkable without raw-bytes comparison. */
+  val q36FrameSample: Q = (spark, dir) =>
+    Multimodal.frameSample(
+      Multimodal.fromText(Tables.documents(spark, dir), "doc_id", "text", "video"), 256)
+      .select(
+        col("asset_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        // DuckDB cannot slice BLOBs, so the comparable fingerprint is the
+        // md5 of the frame's HEX string (uppercase in both engines); the
+        // Spark side still slices true binary content
+        md5(hex(col("frame_bytes")).cast("binary")).as("frame_fp"))
+  val q36Sql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |  octet_length(encode(text)) AS nb FROM documents)
+      |SELECT doc_id AS asset_id, ((i - 1) // 256)::BIGINT AS frame_idx,
+      | (length(substring(hx, (2 * (i - 1) + 1)::INT, 512)) // 2)::BIGINT AS n_bytes,
+      | md5(substring(hx, (2 * (i - 1) + 1)::INT, 512)) AS frame_fp
+      |FROM h, unnest(generate_series(1, greatest(nb, 1), 256)) AS u(i)""".stripMargin
+
+  // ------------------------------------------------------- IVF search
+  /** IVF-routed top-k: query → nearest 3 of the 10 coarse (label) buckets →
+    * exact search inside them. The scale path for O10 at 100 TB: only
+    * nprobe/nlist of the corpus is scanned. */
+  val q37IvfTopK: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val query = e.filter(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    Similarity.ivfTopK(e, "vec_id", "embedding", "label", query, "qvec", 3, 10, 0.0)
+  }
+  val q37Sql: String = Queries2.CentroidSqlCte +
+    """,
+      |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM a GROUP BY label),
+      |q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+      |probe AS (SELECT c.label,
+      |    round(list_cosine_similarity(c.centroid, q.embedding::DOUBLE[]), 6) AS csim
+      |  FROM c, q ORDER BY csim DESC, label LIMIT 3)
+      |SELECT vec_id, sim FROM (
+      |  SELECT e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings e JOIN probe p ON e.label = p.label, q) v
+      |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------- registry ----
+  val all: Map[String, Q] = Map(
+    "q33_from_json" -> q33FromJson,
+    "q34_session_window" -> q34SessionWindow,
+    "q35_sliding_window" -> q35SlidingWindow,
+    "q36_frame_sample" -> q36FrameSample,
+    "q37_ivf_topk" -> q37IvfTopK)
+
+  val oracle: Map[String, String] = Map(
+    "q33_from_json" -> q33Sql,
+    "q34_session_window" -> q34Sql,
+    "q35_sliding_window" -> q35Sql,
+    "q36_frame_sample" -> q36Sql,
+    "q37_ivf_topk" -> q37Sql)
+}

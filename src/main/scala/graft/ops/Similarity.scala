@@ -79,13 +79,41 @@ object Similarity {
 
   /** Coarse centroids per bucket (IVF training step): element-wise mean of
     * vectors per label via posexplode + positional re-assembly. Two shuffles
-    * ((label,pos) agg + label collect), both on bounded keys. */
+    * ((label,pos) agg + label collect), both on bounded keys.
+    *
+    * The mean is computed as a left-to-right fold over the VALUE-SORTED
+    * list, not `avg`: float summation order under partial aggregation is
+    * scheduling-dependent, which would make the result differ run-to-run
+    * and engine-to-engine. Sorting first pins the FP result bitwise. */
   def centroids(df: DataFrame, bucketCol: String, vecCol: String): DataFrame =
     df.select(col(bucketCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(bucketCol), col("pos"))
-      .agg(avg(col("v")).as("mean_v"))
+      .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mean_v"))
       .groupBy(col(bucketCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
       .select(col(bucketCol),
         transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+
+  /** IVF-style top-k search: route the query to its `nprobe` nearest coarse
+    * centroids, then brute-force only those buckets — the 100 TB search
+    * path (the corpus join is an equi-join on the bucket label; only
+    * ~nprobe/nlist of the index is ever scanned, and with the index table
+    * partitioned by label, partition pruning skips the rest at the source). */
+  def ivfTopK(index: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      query: DataFrame, qvecCol: String, nprobe: Int, k: Int, threshold: Double): DataFrame = {
+    val cents = centroids(index.select(col(labelCol), col(vecCol)), labelCol, vecCol)
+    val probed = cents.crossJoin(broadcast(query))
+      .withColumn("csim", round(VectorFns.cosine(col("centroid"), col(qvecCol)), 6))
+      .orderBy(col("csim").desc, col(labelCol).asc)
+      .limit(nprobe)
+      .select(col(labelCol))
+    index.join(broadcast(probed), Seq(labelCol))
+      .crossJoin(broadcast(query))
+      .withColumn("sim", round(VectorFns.cosine(col(vecCol), col(qvecCol)), 6))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
 }

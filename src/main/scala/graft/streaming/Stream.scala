@@ -40,4 +40,31 @@ object Stream {
         unix_micros(col("window.start")).as("win_start_us"),
         unix_micros(col("window.end")).as("win_end_us"),
         col(typeCol), col("n_events"))
+
+  /** Gap-based sessions via the NATIVE `session_window` operator — the
+    * streaming-correct form of [[graft.ops.Sessionize]] (which is the
+    * batch/oracle formulation): state is kept per open session and evicted
+    * by the watermark, so unbounded streams run in bounded memory. Window
+    * end = last event + gap by session_window semantics. */
+  def sessionWindowStats(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 10000).cast("long")).as("value_e4"))
+      .select(
+        col(userCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_e4"))
+
+  /** Streaming exact dedup: drop duplicate keys with watermark-bounded
+    * state (`dropDuplicatesWithinWatermark`), the streaming face of
+    * [[graft.ops.Dedup.exactGroups]] — state holds only keys younger than
+    * the watermark, so it cannot grow without bound. */
+  def dedupKeyed(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Embed}
+
+/** Invariant tests for the operators excluded from the SQL oracle
+  * (SURVEY.md §5.2.3): clustering and the xxhash64-based fingerprints. */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SimHash: identical normalized text → identical fingerprint; fingerprints deterministic") {
+    val df = Seq(
+      (1L, "spark makes  big data SIMPLE"),
+      (2L, "Spark makes big data simple"), // same after normalization
+      (3L, "an entirely different document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashFingerprints(df, "doc_id", "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    // deterministic across runs
+    val again = Dedup.simHashFingerprints(df, "doc_id", "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(out == again)
+  }
+
+  test("SimHash: near-identical long texts land at small hamming distance") {
+    val base = (1 to 200).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7 ", "token7x ")
+    val far = (1 to 200).map(i => s"other$i").mkString(" ")
+    val out = Dedup.simHashFingerprints(
+      Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
+    assert(hamming(out(1L), out(2L)) <= 12)
+  }
+
+  test("KMeans labels: k clusters, deterministic for a fixed seed, non-trivial") {
+    val e = io.Tables.embeddings(spark, sfDir)
+    val a = Embed.kmeansLabels(e, "embedding", 10, 42L)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val b = Embed.kmeansLabels(e, "embedding", 10, 42L)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(a == b) // seed-deterministic
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(a.values.toSet.subsetOf((0 until 10).toSet))
+    assert(a.values.toSet.size >= 2, s"degenerate clustering: $sizes")
+  }
+
+  test("hashing embedder: unit norm, fixed dim, deterministic per text") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", Embed.hashingEmbed($"text", 16).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.values.forall(_.size == 16))
+    assert(out(1L) == out(2L))
+    val norm = math.sqrt(out(1L).map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4) // rounded to 6dp per component
+    // empty text normalizes to the single token "" → a one-hot unit vector
+    assert(out(3L).count(_ == 1.0) == 1 && out(3L).count(_ == 0.0) == 15)
+  }
+
+  test("MinHash LSH pairs are a superset-filtered subset of true near-dups") {
+    // construct docs where 1-2 are true near-dups, 3 unrelated
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    val pairs = Dedup.minHashLshPairs(
+      Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text"),
+      "doc_id", "text", 12, 4, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the scale contract, checked in CI:
+  * filters reach the parquet scan, small dimensions broadcast, the top-N
+  * window gets the group-limit rewrite, scans prune columns. A plan
+  * regression here is a 100 TB incident even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("point lookup pushes the predicate into the parquet scan") {
+    val p = plan(SparkEntry.queries("q08_point_lookup")(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), p)
+  }
+
+  test("doc filter pushes NOT-IN and lang IN into the scan") {
+    val p = plan(SparkEntry.queries("q10_doc_filter")(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("In(lang"), p)
+  }
+
+  test("two-hop join broadcasts the dimension side") {
+    val p = plan(SparkEntry.queries("q09_two_hop")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top-N per group gets the WindowGroupLimit rewrite (no full sort of losers)") {
+    val p = plan(SparkEntry.queries("q02_topn_per_group")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(SparkEntry.queries("q18_cosine_topk")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("narrow projection prunes the parquet read schema") {
+    val p = plan(graft.io.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("fused cosine kernel participates in whole-stage codegen") {
+    // q17's equi-join plan codegens end to end (q18's BroadcastNestedLoopJoin
+    // does not support codegen, so the kernel runs its eval loop there —
+    // still a single fused pass per pair)
+    val df = SparkEntry.queries("q17_bucketed_near_dup")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan (and codegen compiles)
+    val p = df.queryExecution.executedPlan.toString()
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage; the
+    // projection computing cosinesim must carry one
+    assert(p.linesIterator.exists(l => l.contains("cosinesim") && l.contains("*(")), p)
+  }
+}

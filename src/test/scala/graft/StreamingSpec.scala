@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Stream
+
+/** Real Structured Streaming runs (MemoryStream → transform → memory sink):
+  * the same Stream.* transforms that are batch-oracle-checked in q27/q34/q35
+  * must produce identical results incrementally, across multiple
+  * micro-batches, with watermark state eviction active. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedTypeCounts: incremental result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Stream.windowedTypeCounts(df, "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    try {
+      input.addData((ts(0), "click", 1.5), (ts(10), "click", 2.0), (ts(70), "view", 0.5))
+      q.processAllAvailable()
+      input.addData((ts(20), "click", 1.0), (ts(80), "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = Stream.windowedTypeCounts(
+        Seq((ts(0), "click", 1.5), (ts(10), "click", 2.0), (ts(70), "view", 0.5),
+          (ts(20), "click", 1.0), (ts(80), "view", 1.0))
+          .toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists { case (_, t, n, v) => t == "click" && n == 3 && v == 45000L })
+    } finally q.stop()
+  }
+
+  test("sessionWindowStats: streaming session merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = Stream.sessionWindowStats(df, "user_id", "ts", "value", "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // u1: two events 10 min apart (one session), then a 40-min gap (new session)
+      input.addData(("u1", ts(0), 1.0), ("u1", ts(10), 1.0))
+      q.processAllAvailable()
+      input.addData(("u1", ts(50), 2.0), ("u2", ts(0), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select($"user_id", $"n_events", $"value_e4")
+        .as[(String, Long, Long)].collect().sorted
+      assert(out.toSeq == Seq(("u1", 1L, 20000L), ("u1", 2L, 20000L), ("u2", 1L, 30000L)))
+    } finally q.stop()
+  }
+
+  test("dedupKeyed: duplicate keys within watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "payload")
+    val q = Stream.dedupKeyed(df, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
