@@ -126,18 +126,70 @@ object Queries3 {
       |  FROM embeddings e JOIN probe p ON e.label = p.label, q) v
       |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------- n-gram Jaccard blocks
+  /** Character-4-gram Jaccard near-dup within prefix blocks: docs are
+    * blocked by their first 32 NORMALIZED characters, so candidate pairs
+    * only form among docs sharing an exact prefix — the blocked
+    * candidate-generation pattern at corpus scale. (Blocking into a small
+    * fixed number of hash buckets would be quadratic-over-garbage: at 5k
+    * docs / 64 buckets every bucket holds ~78 unrelated docs.) */
+  val q38NgramJaccard: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val blocked = d.select(
+      col("doc_id"),
+      graft.expr.TextExprs.charShingles(col("text"), 4).as("sh"),
+      substring(graft.ops.Dedup.normalized(col("text")), 1, 32).as("blk"))
+    graft.ops.Dedup.jaccardWithinBlocks(blocked, "doc_id", "sh", "blk", 0.6)
+  }
+  val q38Sql: String =
+    """WITH n AS (SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt FROM documents),
+      |s AS (SELECT doc_id,
+      |    CASE WHEN length(nt) < 4 THEN [nt]
+      |         ELSE list_distinct(list_transform(generate_series(1, length(nt) - 3),
+      |                i -> substring(nt, i::INT, 4))) END AS sh,
+      |    substring(nt, 1, 32) AS blk
+      |  FROM n)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id) v
+      |WHERE jaccard >= 0.6""".stripMargin
+
+  // ------------------------------------------------- dedup materialize
+  /** Applied dedup: keep one representative per exact-content group — the
+    * materialization step after [[graft.ops.Dedup.exactGroups]] (keep =
+    * smallest doc_id; a quality-ranked keeper is the same query with a
+    * different min key). Anti-join-shaped: only keepers survive. */
+  val q39DedupApply: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val groups = graft.ops.Dedup.exactGroups(d, "doc_id", "text")
+    d.join(groups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+  val q39Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM documents
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
     "q34_session_window" -> q34SessionWindow,
     "q35_sliding_window" -> q35SlidingWindow,
     "q36_frame_sample" -> q36FrameSample,
-    "q37_ivf_topk" -> q37IvfTopK)
+    "q37_ivf_topk" -> q37IvfTopK,
+    "q38_ngram_jaccard" -> q38NgramJaccard,
+    "q39_dedup_apply" -> q39DedupApply)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
     "q34_session_window" -> q34Sql,
     "q35_sliding_window" -> q35Sql,
     "q36_frame_sample" -> q36Sql,
-    "q37_ivf_topk" -> q37Sql)
+    "q37_ivf_topk" -> q37Sql,
+    "q38_ngram_jaccard" -> q38Sql,
+    "q39_dedup_apply" -> q39Sql)
 }

@@ -66,8 +66,57 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fused character-n-gram shingling kernel.
+  *
+  * Spec (identical to TextFns.charShingles):
+  *   s = regexp_replace(lower(trim(text)), '\s+', ' ')
+  *   if numChars(s) < n → [s]
+  *   else              → sort(distinct([substr(s, i, n) for i in 1..numChars-n+1]))
+  *
+  * Characters are CODE POINTS (Spark's Substring semantics), so the kernel
+  * decodes once to an int[] of code points and slices that — java.lang.String
+  * substring would split surrogate pairs differently. Sorting compares
+  * UTF8String binary order, exactly like array_sort.
+  */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val normalized = ws.matcher(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString).replaceAll(" ")
+    val cps = normalized.codePoints().toArray
+    if (cps.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(normalized)))
+    val seen = new mutable.HashSet[String]
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i <= cps.length - n) {
+      val s = new String(cps, i, n)
+      if (seen.add(s)) out += UTF8String.fromString(s)
+      i += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[CharShingles]]. */
+  def charShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
 }

@@ -30,6 +30,23 @@ class TextExprSpec extends SparkSpec {
     }
   }
 
+  test("CharShingles equals builtin charShingles on fixture documents") {
+    val docs = io.Tables.documents(spark, sfDir)
+    val both = docs.select(
+      TextFns.charShingles($"text", 4).as("builtin"),
+      TextExprs.charShingles($"text", 4).as("fused"))
+    assert(both.filter(not($"builtin" === $"fused")).count() == 0)
+  }
+
+  test("CharShingles edge cases match builtin (short, unicode, blank)") {
+    val df = Seq("", "ab", "abcd", "  AB cd  EF ", "中文字符测试abc", "ａｂｃｄｅ")
+      .toDF("text")
+    df.select(
+      TextFns.charShingles($"text", 4).as("builtin"),
+      TextExprs.charShingles($"text", 4).as("fused")).collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("WordShingles null in, null out") {
     val df = Seq(Option.empty[String], Some("x y z")).toDF("text")
     val out = df.select(TextExprs.wordShingles($"text", 2)).collect()
