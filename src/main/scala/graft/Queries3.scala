@@ -174,6 +174,37 @@ object Queries3 {
       |  SELECT min(doc_id) FROM documents
       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))""".stripMargin
 
+  // ------------------------------------------------------ token chunks
+  /** Token-window overlapping chunks (40 tokens every 30) — the RAG
+    * chunking unit, as a codegen'd explode/slice expansion. */
+  val q40TokenChunks: Q = (spark, dir) =>
+    graft.ops.Chunk.tokenChunks(Tables.documents(spark, dir), "doc_id", "text", 40, 30)
+  val q40Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+      |SELECT doc_id, ((i - 1) // 30)::BIGINT AS chunk_id, i::BIGINT AS tok_start,
+      | array_to_string(list_slice(tk, i::INT, (i + 39)::INT), ' ') AS chunk
+      |FROM t, unnest(generate_series(1, greatest(len(tk), 1), 30)) AS u(i)""".stripMargin
+
+  // -------------------------------------------------- SQL surface (ext)
+  /** The same cosine top-k as q18, but phrased in SQL against the
+    * extension-registered native function — proving the kernels are usable
+    * from pure SQL (spark.sql.extensions=graft.ext.GraftExtensions). */
+  val q41SqlCosine: Q = (spark, dir) => {
+    graft.ext.GraftExtensions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb")
+    spark.sql(
+      """SELECT vec_id, sim FROM (
+        |  SELECT e.vec_id, round(cosine_sim(e.embedding, q.embedding), 6) AS sim
+        |  FROM emb e CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 7) q)
+        |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+  }
+  val q41Sql: String =
+    """SELECT vec_id, sim FROM (
+      |  SELECT e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q) v
+      |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -182,7 +213,9 @@ object Queries3 {
     "q36_frame_sample" -> q36FrameSample,
     "q37_ivf_topk" -> q37IvfTopK,
     "q38_ngram_jaccard" -> q38NgramJaccard,
-    "q39_dedup_apply" -> q39DedupApply)
+    "q39_dedup_apply" -> q39DedupApply,
+    "q40_token_chunks" -> q40TokenChunks,
+    "q41_sql_cosine" -> q41SqlCosine)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
@@ -191,5 +224,7 @@ object Queries3 {
     "q36_frame_sample" -> q36Sql,
     "q37_ivf_topk" -> q37Sql,
     "q38_ngram_jaccard" -> q38Sql,
-    "q39_dedup_apply" -> q39Sql)
+    "q39_dedup_apply" -> q39Sql,
+    "q40_token_chunks" -> q40Sql,
+    "q41_sql_cosine" -> q41Sql)
 }

@@ -51,13 +51,26 @@ object Similarity {
   }
 
   /** Exact all-pairs near-duplicates by cosine >= threshold (a < b). O(n²):
-    * correct at any scale but quadratic — use [[bucketedNearDup]] at size. */
+    * correct at any scale but quadratic — use [[bucketedNearDup]] at size.
+    *
+    * Each side's L2 norm is projected ONCE per row; the per-pair work is a
+    * single fused dot product. The arithmetic (left-to-right sums, sqrt·sqrt
+    * denominator, zero-denominator → 0) is bitwise-identical to
+    * [[VectorFns.cosine]], so results hash-match the naive spelling. */
   def nearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val prepped = df.select(col(idCol), col(vecCol),
+      VectorFns.l2Norm(col(vecCol)).as("__nrm"))
+    val a = prepped.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("__nrm").as("nrm_a"))
+    val b = prepped.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("__nrm").as("nrm_b"))
+    val denom = col("nrm_a") * col("nrm_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorFns.cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("sim", round(
+        when(col("vec_a").isNull || col("vec_b").isNull, lit(null).cast("double"))
+          .otherwise(when(denom === 0.0, lit(0.0))
+            .otherwise(graft.expr.VectorExprs.dot(col("vec_a"), col("vec_b")) / denom)), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraftExtensions
+import graft.expr.TextExprs
+import graft.functions.VectorFns
+
+/** The SQL-registered native functions must resolve in spark.sql and agree
+  * with their Column-API forms. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim / dot_product resolve in SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    df.createOrReplaceTempView("vspec")
+    val sql = spark.sql("SELECT cosine_sim(a, b) AS c, dot_product(a, b) AS d FROM vspec")
+      .as[(Double, Double)].head()
+    val api = df.select(
+      VectorFns.cosine($"a", $"b"), graft.expr.VectorExprs.dot($"a", $"b"))
+      .as[(Double, Double)].head()
+    assert(sql == api)
+    assert(math.abs(sql._2 - 32.0) < 1e-12)
+  }
+
+  test("word_shingles / char_shingles / minhash_band_keys resolve in SQL") {
+    GraftExtensions.register(spark)
+    Seq(("a b c d")).toDF("t").createOrReplaceTempView("tspec")
+    val ws = spark.sql("SELECT word_shingles(t, 2) FROM tspec")
+      .as[Seq[String]].head()
+    assert(ws == Seq("a b", "b c", "c d"))
+    val cs = spark.sql("SELECT char_shingles(t, 3) FROM tspec").as[Seq[String]].head()
+    val csApi = Seq(("a b c d")).toDF("t")
+      .select(TextExprs.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(cs == csApi)
+    val bk = spark.sql("SELECT minhash_band_keys(word_shingles(t, 2), 12, 4) FROM tspec")
+      .as[Seq[String]].head()
+    assert(bk.size == 4)
+  }
+
+  test("non-literal shingle size is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    Seq(("x", 2)).toDF("t", "n").createOrReplaceTempView("badspec")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, n) FROM badspec").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
