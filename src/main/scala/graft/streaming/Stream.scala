@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (north-star extension — the reference has
   * no streaming at all, SURVEY.md §2.9; the `events` fixture supplies the
@@ -67,4 +70,55 @@ object Stream {
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Per-user running state carried across micro-batches. */
+  case class UserRunning(user_id: String, n_events: Long, value_e4: Long,
+      last_ts: Timestamp)
+
+  /** Custom arbitrary state via flatMapGroupsWithState — the slot for
+    * stateful logic the built-in windows can't express (per-key running
+    * totals, custom eviction, ML feature state). Emits the updated running
+    * row per key per micro-batch.
+    *
+    * With `idleTimeout = Some(d)`, state evicts after `d` of
+    * processing-time inactivity, keeping memory bounded on unbounded key
+    * spaces — note the timeout keeps the query triggering empty
+    * micro-batches to fire evictions (so `processAllAvailable` never
+    * settles; production queries use a processing-time trigger). Pass None
+    * for data-driven-only batches.
+    *
+    * Input columns: (user_id: string, ts: timestamp, value: double). Works
+    * identically on batch Datasets (state is per-group within the batch).
+    */
+  def runningUserStats(events: DataFrame,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("string"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: String, rows: Iterator[(String, Timestamp, Double)],
+            state: GroupState[UserRunning]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0L, new Timestamp(0L)))
+            var n = prev.n_events; var v = prev.value_e4; var last = prev.last_ts
+            rows.foreach { case (_, ts, value) =>
+              n += 1
+              v += math.round(value * 10000)
+              if (ts.after(last)) last = ts
+            }
+            val next = UserRunning(user, n, v, last)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+        })
+  }
 }

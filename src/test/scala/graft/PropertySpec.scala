@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{TextFns, VectorFns}
+import graft.ops.{Dedup, Merge, TopK}
+
+/** Property-based invariants (SURVEY.md §5.2.2), driven by ScalaCheck with
+  * evaluation through real Spark plans on generated data. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (scalatest-plus isn't on the offline
+    * classpath, so we drive ScalaCheck's generators directly; each sample
+    * runs a real Spark job, so keep counts modest). */
+  private val params = Gen.Parameters.default.withSize(12)
+  private def samples[A](g: Gen[A], n: Int = 8): Seq[A] =
+    (0 until n).flatMap(i => g.apply(params, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(Gen.zip(g1, g2)).foreach { case (a, b) => f(a, b) }
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(2, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10f, 10f).suchThat(f => !f.isNaN)))
+
+  test("cosine ∈ [-1, 1] and self-similarity = 1 for nonzero vectors") {
+    forAll(vecGen, vecGen) { (a, b) =>
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val df = Seq((a, b)).toDF("a", "b")
+        val r = df.select(
+          VectorFns.cosine($"a", $"a").as("self"),
+          when(length(lit("x")) > 0, VectorFns.cosine($"a", lit(null).cast("array<float>"))).as("nul"))
+          .head()
+        if (a.exists(_ != 0f)) assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+        assert(r.isNullAt(1))
+        if (a.length == b.length) {
+          val sim = df.select(VectorFns.cosine($"a", $"b")).head().getDouble(0)
+          assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(Gen.oneOf("alpha", "beta", "<b>", "&amp;", "x", "gamma delta"))
+  } yield words.mkString(" ")
+
+  test("htmlStrip is idempotent and leaves no complete tags") {
+    forAll(textGen) { t =>
+      val df = Seq(s"<p>$t</p>").toDF("t")
+      val Array(once, twice) = df.select(
+        TextFns.htmlStrip($"t").as("o"),
+        TextFns.htmlStrip(TextFns.htmlStrip($"t")).as("tw"))
+        .head().toSeq.map(_.asInstanceOf[String]).toArray
+      assert(once == twice) // idempotent
+      assert(!once.matches(".*<[^>]*>.*")) // no tags survive
+    }
+  }
+
+  test("dedup is idempotent and never increases row count") {
+    forAll(Gen.listOf(Gen.chooseNum(0, 20))) { keys =>
+      whenever(keys.nonEmpty) {
+        val df = keys.map(k => (s"k$k", k)).toDF("k", "v")
+        val once = Merge.dedupByKey("k")(df)
+        val n1 = once.count()
+        assert(n1 <= keys.size && n1 == once.select("k").distinct().count())
+        assert(Merge.dedupByKey("k")(once).count() == n1)
+      }
+    }
+  }
+
+  test("topNPerGroup keeps at most n per group, and exactly the max-score rows") {
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L))),
+      Gen.chooseNum(1, 4)) { (rows, n) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((g, s), i) => (s"g$g", s"id$i", s) }.toDF("grp", "id", "score")
+        val kept = TopK.topNPerGroup("grp", "score", "id", n)(df)
+          .as[(String, String, Long)].collect()
+        val byGroup = kept.groupBy(_._1)
+        assert(byGroup.values.forall(_.length <= n))
+        // every kept score >= every dropped score in the same group
+        val all = rows.zipWithIndex.map { case ((g, s), i) => (s"g$g", s"id$i", s) }
+        byGroup.foreach { case (g, keptRows) =>
+          val keptIds = keptRows.map(_._2).toSet
+          val dropped = all.filter(r => r._1 == g && !keptIds.contains(r._2))
+          if (dropped.nonEmpty)
+            assert(keptRows.map(_._3).min >= dropped.map(_._3).max - 0)
+        }
+      }
+    }
+  }
+
+  test("MinHash signature values are within [0, p) and length k") {
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a b", "b c", "c d", "d e"))) { sh =>
+      val df = Seq(sh.distinct).toDF("sh")
+      val sig = df.select(graft.functions.HashFns.minHashSig($"sh", 8)).as[Seq[Long]].head()
+      assert(sig.length == 8)
+      assert(sig.forall(v => v >= 0 && v < graft.functions.HashFns.MinHashP))
+    }
+  }
+
+  test("jaccard is symmetric, 1 on self, and within [0, 1]") {
+    val arrGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t")).map(_.distinct)
+    forAll(arrGen, arrGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        VectorFns.jaccard($"a", $"b").as("ab"),
+        VectorFns.jaccard($"b", $"a").as("ba"),
+        VectorFns.jaccard($"a", $"a").as("self")).head()
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == 1.0)
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+}

@@ -58,6 +58,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserStats: custom state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = Stream.runningUserStats(df, idleTimeout = None)
+      .writeStream.format("memory").queryName("running").outputMode("append").start()
+    try {
+      input.addData(("u1", ts(0), 1.5), ("u1", ts(1), 2.5), ("u2", ts(2), 1.0))
+      q.processAllAvailable()
+      input.addData(("u1", ts(3), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("running")
+        .select($"user_id", $"n_events", $"value_e4")
+        .as[(String, Long, Long)].collect().toSet
+      // batch 1 emissions: u1 (2 events, 4.0), u2 (1, 1.0); batch 2: u1 grows to (3, 5.0)
+      assert(rows == Set(("u1", 2L, 40000L), ("u2", 1L, 10000L), ("u1", 3L, 50000L)))
+    } finally q.stop()
+  }
+
   test("dedupKeyed: duplicate keys within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
