@@ -108,6 +108,18 @@ object Similarity {
       .select(col(bucketCol),
         transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
 
+  /** Write the vector index partitioned by its coarse (IVF) label:
+    * `path/label=<l>/part-*.parquet`. Probed searches then read ONLY the
+    * probed buckets' files — partition pruning at the source, the on-disk
+    * face of [[ivfTopK]]'s label equi-join. */
+  def writeIvfIndex(index: DataFrame, labelCol: String, path: String): Unit =
+    index.write.mode("overwrite").partitionBy(labelCol).parquet(path)
+
+  /** Read back a partitioned IVF index (partition pruning applies to any
+    * `labelCol` predicate Catalyst can derive). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** IVF-style top-k search: route the query to its `nprobe` nearest coarse
     * centroids, then brute-force only those buckets — the 100 TB search
     * path (the corpus join is an equi-join on the bucket label; only
