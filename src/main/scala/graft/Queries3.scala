@@ -205,6 +205,35 @@ object Queries3 {
       |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q) v
       |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------ RAG prompt
+  /** End-of-pipeline prompt assembly over the q29 context set: one
+    * deterministic prompt string (context bodies sorted by id). */
+  val q42RagPrompt: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val query = e.filter(col("vec_id") === 7L).select(col("embedding").as("qvec"))
+    val ctx = graft.ops.Rag.contextDocs(e, "vec_id", "embedding", "label",
+      Tables.documents(spark, dir), "doc_id", query, 0.4, 20)
+    graft.ops.Rag.assemblePrompt(ctx, "doc_id", "text",
+      "What does the corpus say?", history = Seq("Q: earlier?", "A: earlier answer."))
+  }
+  val q42Sql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+      |sc AS (SELECT e.vec_id, e.label,
+      |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings e, q),
+      |top1 AS (SELECT vec_id, label FROM sc WHERE sim >= 0.4
+      |         ORDER BY sim DESC, vec_id LIMIT 1),
+      |nb AS (SELECT e.vec_id FROM embeddings e JOIN top1 t
+      |       ON e.label = t.label AND e.vec_id != t.vec_id
+      |       ORDER BY e.vec_id LIMIT 20),
+      |ids AS (SELECT vec_id FROM top1 UNION SELECT vec_id FROM nb),
+      |ctx AS (SELECT string_agg(d.text, chr(10) || '---' || chr(10) ORDER BY d.doc_id) AS c
+      |        FROM documents d JOIN ids ON d.doc_id = ids.vec_id)
+      |SELECT 'Context:' || chr(10) || c || chr(10) || chr(10)
+      | || 'Q: earlier?' || chr(10) || 'A: earlier answer.' || chr(10) || chr(10)
+      | || 'Question: What does the corpus say?' AS prompt
+      |FROM ctx""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -215,7 +244,8 @@ object Queries3 {
     "q38_ngram_jaccard" -> q38NgramJaccard,
     "q39_dedup_apply" -> q39DedupApply,
     "q40_token_chunks" -> q40TokenChunks,
-    "q41_sql_cosine" -> q41SqlCosine)
+    "q41_sql_cosine" -> q41SqlCosine,
+    "q42_rag_prompt" -> q42RagPrompt)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
@@ -226,5 +256,6 @@ object Queries3 {
     "q38_ngram_jaccard" -> q38Sql,
     "q39_dedup_apply" -> q39Sql,
     "q40_token_chunks" -> q40Sql,
-    "q41_sql_cosine" -> q41Sql)
+    "q41_sql_cosine" -> q41Sql,
+    "q42_rag_prompt" -> q42Sql)
 }

@@ -37,4 +37,28 @@ object Rag {
     documents.join(broadcast(contextIds.withColumnRenamed(idCol, docIdCol)),
       Seq(docIdCol), "left_semi")
   }
+
+  /** Final prompt assembly (reference: PLATFORM-GenerationLLM.py:183-215 /
+    * app2.py:166-178): context bodies + optional dialogue history + the
+    * question, folded into one prompt string. Context is ordered by id so
+    * the output is deterministic; the aggregation is a single-row reduce
+    * of an already-bounded context set (≤ 1 + cap rows), so the "collect"
+    * the reference does on the driver is here one tiny aggregated row.
+    * The LLM call itself stays an external sink consuming this column. */
+  def assemblePrompt(contextDocs: DataFrame, docIdCol: String, textCol: String,
+      question: String, history: Seq[String] = Nil): DataFrame = {
+    val historyBlock =
+      if (history.isEmpty) "" else history.mkString("", "\n", "\n\n")
+    contextDocs
+      .select(col(docIdCol), col(textCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(docIdCol), col(textCol)))),
+          p => p.getField(textCol)),
+        "\n---\n").as("context"))
+      .select(concat(
+        lit("Context:\n"), col("context"),
+        lit("\n\n"), lit(historyBlock),
+        lit("Question: "), lit(question)).as("prompt"))
+  }
 }
