@@ -67,6 +67,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize for image-like assets.
+    *
+    * STUB: a real implementation decodes, resamples, and re-encodes inside
+    * the same mapPartitions shape as [[decodeFeatures]] (codec init once
+    * per partition). The stand-in updates the metadata contract exactly —
+    * new width/height, content passed through, aspect flag — so downstream
+    * schema/partitioning is real and testable without image libs. */
+  def resizeStub(df: DataFrame, newWidth: Int, newHeight: Int): DataFrame =
+    df.withColumn("orig_width", col("width"))
+      .withColumn("orig_height", col("height"))
+      .withColumn("width", lit(newWidth))
+      .withColumn("height", lit(newHeight))
+      .withColumn("aspect_changed",
+        (col("orig_width") * newHeight) =!= (col("orig_height") * newWidth))
+
   /** Frame-sampling expansion for video-like assets: one row per sampled
     * frame at `everyNBytes` stride (stand-in for a time stride), with the
     * frame's byte slice as content. Pure codegen'd explode — the real

@@ -74,6 +74,19 @@ class OpsSpec extends SparkSpec {
     assert(row2.getAs[String]("title") == null && row2.getAs[Long]("score") == 5L)
   }
 
+  test("Multimodal.resizeStub updates metadata and flags aspect change") {
+    val assets = graft.ops.Multimodal.fromText(
+      Seq((1L, "abc"), (2L, "defg")).toDF("id", "t"), "id", "t", "image")
+    val out = graft.ops.Multimodal.resizeStub(assets, 128, 128)
+      .select($"asset_id", $"width", $"height", $"orig_width", $"orig_height", $"aspect_changed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 128 && out(1L).getInt(2) == 128)
+    // asset 1: orig 128x128 (id 1 → w=1*64+64, h=1*64+64) → square stays square
+    assert(!out(1L).getBoolean(5))
+    // asset 2: orig 192x192? id 2 → w=2*64+64=192, h=2*64+64=192 → unchanged aspect
+    assert(out(2L).getInt(3) == 192 && !out(2L).getBoolean(5))
+  }
+
   test("Merge.dedupByKey is idempotent") {
     val df = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("k", "v")
     val once = Merge.dedupByKey("k")(df)
