@@ -234,6 +234,67 @@ object Queries3 {
       | || 'Question: What does the corpus say?' AS prompt
       |FROM ctx""".stripMargin
 
+  // ------------------------------------------------------- as-of join
+  /** As-of join: each purchase matched to the user's latest prior-or-equal
+    * click — the temporal-join operator Spark lacks, composed union+window
+    * (AsOf.asOfJoin); DuckDB checks it with its native ASOF JOIN. */
+  val q43AsOfJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.ops.AsOf.asOfJoin(purchases, clicks, "user_id", "ts",
+        payload = Seq("event_id", "value"), tieCol = "event_id")
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("asof_event_id").as("click_id"),
+        round(col("asof_value") * 10000).cast("long").as("click_value_e4"))
+  }
+  val q43Sql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts)::BIGINT AS purchase_us,
+      | c.event_id AS click_id, round(c.value * 10000)::BIGINT AS click_value_e4
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  // ------------------------------------------------------- JSON props
+  /** JSON metadata extraction (training pipelines carry JSON sidecars):
+    * pull props.k per event, aggregate per type. get_json_object pushes
+    * through codegen; the parse happens once per row in the scan stage. */
+  val q44JsonProps: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  val q44Sql: String =
+    """SELECT event_type, count(k) AS n_with_k, sum(k)::BIGINT AS sum_k,
+      | min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------- doc stats
+  /** Per-language corpus statistics incl. exact interpolated median — the
+    * quality-dashboard rollup (count/avg/median length). Both engines use
+    * linear interpolation for the continuous percentile. */
+  val q45DocStats: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+  val q45Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | round(avg(n_chars), 4) AS avg_chars,
+      | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+      | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -245,7 +306,10 @@ object Queries3 {
     "q39_dedup_apply" -> q39DedupApply,
     "q40_token_chunks" -> q40TokenChunks,
     "q41_sql_cosine" -> q41SqlCosine,
-    "q42_rag_prompt" -> q42RagPrompt)
+    "q42_rag_prompt" -> q42RagPrompt,
+    "q43_asof_join" -> q43AsOfJoin,
+    "q44_json_props" -> q44JsonProps,
+    "q45_doc_stats" -> q45DocStats)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
@@ -257,5 +321,8 @@ object Queries3 {
     "q39_dedup_apply" -> q39Sql,
     "q40_token_chunks" -> q40Sql,
     "q41_sql_cosine" -> q41Sql,
-    "q42_rag_prompt" -> q42Sql)
+    "q42_rag_prompt" -> q42Sql,
+    "q43_asof_join" -> q43Sql,
+    "q44_json_props" -> q44Sql,
+    "q45_doc_stats" -> q45Sql)
 }
