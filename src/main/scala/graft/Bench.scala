@@ -17,11 +17,17 @@ object Bench {
     Seq(io.Tables.lineitem _, io.Tables.orders _, io.Tables.documents _,
       io.Tables.embeddings _, io.Tables.events _)
       .foreach(t => t(spark, sfDir).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // two passes, report the per-query minimum: single-pass numbers carry
+    // ±30% container/JIT noise that a 2x regression gate can't tell from a
+    // real slowdown
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

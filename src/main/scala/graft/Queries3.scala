@@ -295,6 +295,45 @@ object Queries3 {
       | min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------------- range join
+  /** Range join: each error event located in its user's session interval
+    * (intervals from the gap sessionizer) via the bucketed-equi-join form
+    * in [[graft.ops.RangeJoin]] — no nested-loop join; the oracle checks
+    * with a plain theta join. */
+  val q46RangeJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val sessions = graft.ops.Sessionize.sessionStats(
+        e, "user_id", "ts", "event_id", "value", 30)
+      .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
+    graft.ops.RangeJoin.pointInInterval(errors, sessions,
+        "user_id", "us", "start_us", "end_us", bucketWidth = 1800000000L)
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("session_idx"), col("start_us"), col("end_us"))
+  }
+  val q46Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id, ts,
+      |    (sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_idx
+      |  FROM s),
+      |iv AS (SELECT user_id, session_idx, min(epoch_us(ts))::BIGINT AS start_us,
+      |         max(epoch_us(ts))::BIGINT AS end_us
+      |       FROM s2 GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, epoch_us(e.ts)::BIGINT AS us,
+      | iv.session_idx, iv.start_us, iv.end_us
+      |FROM events e JOIN iv ON e.user_id = iv.user_id
+      | AND epoch_us(e.ts) BETWEEN iv.start_us AND iv.end_us
+      |WHERE e.event_type = 'error'""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -309,7 +348,8 @@ object Queries3 {
     "q42_rag_prompt" -> q42RagPrompt,
     "q43_asof_join" -> q43AsOfJoin,
     "q44_json_props" -> q44JsonProps,
-    "q45_doc_stats" -> q45DocStats)
+    "q45_doc_stats" -> q45DocStats,
+    "q46_range_join" -> q46RangeJoin)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
@@ -324,5 +364,6 @@ object Queries3 {
     "q42_rag_prompt" -> q42Sql,
     "q43_asof_join" -> q43Sql,
     "q44_json_props" -> q44Sql,
-    "q45_doc_stats" -> q45Sql)
+    "q45_doc_stats" -> q45Sql,
+    "q46_range_join" -> q46Sql)
 }
