@@ -334,6 +334,14 @@ object Queries3 {
       | AND epoch_us(e.ts) BETWEEN iv.start_us AND iv.end_us
       |WHERE e.event_type = 'error'""".stripMargin
 
+  // ---------------------------------------------------- BRP-LSH dedup
+  /** MLlib BucketedRandomProjectionLSH near-dup candidates (seeded;
+    * rows-only driver check — MLlib's random hyperplanes aren't
+    * SQL-reproducible — plus a recall invariant spec vs the exact form). */
+  val q47BrpLsh: Q = (spark, dir) =>
+    Similarity.brpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bucketLength = 2.0, numHashTables = 3, maxDistance = 1.2)
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -349,7 +357,8 @@ object Queries3 {
     "q43_asof_join" -> q43AsOfJoin,
     "q44_json_props" -> q44JsonProps,
     "q45_doc_stats" -> q45DocStats,
-    "q46_range_join" -> q46RangeJoin)
+    "q46_range_join" -> q46RangeJoin,
+    "q47_brp_lsh" -> q47BrpLsh)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,

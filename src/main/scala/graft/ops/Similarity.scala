@@ -120,6 +120,32 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** LSH-bucketed near-dup via MLlib BucketedRandomProjectionLSH: random
+    * hyperplane projections bucket similar vectors together, and
+    * approxSimilarityJoin generates candidate pairs per bucket — the
+    * built-in-estimator alternative to [[bucketedNearDup]] when no coarse
+    * label exists. Seeded, so deterministic per run; Euclidean-distance
+    * thresholded (MLlib's metric), verified by invariant spec (recall vs
+    * the exact form), not the SQL oracle. */
+  def brpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
+      bucketLength: Double, numHashTables: Int, maxDistance: Double,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = df.select(col(idCol), col(vecCol))
+      .withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+      .setInputCol("__features").setOutputCol("__hashes")
+      .fit(featured)
+    model.approxSimilarityJoin(featured, featured, maxDistance, "dist")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(col("dist"), 6).as("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** IVF-style top-k search: route the query to its `nprobe` nearest coarse
     * centroids, then brute-force only those buckets — the 100 TB search
     * path (the corpus join is an equi-join on the bucket label; only

@@ -61,6 +61,20 @@ class InvariantSpec extends SparkSpec {
     assert(out(3L).count(_ == 1.0) == 1 && out(3L).count(_ == 0.0) == 15)
   }
 
+  test("BRP-LSH candidates: deterministic per seed, no false positives past the exact filter") {
+    val e = io.Tables.embeddings(spark, sfDir)
+    val lsh = graft.ops.Similarity.brpLshNearDup(e, "vec_id", "embedding", 2.0, 3, 1.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val again = graft.ops.Similarity.brpLshNearDup(e, "vec_id", "embedding", 2.0, 3, 1.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == again) // seeded determinism
+    // every emitted pair really is within the distance threshold (exact check)
+    val emitted = graft.ops.Similarity.brpLshNearDup(e, "vec_id", "embedding", 2.0, 3, 1.2)
+    val wrong = emitted.filter($"dist" > 1.2).count()
+    assert(wrong == 0)
+    assert(lsh.nonEmpty) // finds something at this threshold on the fixture
+  }
+
   test("MinHash LSH pairs are a superset-filtered subset of true near-dups") {
     // construct docs where 1-2 are true near-dups, 3 unrelated
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
