@@ -23,7 +23,7 @@ class CsvSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "http://x", 2L),
       ("stack", "so", "p2", "Quote \" inside", null, 3L,
         java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "http://y", 1L))
-      .toDF(Schemas.posts.fieldNames: _*)
+      .toDF(Schemas.posts.fieldNames.toIndexedSeq: _*)
     Csv.write(posts, s"$dir/posts")
     val back = Csv.read(spark, s"$dir/posts", Schemas.posts)
     // CSV sources force nullable=true on every field; names+types must hold
