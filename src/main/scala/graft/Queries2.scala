@@ -21,7 +21,7 @@ object Queries2 {
   type Q = (SparkSession, String) => DataFrame
 
   /** DuckDB spelling of [[graft.ops.Dedup.normalized]]. */
-  private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private[graft] val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   /** DuckDB word-bigram shingles CTE body over `documents` (mirrors
     * TextFns.wordShingles(text, 2): normalized single-space tokens,

@@ -342,6 +342,52 @@ object Queries3 {
     Similarity.brpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
       bucketLength = 2.0, numHashTables = 3, maxDistance = 1.2)
 
+  // ---------------------------------------------------- repetition ratio
+  /** Duplicate-trigram fraction — the classic corpus-filtering repetition
+    * signal: 1 − distinct/total word trigrams (0 for short docs). Distinct
+    * counts come from the fused shingle kernel; the ratio is emitted in
+    * integer micro-units (see q21's rounding note). */
+  val q48Repetition: Q = (spark, dir) => {
+    val toks = split(graft.ops.Dedup.normalized(col("text")), " ")
+    val total = when(org.apache.spark.sql.functions.size(toks) < 3, lit(1L))
+      .otherwise((org.apache.spark.sql.functions.size(toks) - 2).cast("long"))
+    val distinctTg = org.apache.spark.sql.functions.size(
+      graft.expr.TextExprs.wordShingles(col("text"), 3)).cast("long")
+    Tables.documents(spark, dir).select(
+      col("doc_id"), total.as("total_tg"), distinctTg.as("distinct_tg"),
+      floor(((total - distinctTg).cast("double") / total.cast("double"))
+        * 1000000.0 + 0.5).cast("long").as("dup_e6"))
+  }
+  val q48Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(${Queries2.NormSql}, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(tk) < 3 THEN 1 ELSE len(tk) - 2 END::BIGINT AS total_tg,
+       |  CASE WHEN len(tk) < 3 THEN 1
+       |       ELSE len(list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |              i -> tk[i::INT] || ' ' || tk[(i+1)::INT] || ' ' || tk[(i+2)::INT])))
+       |  END::BIGINT AS distinct_tg
+       |  FROM t)
+       |SELECT doc_id, total_tg, distinct_tg,
+       | floor(((total_tg - distinct_tg)::DOUBLE / total_tg::DOUBLE)
+       |   * 1000000.0 + 0.5)::BIGINT AS dup_e6
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------- pattern counts
+  /** Surface-pattern counts (URL / digit-run / all-caps tokens) — the
+    * cheap regex signals corpus filters cut on. */
+  val q49PatternCounts: Q = (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_digit_runs"),
+      regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long").as("n_allcaps"))
+  val q49Sql: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+      | len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs,
+      | len(regexp_extract_all(text, '\b[A-Z]{2,}\b'))::BIGINT AS n_allcaps
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------- registry ----
   val all: Map[String, Q] = Map(
     "q33_from_json" -> q33FromJson,
@@ -358,7 +404,9 @@ object Queries3 {
     "q44_json_props" -> q44JsonProps,
     "q45_doc_stats" -> q45DocStats,
     "q46_range_join" -> q46RangeJoin,
-    "q47_brp_lsh" -> q47BrpLsh)
+    "q47_brp_lsh" -> q47BrpLsh,
+    "q48_repetition" -> q48Repetition,
+    "q49_pattern_counts" -> q49PatternCounts)
 
   val oracle: Map[String, String] = Map(
     "q33_from_json" -> q33Sql,
@@ -374,5 +422,7 @@ object Queries3 {
     "q43_asof_join" -> q43Sql,
     "q44_json_props" -> q44Sql,
     "q45_doc_stats" -> q45Sql,
-    "q46_range_join" -> q46Sql)
+    "q46_range_join" -> q46Sql,
+    "q48_repetition" -> q48Sql,
+    "q49_pattern_counts" -> q49Sql)
 }
