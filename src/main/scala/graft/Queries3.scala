@@ -9,8 +9,10 @@ import graft.ops.{Multimodal, Relate, Similarity}
 import graft.streaming.Stream
 
 /** Third query wave: U5 stringified-list parsing, native session windows,
-  * sliding windows, multimodal frame sampling, IVF vector search. Same
-  * determinism rules as [[Queries]]. */
+  * sliding windows, multimodal frame sampling, IVF vector search, as-of and
+  * range joins, SQL-registered kernels, BRP-LSH, token chunking, RAG prompt
+  * assembly, repetition/pattern quality signals. Same determinism rules as
+  * [[Queries]]. */
 object Queries3 {
 
   type Q = (SparkSession, String) => DataFrame
