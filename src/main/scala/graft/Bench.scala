@@ -20,18 +20,27 @@ object Bench {
     // two passes, report the per-query minimum: single-pass numbers carry
     // ±30% container/JIT noise that a 2x regression gate can't tell from a
     // real slowdown
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                   failed += name; false }
+        // a crashed query must not register as fast: sentinel -1, kept
+        // through the min() below so breakage is visible in the JSON
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -245,8 +245,10 @@ object Queries2 {
     """WITH m AS (SELECT label, list_sort(list(vec_id)) AS mem
       |           FROM embeddings GROUP BY label)
       |SELECT e.vec_id, e.label,
-      | array_to_string(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20), ',') AS neighbors,
-      | len(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20))::BIGINT AS n_neighbors
+      | CASE WHEN e.label = -1 THEN ''
+      |      ELSE array_to_string(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20), ',') END AS neighbors,
+      | CASE WHEN e.label = -1 THEN 0
+      |      ELSE len(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20)) END::BIGINT AS n_neighbors
       |FROM embeddings e JOIN m USING (label)""".stripMargin
 
   // ------------------------------------------------------------- O8 embed

@@ -254,11 +254,17 @@ object Queries3 {
         col("asof_event_id").as("click_id"),
         round(col("asof_value") * 10000).cast("long").as("click_value_e4"))
   }
+  // clicks are pre-aggregated to one row per (user_id, ts) picking the
+  // max-event_id row — exactly the row AsOf.asOfJoin's tiebreak selects —
+  // because DuckDB's native ASOF JOIN picks an ARBITRARY row when several
+  // share the matched timestamp (latent flake otherwise)
   val q43Sql: String =
     """SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts)::BIGINT AS purchase_us,
       | c.event_id AS click_id, round(c.value * 10000)::BIGINT AS click_value_e4
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+      |             arg_max(value, event_id) AS value
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
   // ------------------------------------------------------- JSON props

@@ -111,7 +111,11 @@ object Stream {
             var n = prev.n_events; var v = prev.value_e4; var last = prev.last_ts
             rows.foreach { case (_, ts, value) =>
               n += 1
-              v += math.round(value * 10000)
+              // same HALF_UP (away-from-zero) rounding as SQL round() in the
+              // batch forms — math.round is half-up-toward-+Inf and diverges
+              // on negative *.5 values
+              v += BigDecimal(value * 10000)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
               if (ts.after(last)) last = ts
             }
             val next = UserRunning(user, n, v, last)
