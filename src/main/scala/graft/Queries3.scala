@@ -346,9 +346,44 @@ object Queries3 {
   /** MLlib BucketedRandomProjectionLSH near-dup candidates (seeded;
     * rows-only driver check — MLlib's random hyperplanes aren't
     * SQL-reproducible — plus a recall invariant spec vs the exact form). */
-  val q47BrpLsh: Q = (spark, dir) =>
-    Similarity.brpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      bucketLength = 2.0, numHashTables = 3, maxDistance = 1.2)
+  /** Sign-random-projection LSH near-dup pairs: banded ±1-hyperplane
+    * sign bits over integer-quantized vectors, candidates within a
+    * (table, bucket) equi-join, exact cosine verify ≥ 0.35. The exact
+    * integer arithmetic makes the bucket keys — and therefore the whole
+    * approximate pipeline — hash-checkable against DuckDB, which MLlib's
+    * Gaussian BRP-LSH (kept as [[Similarity.brpLshNearDup]], spec-covered)
+    * can never be. */
+  // 6 tables × 6 bits: P(find pair) at cosine 0.9 ≈ 95%, at 0.35 ≈ 26% —
+  // banded for the high-sim dedup regime LSH exists for
+  val rpBits = 6
+  val rpPlanes: Array[Array[Double]] =
+    graft.expr.VectorExprs.rademacherPlanes(numPlanes = 36, dim = 64, seed = 42L)
+  val q47RpLsh: Q = (spark, dir) =>
+    Similarity.rpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      rpPlanes, rpBits, threshold = 0.35)
+  val q47Sql: String = {
+    val keyExpr: Int => String = t =>
+      (0 until rpBits).map { b =>
+        val plane = rpPlanes(t * rpBits + b).map(_.toInt).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+    val tables = (0 until rpPlanes.length / rpBits).map(t =>
+      s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM q").mkString("\nUNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |  FROM embeddings),
+       |k AS (
+       |$tables),
+       |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM k a JOIN k b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+       |  FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
+       |         JOIN embeddings eb ON eb.vec_id = c.id_b) v
+       |WHERE sim >= 0.35""".stripMargin
+  }
 
   // ---------------------------------------------------- repetition ratio
   /** Duplicate-trigram fraction — the classic corpus-filtering repetition
@@ -412,7 +447,7 @@ object Queries3 {
     "q44_json_props" -> q44JsonProps,
     "q45_doc_stats" -> q45DocStats,
     "q46_range_join" -> q46RangeJoin,
-    "q47_brp_lsh" -> q47BrpLsh,
+    "q47_rp_lsh" -> q47RpLsh,
     "q48_repetition" -> q48Repetition,
     "q49_pattern_counts" -> q49PatternCounts)
 
@@ -431,6 +466,7 @@ object Queries3 {
     "q44_json_props" -> q44Sql,
     "q45_doc_stats" -> q45Sql,
     "q46_range_join" -> q46Sql,
+    "q47_rp_lsh" -> q47Sql,
     "q48_repetition" -> q48Sql,
     "q49_pattern_counts" -> q49Sql)
 }

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -29,6 +29,20 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[SignRpBuckets]]. */
+  def signRpBuckets(vec: Column, planes: Array[Array[Double]],
+      bitsPerTable: Int, quantScale: Double): Column =
+    ExpressionUtils.column(SignRpBuckets(ExpressionUtils.expression(vec),
+      planes, bitsPerTable, quantScale))
+
+  /** Deterministic ±1 (Rademacher) hyperplanes, `numPlanes × dim`, from a
+    * seeded java LCG — reproducible across JVMs and inlinable into oracle
+    * SQL as literals. */
+  def rademacherPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
 }
 
 /** Shared loop-codegen scaffolding for two-array kernels. Null semantics
@@ -109,6 +123,113 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection LSH bucket keys — the deterministic, engine-
+  * portable alternative to MLlib's BucketedRandomProjectionLSH (whose
+  * internal Gaussian draws no SQL engine can replicate).
+  *
+  * Each input element is quantized to an integer-valued double
+  * (`floor(x * quantScale + 0.5)`) and dotted with ±1 hyperplanes, so every
+  * product and partial sum is an integer far below 2^53: the arithmetic is
+  * EXACT, order-independent, and bitwise-reproducible in any engine — which
+  * is what makes the whole LSH pipeline hash-checkable against DuckDB.
+  * Output: one key per table; key = bitmask of `dot(q, plane) >= 0` over
+  * that table's `bitsPerTable` consecutive planes.
+  *
+  * One fused pass per row (quantize once, then planes × dim multiply-adds),
+  * generated into whole-stage codegen; planes ride along as a reference
+  * object, not a per-row literal.
+  */
+case class SignRpBuckets(child: Expression, planes: Array[Array[Double]],
+    bitsPerTable: Int, quantScale: Double)
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % bitsPerTable == 0,
+    s"planes(${planes.length}) must be a multiple of bitsPerTable($bitsPerTable)")
+
+  private val numTables = planes.length / bitsPerTable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemAt(a: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => a.getDouble(i)
+    case t => throw new IllegalArgumentException(s"bad element type $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val q = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      q(i) = math.floor(elemAt(a, i) * quantScale + 0.5)
+      i += 1
+    }
+    val keys = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var key = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val p = planes(t * bitsPerTable + b)
+        val d = math.min(n, p.length)
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += q(j) * p(j); j += 1 }
+        if (dot >= 0.0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(FloatType, _) => "getFloat"
+      case ArrayType(DoubleType, _) => "getDouble"
+      case t => throw new IllegalArgumentException(s"bad element type $t")
+    }
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val q = ctx.freshName("q"); val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b")
+      val p = ctx.freshName("p"); val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val key = ctx.freshName("key")
+      s"""
+         |final int $n = $a.numElements();
+         |final double[] $q = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $q[$i] = java.lang.Math.floor(((double) $a.$getter($i)) * ${quantScale}D + 0.5D);
+         |}
+         |if (!${ev.isNull}) {
+         |  final long[] $keys = new long[$numTables];
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    long $key = 0L;
+         |    for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |      final double[] $p = $planesRef[$t * $bitsPerTable + $b];
+         |      final int $d = java.lang.Math.min($n, $p.length);
+         |      double $dot = 0.0;
+         |      for (int $j = 0; $j < $d; $j++) $dot += $q[$j] * $p[$j];
+         |      if ($dot >= 0.0) $key |= (1L << $b);
+         |    }
+         |    $keys[$t] = $key;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused dot product: sum_i a_i * b_i (double, left-to-right). */

@@ -146,6 +146,41 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Sign-random-projection LSH near-dup — the deterministic scale path for
+    * "find similar pairs with no coarse label": bucket each vector by the
+    * sign pattern of `bitsPerTable` seeded ±1 hyperplane projections
+    * (numTables independent tables), generate candidate pairs only within a
+    * (table, bucket) — an EQUI-join, shuffled on the bucket key, never a
+    * cross product — then verify candidates with exact cosine.
+    *
+    * Unlike [[brpLshNearDup]] (MLlib, Gaussian planes no other engine can
+    * reproduce) this is hash-checkable end-to-end against DuckDB: the
+    * bucket keys come from exact integer arithmetic ([[graft.expr.SignRpBuckets]]).
+    *
+    * At 100 TB: candidates per bucket scale with collision probability
+    * (1 - θ/π)^bits — tune bits up to keep buckets bounded; the verify join
+    * re-reads only candidate ids (a semi-join-shaped probe of the index).
+    */
+  def rpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bitsPerTable: Int, threshold: Double,
+      quantScale: Double = 1000.0): DataFrame = {
+    val keyed = df.select(col(idCol), col(vecCol),
+      posexplode(graft.expr.VectorExprs.signRpBuckets(
+        col(vecCol), planes, bitsPerTable, quantScale)).as(Seq("t", "key")))
+    val a = keyed.select(col("t"), col("key"), col(idCol).as("id_a"))
+    val b = keyed.select(col("t"), col("key"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("t", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val emb = df.select(col(idCol), col(vecCol))
+    cand
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
+      .withColumn("sim", round(graft.expr.VectorExprs.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF-style top-k search: route the query to its `nprobe` nearest coarse
     * centroids, then brute-force only those buckets — the 100 TB search
     * path (the corpus join is an equi-join on the bucket label; only

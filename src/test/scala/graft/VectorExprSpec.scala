@@ -63,6 +63,33 @@ class VectorExprSpec extends SparkSpec with TableDrivenPropertyChecks {
       }
   }
 
+  test("SignRpBuckets: codegen and interpreted eval agree; keys in range; deterministic") {
+    val planes = VectorExprs.rademacherPlanes(numPlanes = 12, dim = 16, seed = 42L)
+    val df = randVecs(100, 16, 17L).toDF("id", "v")
+    def keys(): Seq[(Long, Seq[Long])] = {
+      df.select($"id", VectorExprs.signRpBuckets($"v", planes, 4, 1000.0).as("k"))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    }
+    val k1 = keys()
+    assert(k1.forall { case (_, ks) => ks.length == 3 && ks.forall(k => k >= 0 && k < 16) })
+    assert(k1 == keys()) // deterministic across plans/runs
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(k1 == keys()) // interpreted eval matches codegen
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("rpLshNearDup pairs are a subset of the exact near-dup pairs at the same threshold") {
+    val e = io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Queries3.rpPlanes
+    val rp = ops.Similarity.rpLshNearDup(e, "vec_id", "embedding", planes, Queries3.rpBits, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = ops.Similarity.nearDupPairsExact(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(rp.nonEmpty, "LSH should surface at least one candidate pair on the fixture")
+    assert(rp.subsetOf(exact), "every LSH-verified pair must be an exact pair")
+  }
+
   test("CosineSim works in interpreted (non-codegen) eval too") {
     // force interpreted path by evaluating through a filter on a tiny plan
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
