@@ -361,7 +361,10 @@ object Queries3 {
   val q47RpLsh: Q = (spark, dir) =>
     Similarity.rpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
       rpPlanes, rpBits, threshold = 0.35)
-  val q47Sql: String = {
+  /** CTE body producing `pairs(id_a, id_b, sim)` — the DuckDB mirror of
+    * [[Similarity.rpLshNearDup]] with [[rpPlanes]]; shared by q47 and the
+    * q52 dedup-cluster oracle. */
+  val rpPairsCteBody: String = {
     val keyExpr: Int => String = t =>
       (0 until rpBits).map { b =>
         val plane = rpPlanes(t * rpBits + b).map(_.toInt).mkString("[", ",", "]")
@@ -369,21 +372,24 @@ object Queries3 {
       }.mkString(" + ")
     val tables = (0 until rpPlanes.length / rpBits).map(t =>
       s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM q").mkString("\nUNION ALL ")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
        |  FROM embeddings),
        |k AS (
        |$tables),
        |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |      FROM k a JOIN k b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, sim FROM (
-       |  SELECT id_a, id_b,
-       |    round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
-       |  FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
-       |         JOIN embeddings eb ON eb.vec_id = c.id_b) v
-       |WHERE sim >= 0.35""".stripMargin
+       |      FROM k a JOIN k b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, sim FROM (
+       |    SELECT id_a, id_b,
+       |      round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+       |    FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
+       |           JOIN embeddings eb ON eb.vec_id = c.id_b) v
+       |  WHERE sim >= 0.35)""".stripMargin
   }
+  val q47Sql: String =
+    s"WITH $rpPairsCteBody\nSELECT id_a, id_b, sim FROM pairs"
 
   // ---------------------------------------------------- repetition ratio
   /** Duplicate-trigram fraction — the classic corpus-filtering repetition
