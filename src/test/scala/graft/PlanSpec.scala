@@ -44,6 +44,34 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment"), readSchema)
   }
 
+  // tree nodes render as "+- Name (n)"; count those, not the detail sections
+  private def nodes(p: String, name: String): Int =
+    s"""[+:]- $name \\(\\d""".r.findAllIn(p).size
+
+  test("rollup plans as one Expand + one shuffle, not one scan per grouping set") {
+    val p = plan(SparkEntry.queries("q50_rollup")(spark, sfDir))
+    assert(nodes(p, "Expand") == 1, p)
+    assert(nodes(p, "Exchange") == 1, p)
+    assert("""[+:]- Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("four analytic functions over the same spec share one Window + one shuffle") {
+    val p = plan(SparkEntry.queries("q51_window_analytics")(spark, sfDir))
+    assert(nodes(p, "Window") == 1, p)
+    assert(nodes(p, "Exchange") == 1, p)
+  }
+
+  test("anti-join broadcasts the filter side") {
+    val p = plan(SparkEntry.queries("q54_anti_join")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p)
+  }
+
+  test("interval join is a hash join on the equi key, not a nested loop") {
+    val p = plan(SparkEntry.queries("q57_interval_join")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("fused cosine kernel participates in whole-stage codegen") {
     // q17's equi-join plan codegens end to end (q18's BroadcastNestedLoopJoin
     // does not support codegen, so the kernel runs its eval loop there —
