@@ -71,6 +71,34 @@ object Stream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left row matched to the right rows
+    * with the same key whose timestamp falls in `[left_ts - lookback,
+    * left_ts]` — the streaming face of the batch interval join (q57:
+    * purchases joined to the same user's clicks in the preceding hour).
+    *
+    * Both sides MUST carry watermarks: together with the time-range join
+    * condition they let Spark derive how long each side's rows can still
+    * find partners, so join state is evicted instead of growing without
+    * bound — the requirement for an unbounded two-stream join to run in
+    * bounded memory. `rightWatermark` should be at least `lookback` plus
+    * the late-arrival allowance, since a right row can match a left row
+    * arriving up to `lookback` later.
+    *
+    * Output keeps all left columns plus the right columns except its key
+    * (deduplicated by the equi-condition). Works identically on batch
+    * frames, where `withWatermark` is a no-op — the oracle path. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, lookback: String,
+      leftWatermark: String = "1 hour", rightWatermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, leftWatermark)
+    val r = right.withWatermark(rightTsCol, rightWatermark)
+    l.join(r,
+        l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookback") &&
+        r(rightTsCol) <= l(leftTsCol))
+      .drop(r(keyCol))
+  }
+
   /** Per-user running state carried across micro-batches. */
   case class UserRunning(user_id: String, n_events: Long, value_e4: Long,
       last_ts: Timestamp)

@@ -102,6 +102,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(String, Long, Timestamp)]
+    val clicks = MemoryStream[(String, Long, Timestamp)]
+    val pDf = purchases.toDF().toDF("user_id", "purchase_id", "p_ts")
+    val cDf = clicks.toDF().toDF("user_id", "click_id", "c_ts")
+    val q = Stream.intervalJoin(pDf, cDf, "user_id", "p_ts", "c_ts", "1 hour")
+      .select($"user_id", $"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // u1 clicks at 0 and 30 min and buys at 45 min: both clicks are
+      // within the preceding hour. The 100-min purchase only matches the
+      // later 70-min click (the earlier ones are >1h before it). u2's
+      // click is 2h before its purchase — never matches.
+      clicks.addData(("u1", 1L, ts(0)), ("u1", 2L, ts(30)), ("u2", 3L, ts(0)))
+      purchases.addData(("u1", 10L, ts(45)))
+      q.processAllAvailable()
+      clicks.addData(("u1", 4L, ts(70)))
+      purchases.addData(("u1", 11L, ts(100)), ("u2", 12L, ts(120)))
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .as[(String, Long, Long)].collect().toSet
+      val batchP = Seq(("u1", 10L, ts(45)), ("u1", 11L, ts(100)), ("u2", 12L, ts(120)))
+        .toDF("user_id", "purchase_id", "p_ts")
+      val batchC = Seq(("u1", 1L, ts(0)), ("u1", 2L, ts(30)), ("u2", 3L, ts(0)),
+        ("u1", 4L, ts(70)))
+        .toDF("user_id", "click_id", "c_ts")
+      val batch = Stream.intervalJoin(batchP, batchC, "user_id", "p_ts", "c_ts", "1 hour")
+        .select($"user_id", $"purchase_id", $"click_id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch == Set(("u1", 10L, 1L), ("u1", 10L, 2L), ("u1", 11L, 4L)))
+    } finally q.stop()
+  }
+
   test("dedupKeyed: duplicate keys within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
