@@ -180,11 +180,10 @@ object Queries4 {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"),
         round(col("value") * 10000).cast("long").as("click_e4"))
-    purchases.join(clicks,
-        purchases("user_id") === clicks("user_id") &&
-        clicks("c_ts") >= purchases("p_ts") - expr("INTERVAL 1 HOUR") &&
-        clicks("c_ts") <= purchases("p_ts"))
-      .drop(clicks("user_id"))
+    // the same operator runs incrementally on two streams (watermarks are
+    // no-ops here in batch) — see StreamingSpec's parity test
+    graft.streaming.Stream.intervalJoin(
+        purchases, clicks, "user_id", "p_ts", "c_ts", "1 hour")
       .groupBy(col("user_id"), col("purchase_id"))
       .agg(
         unix_micros(first(col("p_ts"))).as("purchase_us"),
