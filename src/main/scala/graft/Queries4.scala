@@ -201,6 +201,45 @@ object Queries4 {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------------ unpivot
+  /** Unpivot (melt): wide per-part metrics to long (metric, value) rows —
+    * the inverse of q53's pivot and the missing half of the reshaping
+    * family. Spark plans this as a single Expand over one scan (no join,
+    * no shuffle); values are cast to one type up front since a melted
+    * column has exactly one. */
+  val q58Unpivot: Q = (spark, dir) =>
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_c"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail_c")),
+        "metric", "value")
+  val q58Sql: String =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, p_size::BIGINT AS size,
+      |         round(p_retailprice * 100)::BIGINT AS retail_c FROM part)
+      |UNPIVOT (value FOR metric IN (size, retail_c))""".stripMargin
+
+  // ------------------------------------------------- distinct aggregates
+  /** Distinct aggregates: per event type, row count, exact distinct-user
+    * count, and exact value sum. count(DISTINCT) expands to a two-phase
+    * aggregate (dedup on (type, user), then count) — one extra shuffle,
+    * no driver involvement. The approximate HLL form is spec-tested for
+    * error bounds instead (engines' sketches differ, so it can't be
+    * hash-compared). */
+  val q59DistinctAgg: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 10000).cast("long")).as("value_e4"))
+  val q59Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      | count(DISTINCT user_id)::BIGINT AS n_users,
+      | sum(round(value * 10000)::BIGINT)::BIGINT AS value_e4
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q50_rollup" -> q50Rollup,
     "q51_window_analytics" -> q51WindowAnalytics,
@@ -209,7 +248,9 @@ object Queries4 {
     "q54_anti_join" -> q54AntiJoin,
     "q55_set_ops" -> q55SetOps,
     "q56_hash_sample" -> q56HashSample,
-    "q57_interval_join" -> q57IntervalJoin)
+    "q57_interval_join" -> q57IntervalJoin,
+    "q58_unpivot" -> q58Unpivot,
+    "q59_distinct_agg" -> q59DistinctAgg)
 
   val oracle: Map[String, String] = Map(
     "q50_rollup" -> q50Sql,
@@ -219,5 +260,7 @@ object Queries4 {
     "q54_anti_join" -> q54Sql,
     "q55_set_ops" -> q55Sql,
     "q56_hash_sample" -> q56Sql,
-    "q57_interval_join" -> q57Sql)
+    "q57_interval_join" -> q57Sql,
+    "q58_unpivot" -> q58Sql,
+    "q59_distinct_agg" -> q59Sql)
 }

@@ -75,6 +75,22 @@ class InvariantSpec extends SparkSpec {
     assert(lsh.nonEmpty) // finds something at this threshold on the fixture
   }
 
+  test("approx_count_distinct tracks the exact distinct count within its error bound") {
+    // the HLL++ sketch can't be hash-compared against another engine
+    // (q59's oracle uses the exact form); pin its accuracy here instead
+    val e = graft.io.Tables.events(spark, sfDir)
+    val rows = e.groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id", rsd = 0.02).as("approx"))
+      .select($"exact", $"approx").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) <= math.max(3.0, exact * 0.08),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("MinHash LSH pairs are a superset-filtered subset of true near-dups") {
     // construct docs where 1-2 are true near-dups, 3 unrelated
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

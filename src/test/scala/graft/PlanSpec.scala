@@ -44,9 +44,11 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment"), readSchema)
   }
 
-  // tree nodes render as "+- Name (n)"; count those, not the detail sections
+  // tree nodes render as "+- Name (n)" — or "* Name (n)" when the node is
+  // both root and inside whole-stage codegen; count those, not the detail
+  // sections (whose headers are "(n) Name")
   private def nodes(p: String, name: String): Int =
-    s"""[+:]- $name \\(\\d""".r.findAllIn(p).size
+    s"""(?:\\*|[+:]-)(?: \\*)? $name \\(\\d""".r.findAllIn(p).size
 
   test("rollup plans as one Expand + one shuffle, not one scan per grouping set") {
     val p = plan(SparkEntry.queries("q50_rollup")(spark, sfDir))
@@ -59,6 +61,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q51_window_analytics")(spark, sfDir))
     assert(nodes(p, "Window") == 1, p)
     assert(nodes(p, "Exchange") == 1, p)
+  }
+
+  test("unpivot is one Expand over one scan — no join, no shuffle") {
+    val p = plan(SparkEntry.queries("q58_unpivot")(spark, sfDir))
+    assert(nodes(p, "Expand") == 1, p)
+    assert(nodes(p, "Exchange") == 0, p)
   }
 
   test("anti-join broadcasts the filter side") {
