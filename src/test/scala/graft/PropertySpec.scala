@@ -106,6 +106,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a driver-side union-find on random graphs") {
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.chooseNum(1, 24)
+      m <- Gen.chooseNum(0, 30)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(1L, n.toLong), Gen.chooseNum(1L, n.toLong)))
+    } yield (n, edges)
+    forAll(graphGen) { case (n, edges) =>
+      // reference: plain union-find
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map { v =>
+        // min id of the component = fully-compressed root (roots are always
+        // the minimum because union always points the larger root at the smaller)
+        v.toLong -> find(v).toLong
+      }.toMap
+      val got = graft.ops.Components.connectedComponents(
+          (1L to n.toLong).toDF("id"), "id",
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("jaccard is symmetric, 1 on self, and within [0, 1]") {
     val arrGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t")).map(_.distinct)
     forAll(arrGen, arrGen) { (a, b) =>
