@@ -12,9 +12,9 @@ import graft.streaming.Stream
   * chunking, sessionization, event windows, RAG composition, multimodal
   * plumbing, clustering. Same determinism rules as [[Queries]].
   *
-  * Queries without an oracle entry (SimHash, KMeans — xxhash64 / MLlib are
-  * not expressible in DuckDB) get the driver's weaker rows-only check and
-  * are covered by invariant specs instead.
+  * Queries without an oracle entry (KMeans — an MLlib fit is not
+  * expressible in DuckDB) get the driver's weaker rows-only check and are
+  * covered by invariant specs instead.
   */
 object Queries2 {
 
@@ -73,9 +73,23 @@ object Queries2 {
   }
 
   // -------------------------------------------------------------- SimHash
-  /** SimHash fingerprints (xxhash64 — no SQL oracle; invariant-tested). */
+  /** SimHash fingerprints + top-8-bit buckets, in the md5-prefix spelling
+    * DuckDB can recompute exactly (the xxhash64 perf path is
+    * [[graft.ops.Dedup.simHashFingerprints]], invariant-tested). */
   val q15SimHash: Q = (spark, dir) =>
-    Dedup.simHashFingerprints(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.simHashFingerprintsMd5(Tables.documents(spark, dir), "doc_id", "text")
+  val q15Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(tk, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |      FROM t),
+       |v AS (SELECT doc_id,
+       |        CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) & 1 = 1)) >= len(hs)
+       |             THEN (1::BIGINT << j) ELSE 0 END AS bitv
+       |      FROM h, unnest(generate_series(0, 31)) AS u(j))
+       |SELECT doc_id, sum(bitv)::BIGINT AS simhash,
+       |  (sum(bitv)::BIGINT >> 24)::BIGINT AS bucket
+       |FROM v GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------- embedding dedup
   /** Exact all-pairs embedding-cosine near-dup (O(n²) verify form). */
@@ -392,6 +406,7 @@ object Queries2 {
   val oracle: Map[String, String] = Map(
     "q13_dedup_exact" -> q13Sql,
     "q14_minhash_lsh" -> q14Sql,
+    "q15_simhash" -> q15Sql,
     "q16_near_dup_embed" -> q16Sql,
     "q17_bucketed_near_dup" -> q17Sql,
     "q18_cosine_topk" -> q18Sql,

@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Fifth query wave: cube grouping sets, TF-IDF keyword extraction,
+  * training-sequence packing, exact moment statistics from integer sums,
+  * aggregate-argmax latest-state compaction, incremental (new-batch vs
+  * historical-corpus) dedup, fixed-bin histograms, the classic star-schema
+  * dims-broadcast join, and a one-pass quality-gate funnel. Same
+  * determinism rules as [[Queries]]: derived doubles go to integer units
+  * before any sum, every window/rank carries a total-order tiebreak, sqrt
+  * and division are the only libm-free IEEE ops allowed on the hash path
+  * (plus one ln() whose output is rounded to micro-units — a 1-ulp libm
+  * divergence cannot cross a 1e-6 boundary except with ~1e-10 probability).
+  */
+object Queries5 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------- cube
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * Expand + one shuffle — the full grouping-sets family alongside q50's
+    * rollup. Quantities and prices summed in exact integer cents. */
+  val q60Cube: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"))
+  val q60Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | GROUPING_ID(l_returnflag, l_linestatus)::BIGINT AS gid,
+      | count(*) AS n_items,
+      | sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c,
+      | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_c
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  // ----------------------------------------------------------- TF-IDF
+  /** Top-3 TF-IDF terms per document — the classic keyword-extraction /
+    * relevance-scoring primitive (a training-data pipeline uses it for
+    * topic tagging and quality features). Term frequencies and document
+    * frequencies are exact integer aggregates; the single ln() is rounded
+    * to micro-units before ranking so the comparison is integer. The
+    * corpus size joins in as a broadcast 1-row aggregate — no driver
+    * collect. */
+  val q61Tfidf: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+          .cast("long").as("score_e6"))
+      .select(col("doc_id"), col("term"), col("tf"), col("score_e6"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 3)
+  }
+  val q61Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    floor(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df) * 1e6 + 0.5)::BIGINT AS score_e6
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_e6 DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, score_e6, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  // -------------------------------------------------- sequence packing
+  /** Pack 64-token chunks into 256-token training sequences, contiguously
+    * per source shard (cumulative token offset div capacity) — how a
+    * pretraining pipeline turns variable-length documents into fixed-size
+    * sequences. Packing is per-source so the window parallelizes across
+    * shards instead of serializing the corpus through one task. */
+  val q62PackChunks: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val ch = graft.ops.Chunk.tokenChunks(d, "doc_id", "text", 64, 64)
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ch.join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("n_tok"), sum(col("n_tok")).over(w).as("cum_tok"))
+      .select(col("source"), expr("(cum_tok - n_tok) div 256").as("pack_id"), col("n_tok"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("pack_id"), col("n_chunks"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div 256").as("fill_ppm"))
+  }
+  val q62Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id, ((i - 1) // 64)::BIGINT AS chunk_id,
+      |    len(string_split(array_to_string(list_slice(tk, i::INT, (i + 63)::INT), ' '), ' '))::BIGINT AS n_tok
+      |  FROM t, unnest(generate_series(1, greatest(len(tk), 1), 64)) AS u(i)),
+      |j AS (
+      |  SELECT d.source, c.n_tok,
+      |    sum(c.n_tok) OVER (PARTITION BY d.source ORDER BY c.doc_id, c.chunk_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM c JOIN documents d ON d.doc_id = c.doc_id)
+      |SELECT source, ((cum_tok - n_tok) // 256)::BIGINT AS pack_id,
+      |  count(*) AS n_chunks, sum(n_tok)::BIGINT AS n_tokens,
+      |  ((sum(n_tok)::BIGINT * 1000000) // 256)::BIGINT AS fill_ppm
+      |FROM j GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- moment statistics
+  /** Mean and standard deviation per event type computed from EXACT
+    * integer sums (n, Σv, Σv²) — the only scheduling-independent way to
+    * get distributed second moments: the shuffle carries three integers
+    * per group, and the final projection's division and sqrt are
+    * correctly-rounded IEEE ops, so the result is bit-stable at any
+    * parallelism (built-in stddev folds doubles in partition order and is
+    * not). Values are scaled to e2 so Σv² stays in range at sf1000. */
+  val q63Moments: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v_e2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sum_e2"),
+        sum(col("v_e2") * col("v_e2")).as("sumsq_e4"))
+      .select(col("event_type"), col("n"), col("sum_e2"),
+        floor(col("sum_e2") * 10000.0 / col("n") + 0.5).cast("long").as("mean_e6"),
+        floor(sqrt((col("n") * col("sumsq_e4") - col("sum_e2") * col("sum_e2")).cast("double"))
+          / col("n") * 10000.0 + 0.5).cast("long").as("std_e6"))
+  val q63Sql: String =
+    """WITH v AS (SELECT event_type, round(value * 100)::BIGINT AS v_e2 FROM events),
+      |a AS (SELECT event_type, count(*) AS n, sum(v_e2)::BIGINT AS sum_e2,
+      |       sum(v_e2 * v_e2)::BIGINT AS sumsq_e4 FROM v GROUP BY 1)
+      |SELECT event_type, n, sum_e2,
+      | floor(sum_e2 * 10000.0 / n + 0.5)::BIGINT AS mean_e6,
+      | floor(sqrt((n * sumsq_e4 - sum_e2 * sum_e2)::DOUBLE) / n * 10000.0 + 0.5)::BIGINT AS std_e6
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------- latest-state compaction
+  /** Latest event per user as ONE hash aggregate: max over a struct whose
+    * leading fields are the (ts, event_id) total order — the
+    * last-write-wins compaction every CDC/state pipeline runs. No window:
+    * partial max on the map side means the exchange carries one struct per
+    * (partition, user) instead of the whole event log — at 100 TB that is
+    * the shuffle-volume difference between compacting and re-sorting the
+    * log. (Struct max plans as SortAggregate — declarative aggregates with
+    * struct buffers can't hash-aggregate — but the partial/final split and
+    * the tiny exchange are what matter at scale.) */
+  val q64LatestState: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), round(col("value") * 10000).cast("long").as("value_e4")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(max(col("s")).as("s"))
+      .select(col("user_id"), col("s.ts_us").as("last_ts_us"),
+        col("s.event_id").as("last_event_id"), col("s.event_type").as("last_type"),
+        col("s.value_e4").as("last_value_e4"))
+  val q64Sql: String =
+    """SELECT user_id, epoch_us(ts)::BIGINT AS last_ts_us,
+      | event_id AS last_event_id, event_type AS last_type,
+      | round(value * 10000)::BIGINT AS last_value_e4
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------- incremental dedup
+  /** Incremental corpus dedup: a new batch (doc_id ≡ 0 mod 5 stands in
+    * for "today's crawl") is deduplicated against the historical corpus by
+    * content fingerprint, then within itself (first doc_id wins). Only
+    * 16-byte fingerprints shuffle — never document bodies — and the
+    * anti-join is the streaming-friendly shape: history grows, the batch
+    * side stays one increment. */
+  val q65IncrementalDedup: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir).withColumn("fp", md5(col("text")))
+    val hist = d.filter(col("doc_id") % 5 =!= 0).select(col("fp")).distinct()
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    d.filter(col("doc_id") % 5 === 0)
+      .join(hist, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("lang"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"), col("lang"), col("n_chars"))
+  }
+  val q65Sql: String =
+    """WITH d AS (SELECT *, md5(text) AS fp FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0
+      |          AND fp NOT IN (SELECT fp FROM hist)),
+      |r AS (SELECT doc_id, fp, lang, n_chars,
+      |       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM batch)
+      |SELECT doc_id, fp, lang, n_chars FROM r WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------- histogram
+  /** Fixed-width value histogram (bins of 50.0) with per-bin extrema — the
+    * distribution profile a pipeline reports per batch. Binning is integer
+    * division of the e4-scaled value, so bin edges are exact. */
+  val q66Histogram: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(round(col("value") * 10000).cast("long").as("v_e4"))
+      .select(expr("v_e4 div 500000").as("bin"), col("v_e4"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v_e4")).as("min_e4"),
+        max(col("v_e4")).as("max_e4"))
+  val q66Sql: String =
+    """WITH v AS (SELECT round(value * 10000)::BIGINT AS v_e4 FROM events)
+      |SELECT (v_e4 // 500000)::BIGINT AS bin, count(*) AS n,
+      | min(v_e4)::BIGINT AS min_e4, max(v_e4)::BIGINT AS max_e4
+      |FROM v GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- star-schema join
+  /** Revenue by region: the canonical star-schema join — the fact table
+    * shuffles once (lineitem ⋈ orders on the order key); customer, nation
+    * and region ride along as broadcast dimensions, so adding a dimension
+    * never adds a shuffle. nation/region are hinted (fixed-size tiny);
+    * customer is left to Catalyst/AQE, which broadcasts it while it fits
+    * and degrades to a shuffle join when a 100 TB run outgrows the hint —
+    * exactly the adaptivity you want baked into the plan, not the code. */
+  val q67StarJoin: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("rev_c"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("revenue_c"))
+  }
+  val q67Sql: String =
+    """SELECT r_name, count(*) AS n_items,
+      | sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_c
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- filter funnel
+  /** Quality-gate funnel: how many documents survive each stage of a
+    * cleaning pipeline (language allowlist → minimum length → exact
+    * dedup), as (stage, count) rows. ONE scan computes all the flags and a
+    * single aggregate produces every stage count (conditional sums on
+    * cumulative predicates) — not one pass per stage; the per-batch
+    * retention report a training pipeline emits for monitoring. */
+  val q68FilterFunnel: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(col("text")))
+      .select(col("lang"), col("n_chars"), row_number().over(w).as("rn"))
+      .select(
+        col("lang").isin("en", "de", "es", "fr").as("f_lang"),
+        (col("n_chars") >= lit(100)).as("f_len"),
+        (col("rn") === 1).as("f_uniq"))
+      .agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("f_lang"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("f_lang") && col("f_len"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("f_lang") && col("f_len") && col("f_uniq"), 1L).otherwise(0L)).as("c3"))
+      .select(expr(
+        """stack(4,
+          |  0L, 'input',       c0,
+          |  1L, 'lang_id',     c1,
+          |  2L, 'min_length',  c2,
+          |  3L, 'exact_dedup', c3) AS (stage_idx, stage, n_docs)""".stripMargin))
+  }
+  val q68Sql: String =
+    """WITH d AS (SELECT lang, n_chars,
+      |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |      FROM documents),
+      |f AS (SELECT lang IN ('en','de','es','fr') AS f_lang,
+      |       (n_chars >= 100) AS f_len, (rn = 1) AS f_uniq FROM d),
+      |a AS (SELECT count(*) AS c0,
+      |       count(*) FILTER (f_lang) AS c1,
+      |       count(*) FILTER (f_lang AND f_len) AS c2,
+      |       count(*) FILTER (f_lang AND f_len AND f_uniq) AS c3 FROM f)
+      |SELECT 0::BIGINT AS stage_idx, 'input' AS stage, c0::BIGINT AS n_docs FROM a
+      |UNION ALL SELECT 1, 'lang_id', c1 FROM a
+      |UNION ALL SELECT 2, 'min_length', c2 FROM a
+      |UNION ALL SELECT 3, 'exact_dedup', c3 FROM a""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q60_cube" -> q60Cube,
+    "q61_tfidf" -> q61Tfidf,
+    "q62_pack_chunks" -> q62PackChunks,
+    "q63_moments" -> q63Moments,
+    "q64_latest_state" -> q64LatestState,
+    "q65_incremental_dedup" -> q65IncrementalDedup,
+    "q66_histogram" -> q66Histogram,
+    "q67_star_join" -> q67StarJoin,
+    "q68_filter_funnel" -> q68FilterFunnel)
+
+  val oracle: Map[String, String] = Map(
+    "q60_cube" -> q60Sql,
+    "q61_tfidf" -> q61Sql,
+    "q62_pack_chunks" -> q62Sql,
+    "q63_moments" -> q63Sql,
+    "q64_latest_state" -> q64Sql,
+    "q65_incremental_dedup" -> q65Sql,
+    "q66_histogram" -> q66Sql,
+    "q67_star_join" -> q67Sql,
+    "q68_filter_funnel" -> q68Sql)
+}

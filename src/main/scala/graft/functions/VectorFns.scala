@@ -47,18 +47,23 @@ object VectorFns {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
-  /** SimHash of a token array given per-token 64-bit hashes: sign-aggregated
-    * bit fingerprint, used for near-dup bucketing. Implemented as 64
-    * bit-count comparisons over xxhash64(token) — codegen'd, no UDF. */
-  def simHash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    (0 until 64).map { bit =>
+  /** SimHash from a pre-hashed token array: per-bit majority vote over the
+    * low `bits` bits of each hash, summed into one fingerprint. Pass the
+    * hash array through its own projection first — it is referenced once
+    * per bit, and CollapseProject would otherwise inline (and re-evaluate)
+    * the hashing `bits` times. */
+  def simHashFromHashes(hashes: Column, bits: Int): Column =
+    (0 until bits).map { bit =>
       val mask = 1L << bit
       val ones = size(filter(hashes, h => h.bitwiseAND(lit(mask)) =!= 0L))
       val zeros = size(hashes) - ones
       when(ones >= zeros, lit(mask)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** SimHash of a token array: sign-aggregated bit fingerprint over
+    * xxhash64(token), used for near-dup bucketing — codegen'd, no UDF. */
+  def simHash(tokens: Column): Column =
+    simHashFromHashes(transform(tokens, t => xxhash64(t)), 64)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum of xxhash64(seed, element) over the shingle array. Returns

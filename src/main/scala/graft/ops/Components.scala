@@ -54,7 +54,8 @@ object Components {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // no distinct here: smallStar's min-aggregate and final distinct absorb
+    // duplicate edges, and skipping it saves one shuffle per round
   }
 
   /** One small-star round: for each node u, over its SMALLER neighbors
@@ -97,7 +98,12 @@ object Components {
     var iter = 0
     var converged = prevSig._1 == 0L // no edges: every vertex is its own component
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
+      // lazy checkpoints: both persist on first use inside the single
+      // signature action below (one Spark job per round instead of three);
+      // the persisted partitions are still computed exactly once, so the
+      // star ops' double references don't recompute and lineage stays flat
+      val next = smallStar(largeStar(e).localCheckpoint(eager = false))
+        .localCheckpoint(eager = false)
       val sig = signature(next)
       e = next
       converged = sig == prevSig

@@ -73,6 +73,21 @@ object Dedup {
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 64 - prefixBits))
   }
 
+  /** Oracle-checkable SimHash variant: 32-bit fingerprints over md5-prefix
+    * token hashes (the same md5→integer bridge the MinHash oracle uses, so
+    * DuckDB can recompute it bit for bit). The xxhash64 form above is the
+    * perf path; this one exists so the hash-compare gate covers SimHash
+    * semantics end to end. Hashes are projected separately from the vote
+    * loop — see [[graft.functions.VectorFns.simHashFromHashes]]. */
+  def simHashFingerprintsMd5(df: DataFrame, idCol: String, textCol: String,
+      prefixBits: Int = 8): DataFrame = {
+    val toks = split(normalized(col(textCol)), " ")
+    df.select(col(idCol),
+        transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__h"))
+      .select(col(idCol), VectorFns.simHashFromHashes(col("__h"), 32).as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 32 - prefixBits))
+  }
+
   /** N-gram Jaccard similarity for a bounded candidate set produced by any
     * blocking key (bucket column): pairs within a block, exact Jaccard. */
   def jaccardWithinBlocks(df: DataFrame, idCol: String, shCol: String,

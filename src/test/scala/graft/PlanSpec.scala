@@ -80,6 +80,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("cube plans as one Expand over one scan, like rollup") {
+    val p = plan(SparkEntry.queries("q60_cube")(spark, sfDir))
+    assert(nodes(p, "Expand") == 1, p)
+    assert("""[+:]- Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("latest-state argmax partial-aggregates before its single exchange") {
+    val p = plan(SparkEntry.queries("q64_latest_state")(spark, sfDir))
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p)
+    // partial + final: the shuffle carries one struct per (partition, user),
+    // not the event log (max over a struct buffer plans as SortAggregate —
+    // declarative aggregates with non-mutable buffers can't hash-aggregate —
+    // but the map-side partial is what bounds the exchange)
+    assert(nodes(p, "SortAggregate") == 2, p)
+  }
+
+  test("star-schema join broadcasts every dimension (no added shuffles)") {
+    val p = plan(SparkEntry.queries("q67_star_join")(spark, sfDir))
+    // count detail-section headers: one "(n) BroadcastHashJoin" per node
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("fused cosine kernel participates in whole-stage codegen") {
     // q17's equi-join plan codegens end to end (q18's BroadcastNestedLoopJoin
     // does not support codegen, so the kernel runs its eval loop there —
