@@ -153,4 +153,27 @@ object Stream {
           }
         })
   }
+
+  /** Stream-static enrichment: join a stream against a dimension table.
+    * The static side is re-planned per micro-batch (so dimension updates
+    * between batches are picked up) and broadcasts when small — the
+    * no-shuffle-on-the-stream-side join every event pipeline runs. Works
+    * identically on a batch frame. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
+  /** Idempotent micro-batch sink via foreachBatch: each batch overwrites
+    * its OWN directory (`batch=<id>`), so a replayed/retried batch
+    * rewrites the same files instead of duplicating rows — the standard
+    * exactly-once-to-files recipe when the sink itself has no transaction
+    * log. Returns the started query. */
+  def toIdempotentParquetSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
 }

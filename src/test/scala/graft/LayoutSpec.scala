@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Layout
+
+/** Layout contract: range-partitioned sorted parquet yields files with
+  * DISJOINT key ranges, so min/max statistics can prune at file level —
+  * the property that makes range predicates sub-linear at scale. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeRangeSorted produces disjoint per-file key ranges that prune") {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val li = graft.io.Tables.lineitem(spark, sfDir)
+    Layout.writeRangeSorted(li, s"$dir/li", "l_orderkey", 4)
+
+    val files = new java.io.File(s"$dir/li").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2, files.mkString(","))
+
+    // per-file (min, max) of the sort key must not overlap across files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"l_orderkey"),
+          org.apache.spark.sql.functions.max($"l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+
+    // a narrow range predicate intersects exactly one file's key range
+    val probe = ranges.head._2 // last key of the first file
+    val hits = ranges.count { case (lo, hi) => lo <= probe && probe <= hi }
+    assert(hits == 1, ranges.mkString(","))
+
+    // and the layout round-trips: content unchanged
+    assert(spark.read.parquet(s"$dir/li").count() == li.count())
+  }
+}

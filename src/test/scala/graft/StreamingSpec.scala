@@ -137,6 +137,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static broadcast join enriches each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("event_type", "event_id")
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val q = Stream.enrichStream(df, dim, "event_type")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(("click", 1L), ("purchase", 2L))
+      q.processAllAvailable()
+      input.addData(("view", 3L)) // no dim row: left join keeps it, null category
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select($"event_id", $"category").as[(Long, Option[String])].collect().toSet
+      assert(out == Set((1L, Some("engagement")), (2L, Some("revenue")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch sink: a replayed batch does not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("event_id", "payload")
+    val q = Stream.toIdempotentParquetSink(df, s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      // `batch=<id>` surfaces as a partition column on read — select it away
+      val once = spark.read.parquet(s"$dir/out")
+        .select($"event_id", $"payload").as[(Long, String)].collect().toSet
+      assert(once == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // simulate a retried micro-batch: rewriting batch 0's directory with
+      // the same data (what a sink replay does) must leave the result set
+      // unchanged — overwrite-by-batch-id is what makes the retry safe
+      Seq((1L, "a"), (2L, "b")).toDF("event_id", "payload")
+        .write.mode("overwrite").parquet(s"$dir/out/batch=0")
+      val replayed = spark.read.parquet(s"$dir/out")
+        .select($"event_id", $"payload").as[(Long, String)].collect().toSet
+      assert(replayed == once)
+    } finally q.stop()
+  }
+
   test("dedupKeyed: duplicate keys within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
