@@ -297,6 +297,58 @@ object Queries5 {
       |UNION ALL SELECT 2, 'min_length', c2 FROM a
       |UNION ALL SELECT 3, 'exact_dedup', c3 FROM a""".stripMargin
 
+  // ------------------------------------------------- balanced sampling
+  /** Balanced per-language subsample: at most 25 documents per language,
+    * chosen by md5-hash order — the rerun-stable way to build a
+    * class-balanced training subset (no RNG state; the same docs are
+    * chosen on every engine, forever). The `row_number ≤ k` filter gets
+    * Spark's WindowGroupLimit rewrite, so each group keeps a k-row heap
+    * instead of fully sorting — the property that makes "25 per language"
+    * cheap when one language has 10 B rows. */
+  val q69BalancedSample: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 25)
+  }
+  val q69Sql: String =
+    """SELECT doc_id, lang, n_chars, rank FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 25""".stripMargin
+
+  // --------------------------------------------------- series resampling
+  /** Gap-filled daily time series: events per (type, day) with explicit
+    * zero rows for days that had no events — monitoring and trend queries
+    * need the gaps materialized. The day grid comes from sequence() over
+    * each type's own [min, max] span (generated, not scanned), and the
+    * left join back to the daily aggregate broadcasts the tiny grid. */
+  val q70Resample: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+    grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), col("day_idx"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+  val q70Sql: String =
+    """WITH d AS (SELECT event_type,
+      |        (epoch_us(ts) // 86400000000)::BIGINT AS day_idx, count(*) AS n
+      |      FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
+      |      FROM d GROUP BY 1),
+      |g AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day_idx FROM s)
+      |SELECT g.event_type, g.day_idx, coalesce(d.n, 0)::BIGINT AS n
+      |FROM g LEFT JOIN d ON d.event_type = g.event_type AND d.day_idx = g.day_idx""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -306,7 +358,9 @@ object Queries5 {
     "q65_incremental_dedup" -> q65IncrementalDedup,
     "q66_histogram" -> q66Histogram,
     "q67_star_join" -> q67StarJoin,
-    "q68_filter_funnel" -> q68FilterFunnel)
+    "q68_filter_funnel" -> q68FilterFunnel,
+    "q69_balanced_sample" -> q69BalancedSample,
+    "q70_resample" -> q70Resample)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -317,5 +371,7 @@ object Queries5 {
     "q65_incremental_dedup" -> q65Sql,
     "q66_histogram" -> q66Sql,
     "q67_star_join" -> q67Sql,
-    "q68_filter_funnel" -> q68Sql)
+    "q68_filter_funnel" -> q68Sql,
+    "q69_balanced_sample" -> q69Sql,
+    "q70_resample" -> q70Sql)
 }

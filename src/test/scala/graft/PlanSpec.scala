@@ -104,6 +104,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("balanced sampling gets the per-group limit rewrite (k-row heaps)") {
+    val p = plan(SparkEntry.queries("q69_balanced_sample")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("fused cosine kernel participates in whole-stage codegen") {
     // q17's equi-join plan codegens end to end (q18's BroadcastNestedLoopJoin
     // does not support codegen, so the kernel runs its eval loop there —
