@@ -78,18 +78,23 @@ object Queries2 {
     * [[graft.ops.Dedup.simHashFingerprints]], invariant-tested). */
   val q15SimHash: Q = (spark, dir) =>
     Dedup.simHashFingerprintsMd5(Tables.documents(spark, dir), "doc_id", "text")
-  val q15Sql: String =
-    s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
+  /** DuckDB CTE body computing (doc_id, simhash, bucket) — the md5-prefix
+    * SimHash q15 emits; q73 reuses it for hamming-verified pairs. */
+  private[graft] val SimHashCte: String =
+    s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
        |h AS (SELECT doc_id,
        |        list_transform(tk, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
        |      FROM t),
        |v AS (SELECT doc_id,
        |        CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) & 1 = 1)) >= len(hs)
        |             THEN (1::BIGINT << j) ELSE 0 END AS bitv
-       |      FROM h, unnest(generate_series(0, 31)) AS u(j))
-       |SELECT doc_id, sum(bitv)::BIGINT AS simhash,
-       |  (sum(bitv)::BIGINT >> 24)::BIGINT AS bucket
-       |FROM v GROUP BY doc_id""".stripMargin
+       |      FROM h, unnest(generate_series(0, 31)) AS u(j)),
+       |fp AS (SELECT doc_id, sum(bitv)::BIGINT AS simhash,
+       |         (sum(bitv)::BIGINT >> 24)::BIGINT AS bucket
+       |       FROM v GROUP BY doc_id)""".stripMargin
+  val q15Sql: String =
+    s"""WITH $SimHashCte
+       |SELECT doc_id, simhash, bucket FROM fp""".stripMargin
 
   // ----------------------------------------------------- embedding dedup
   /** Exact all-pairs embedding-cosine near-dup (O(n²) verify form). */

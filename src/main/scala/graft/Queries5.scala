@@ -349,6 +349,68 @@ object Queries5 {
       |SELECT g.event_type, g.day_idx, coalesce(d.n, 0)::BIGINT AS n
       |FROM g LEFT JOIN d ON d.event_type = g.event_type AND d.day_idx = g.day_idx""".stripMargin
 
+  // ----------------------------------------------------- heavy hitters
+  /** Global top-20 terms by frequency — corpus vocabulary heavy hitters.
+    * explode → codegen'd hash aggregate (map-side partial combine, so the
+    * shuffle carries one (term, count) per partition, not the token
+    * stream) → TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Total-order tiebreak on the term keeps top-k deterministic. */
+  val q71HeavyHitters: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(20)
+  val q71Sql: String =
+    """SELECT term, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------- dedup-rate report
+  /** Per-source dedup-rate report: documents, distinct contents, and the
+    * duplicate fraction in ppm — the batch-quality metric a crawl pipeline
+    * alarms on. Distinct counting is over 16-byte fingerprints (two-phase
+    * aggregate); the ratio is exact integer arithmetic. */
+  val q72DedupRate: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"))
+  val q72Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      | count(DISTINCT md5(text))::BIGINT AS n_unique,
+      | (((count(*) - count(DISTINCT md5(text))) * 1000000) // count(*))::BIGINT AS dup_ppm
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ simhash pair verify
+  /** SimHash near-dup pairs: candidates within a fingerprint bucket,
+    * verified by hamming distance ≤ 3 (bit_count of xor — codegen'd
+    * integer ops, no array compare). Completes the SimHash dedup loop:
+    * q15 fingerprints → bucket-blocked candidates → cheap exact verify.
+    * Single-band blocking by construction misses cross-bucket pairs — the
+    * standard LSH recall/cost trade; more bands = more recall, same
+    * per-band plan. */
+  val q73SimhashPairs: Q = (spark, dir) => {
+    val fp = graft.ops.Dedup.simHashFingerprintsMd5(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val a = fp.select(col("bucket"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = fp.select(col("bucket"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+  val q73Sql: String =
+    s"""WITH ${Queries2.SimHashCte}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -360,7 +422,10 @@ object Queries5 {
     "q67_star_join" -> q67StarJoin,
     "q68_filter_funnel" -> q68FilterFunnel,
     "q69_balanced_sample" -> q69BalancedSample,
-    "q70_resample" -> q70Resample)
+    "q70_resample" -> q70Resample,
+    "q71_heavy_hitters" -> q71HeavyHitters,
+    "q72_dedup_rate" -> q72DedupRate,
+    "q73_simhash_pairs" -> q73SimhashPairs)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -373,5 +438,8 @@ object Queries5 {
     "q67_star_join" -> q67Sql,
     "q68_filter_funnel" -> q68Sql,
     "q69_balanced_sample" -> q69Sql,
-    "q70_resample" -> q70Sql)
+    "q70_resample" -> q70Sql,
+    "q71_heavy_hitters" -> q71Sql,
+    "q72_dedup_rate" -> q72Sql,
+    "q73_simhash_pairs" -> q73Sql)
 }
