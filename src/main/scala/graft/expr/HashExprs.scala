@@ -86,9 +86,78 @@ case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: 
     copy(child = newChild)
 }
 
+/** Fused 32-bit md5-prefix SimHash kernel.
+  *
+  * Spec (shared verbatim with the DuckDB oracle CTE in Queries2.SimHashCte):
+  *   h(t)  = ('0x' || substr(md5(t), 1, 8))::BIGINT          (per token)
+  *   bit j = set iff ones_j ≥ zeros_j over all tokens (dups counted)
+  *
+  * The built-in spelling (transform(md5 → conv) then 32 × size(filter(...)))
+  * is interpreted HOF evaluation — 32 passes over a boxed array per row.
+  * This kernel is one md5 per token and one 32-counter vote loop; identical
+  * values (spec-asserted bitwise against the HOF form). */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  // null array → 0, mirroring the HOF spelling (each bit's vote predicate
+  // is null, so every when() takes the otherwise(0) branch) and the DuckDB
+  // CTE (NULL list → bitv 0 per bit)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](32)
+    val digest = md.get()
+    var i = 0
+    var total = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        total += 1
+        digest.reset()
+        val d = digest.digest(arr.getUTF8String(i).getBytes)
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) != 0L) ones(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // bit set iff ones >= zeros — including the degenerate all-bits-set
+    // empty-array case, mirroring the HOF reference spelling exactly
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (2 * ones(j) >= total) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Column wrapper for [[MinHashBandKeys]]. */
   def minHashBandKeys(shingles: Column, coeffs: Seq[(Long, Long)], bands: Int): Column =
     ExpressionUtils.column(
       MinHashBandKeys(ExpressionUtils.expression(shingles), coeffs, bands))
+
+  /** Column wrapper for [[SimHashMd5]]. */
+  def simHashMd5(tokens: Column): Column =
+    ExpressionUtils.column(SimHashMd5(ExpressionUtils.expression(tokens)))
 }

@@ -83,9 +83,15 @@ object Dedup {
       prefixBits: Int = 8): DataFrame = {
     val toks = split(normalized(col(textCol)), " ")
     df.select(col(idCol),
-        transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("__h"))
-      .select(col(idCol), VectorFns.simHashFromHashes(col("__h"), 32).as("simhash"))
+        graft.expr.HashExprs.simHashMd5(toks).as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 32 - prefixBits))
+  }
+
+  /** HOF reference spelling of the [[graft.expr.SimHashMd5]] kernel —
+    * interpreted, kept for the bitwise-equality spec. */
+  private[graft] def simHashMd5Hof(tokens: Column): Column = {
+    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    VectorFns.simHashFromHashes(hashes, 32)
   }
 
   /** N-gram Jaccard similarity for a bounded candidate set produced by any

@@ -27,6 +27,34 @@ class HashExprSpec extends SparkSpec {
     f.foreach { case (id, keys) => assert(keys == b(id), s"doc $id") }
   }
 
+  test("SimHashMd5 kernel equals the HOF md5 spelling bitwise") {
+    val docs = io.Tables.documents(spark, sfDir).limit(200)
+    val toks = docs.select($"doc_id",
+      split(graft.ops.Dedup.normalized($"text"), " ").as("tk"))
+    val hof = toks.select($"doc_id", graft.ops.Dedup.simHashMd5Hof($"tk").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val fused = toks.select($"doc_id", HashExprs.simHashMd5($"tk").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused.keySet == hof.keySet && fused.nonEmpty)
+    fused.foreach { case (id, v) => assert(v == hof(id), s"doc $id") }
+    // 32-bit range
+    fused.values.foreach(v => assert(v >= 0L && v <= 0xffffffffL))
+  }
+
+  test("SimHashMd5 null/empty semantics match the HOF spelling") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "tk")
+    val out = df.select($"id", HashExprs.simHashMd5($"tk").as("sh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val hof = df.select($"id", graft.ops.Dedup.simHashMd5Hof($"tk").as("sh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == hof)
+    assert(out(2L) == Some(0xffffffffL)) // empty: ones(0) >= zeros(0) sets every bit
+    assert(out(3L) == Some(0L)) // null array → 0 (every vote predicate null)
+  }
+
   test("MinHashBandKeys null/empty semantics") {
     val df = Seq(
       (1L, Seq("a b", "b c")),
