@@ -154,6 +154,52 @@ object Stream {
         })
   }
 
+  /** Per-bucket SimHash state for [[nearDupFilterStream]]. */
+  case class BucketPrints(bucket: Long, prints: List[Long])
+
+  /** Emitted by [[nearDupFilterStream]]: a document no earlier (or
+    * lower-id same-batch) document was a near-duplicate of. */
+  case class NovelDoc(doc_id: Long, simhash: Long, bucket: Long)
+
+  /** Streaming near-dup dedup: the incremental form of the q73 SimHash
+    * loop. Each document's md5-SimHash fingerprint (the
+    * [[graft.expr.SimHashMd5]] kernel) keys it to a bucket; per-bucket
+    * state holds the fingerprints seen so far, and a document is emitted
+    * only if no stored print is within `maxHamming` bits. Within a
+    * micro-batch, rows are processed in doc_id order, so the lowest id of
+    * a duplicate group wins deterministically.
+    *
+    * State is per-bucket (the stream shuffles on the 8-bit bucket — 256
+    * keys here; widen the prefix for more parallelism at scale) and capped
+    * at `maxPrintsPerBucket` most-recent prints, so memory stays bounded
+    * on an unbounded crawl at the usual LSH price: a duplicate of an
+    * evicted print re-enters. Works identically on a batch frame (state
+    * is per-group within the batch). */
+  def nearDupFilterStream(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxPrintsPerBucket: Int = 4096): Dataset[NovelDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Dedup.simHashFingerprintsMd5(docs, idCol, textCol)
+      .select(col(idCol).cast("long"), col("simhash"), col("bucket"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[BucketPrints]) => {
+          var prints = state.getOption.map(_.prints).getOrElse(Nil)
+          val out = List.newBuilder[NovelDoc]
+          rows.toSeq.sortBy(_._1).foreach { case (id, sh, _) =>
+            val dup = prints.exists(p => java.lang.Long.bitCount(p ^ sh) <= maxHamming)
+            if (!dup) {
+              out += NovelDoc(id, sh, bucket)
+              prints = (sh :: prints).take(maxPrintsPerBucket)
+            }
+          }
+          state.update(BucketPrints(bucket, prints))
+          out.result().iterator
+        })
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table.
     * The static side is re-planned per micro-batch (so dimension updates
     * between batches are picked up) and broadcasts when small — the

@@ -182,6 +182,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupFilterStream: near-duplicates are suppressed across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = Stream.nearDupFilterStream(df, "doc_id", "text")
+      .writeStream.format("memory").queryName("novel").outputMode("append").start()
+    try {
+      // batch 1: two distinct docs plus an exact dup of the first within
+      // the batch (higher id — the lower id must win)
+      input.addData((2L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+        (3L, "completely different words here"))
+      q.processAllAvailable()
+      // batch 2: an exact dup arriving later (same fingerprint, hamming 0)
+      // and one more novel doc
+      input.addData((4L, "alpha beta gamma delta"), (5L, "yet another novel document"))
+      q.processAllAvailable()
+      val ids = spark.table("novel").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 5L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("dedupKeyed: duplicate keys within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
