@@ -411,6 +411,33 @@ object Queries5 {
        |FROM fp a JOIN fp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  // -------------------------------------------------- int8 quantization
+  /** Per-vector int8 quantization (max-abs scaling) — the 4x storage/
+    * bandwidth cut an embedding index takes before ANN search. Exact
+    * integer outputs: the scale's division and each element's multiply are
+    * single IEEE ops, and floor(x+0.5) rounds identically on both engines
+    * (round() would not — half-away vs HALF_UP). Zero vectors quantize to
+    * zeros. */
+  val q74Quantize: Q = (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("x"))
+      .select(col("vec_id"), col("x"),
+        array_max(transform(col("x"), a => abs(a))).as("amax"))
+      .select(col("vec_id"),
+        floor(col("amax") * 1e6 + 0.5).cast("long").as("amax_e6"),
+        when(col("amax") === 0.0, transform(col("x"), _ => lit(0L)))
+          .otherwise(transform(col("x"),
+            a => floor(a * (lit(127.0) / col("amax")) + 0.5).cast("long"))).as("q8"))
+  val q74Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      |a AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS amax FROM e)
+      |SELECT vec_id, floor(amax * 1e6 + 0.5)::BIGINT AS amax_e6,
+      |  CASE WHEN amax = 0 THEN list_transform(x, v -> 0::BIGINT)
+      |       ELSE list_transform(x, v -> floor(v * (127.0 / amax) + 0.5)::BIGINT)
+      |  END AS q8
+      |FROM a""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -425,7 +452,8 @@ object Queries5 {
     "q70_resample" -> q70Resample,
     "q71_heavy_hitters" -> q71HeavyHitters,
     "q72_dedup_rate" -> q72DedupRate,
-    "q73_simhash_pairs" -> q73SimhashPairs)
+    "q73_simhash_pairs" -> q73SimhashPairs,
+    "q74_quantize" -> q74Quantize)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -441,5 +469,6 @@ object Queries5 {
     "q70_resample" -> q70Sql,
     "q71_heavy_hitters" -> q71Sql,
     "q72_dedup_rate" -> q72Sql,
-    "q73_simhash_pairs" -> q73Sql)
+    "q73_simhash_pairs" -> q73Sql,
+    "q74_quantize" -> q74Sql)
 }
