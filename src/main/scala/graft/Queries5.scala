@@ -438,6 +438,32 @@ object Queries5 {
       |  END AS q8
       |FROM a""".stripMargin
 
+  // ---------------------------------------------- quantized cosine top-k
+  /** Cosine top-10 over the INT8-quantized vectors (q74's output) against
+    * query vector 7 — the search half of the quantization loop. Scale
+    * factors cancel inside cosine, so quantized similarity approximates
+    * the full-precision q18 ranking at a quarter of the bytes; dot
+    * products over integer-valued doubles are exact regardless of
+    * summation order, which is what keeps this hash-comparable. */
+  val q75QuantizedTopk: Q = (spark, dir) => {
+    val q8 = q74Quantize(spark, dir)
+      .select(col("vec_id"),
+        transform(col("q8"), x => x.cast("double")).as("xq"))
+    val query = q8.filter(col("vec_id") === 7L).select(col("xq").as("qvec"))
+    graft.ops.Similarity.cosineTopK(q8, "vec_id", "xq", query, "qvec", 10, 0.0)
+  }
+  val q75Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      |a AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS amax FROM e),
+      |q8 AS (SELECT vec_id,
+      |  CASE WHEN amax = 0 THEN list_transform(x, v -> 0.0)
+      |       ELSE list_transform(x, v -> floor(v * (127.0 / amax) + 0.5))
+      |  END AS xq FROM a)
+      |SELECT vec_id, sim FROM (
+      |  SELECT e.vec_id, round(list_cosine_similarity(e.xq, q.xq), 6) AS sim
+      |  FROM q8 e, (SELECT xq FROM q8 WHERE vec_id = 7) q) v
+      |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -453,7 +479,8 @@ object Queries5 {
     "q71_heavy_hitters" -> q71HeavyHitters,
     "q72_dedup_rate" -> q72DedupRate,
     "q73_simhash_pairs" -> q73SimhashPairs,
-    "q74_quantize" -> q74Quantize)
+    "q74_quantize" -> q74Quantize,
+    "q75_quantized_topk" -> q75QuantizedTopk)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -470,5 +497,6 @@ object Queries5 {
     "q71_heavy_hitters" -> q71Sql,
     "q72_dedup_rate" -> q72Sql,
     "q73_simhash_pairs" -> q73Sql,
-    "q74_quantize" -> q74Sql)
+    "q74_quantize" -> q74Sql,
+    "q75_quantized_topk" -> q75Sql)
 }
