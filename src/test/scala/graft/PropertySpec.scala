@@ -134,6 +134,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHashMd5 kernel equals a driver-side reference on random token lists") {
+    val tokGen: Gen[List[String]] =
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "word", "déjà", "x1")))
+    forAll(tokGen) { toks =>
+      // driver-side reference: md5 first-4-bytes hash, per-bit majority vote
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ones = new Array[Int](32)
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        (0 until 32).foreach(j => if (((h >>> j) & 1L) != 0L) ones(j) += 1)
+      }
+      val expected = (0 until 32).map(j =>
+        if (2 * ones(j) >= toks.size) 1L << j else 0L).sum
+      val got = Seq(Tuple1(toks)).toDF("tk")
+        .select(graft.expr.HashExprs.simHashMd5($"tk").as("sh"))
+        .as[Long].head()
+      assert(got == expected, s"tokens=$toks")
+    }
+  }
+
+  test("int8 quantization bounds: |q| <= 127 and reconstruction error <= amax/254") {
+    forAll(vecGen) { vec =>
+      // the same expressions q74 applies, over a literal frame
+      val out = Seq((1L, vec)).toDF("vec_id", "embedding")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("x"))
+        .select($"vec_id", $"x", array_max(transform($"x", a => abs(a))).as("amax"))
+        .select($"x", $"amax",
+          when($"amax" === 0.0, transform($"x", _ => lit(0L)))
+            .otherwise(transform($"x",
+              a => floor(a * (lit(127.0) / $"amax") + 0.5).cast("long"))).as("q8"))
+        .as[(Seq[Double], Double, Seq[Long])].head()
+      val (x, amax, q8) = out
+      q8.foreach(q => assert(math.abs(q) <= 127L))
+      if (amax > 0) {
+        val scale = amax / 127.0
+        x.zip(q8).foreach { case (orig, q) =>
+          assert(math.abs(q * scale - orig) <= scale / 2 + 1e-9, s"vec=$vec")
+        }
+      } else assert(q8.forall(_ == 0L))
+    }
+  }
+
   test("jaccard is symmetric, 1 on self, and within [0, 1]") {
     val arrGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t")).map(_.distinct)
     forAll(arrGen, arrGen) { (a, b) =>
