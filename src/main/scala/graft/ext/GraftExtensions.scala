@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{CharShingles, CosineSim, DotProduct, MinHashBandKeys, WordShingles}
+import graft.expr.{CharShingles, CosineSim, DotProduct, MinHashBandKeys, SimHashMd5, WordShingles}
 import graft.functions.HashFns
 
 /** SQL surface for the custom kernels: `spark.sql("SELECT cosine_sim(a, b)")`.
@@ -47,7 +47,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
       (args: Seq[Expression]) => MinHashBandKeys(args(0),
         HashFns.minHashCoeffs(intArg(args(1), "num hashes")),
-        intArg(args(2), "bands"))))
+        intArg(args(2), "bands"))),
+    ("simhash_md5",
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (args: Seq[Expression]) => SimHashMd5(args(0))))
 
   /** Register every kernel as a temp SQL function on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -39,6 +39,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(bk.size == 4)
   }
 
+  test("simhash_md5 resolves in SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    Seq(("alpha beta gamma")).toDF("t").createOrReplaceTempView("tsim")
+    val sqlV = spark.sql("SELECT simhash_md5(split(t, ' ')) FROM tsim").as[Long].head()
+    val apiV = Seq(("alpha beta gamma")).toDF("t")
+      .select(graft.expr.HashExprs.simHashMd5(split($"t", " "))).as[Long].head()
+    assert(sqlV == apiV && sqlV >= 0L && sqlV <= 0xffffffffL)
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     GraftExtensions.register(spark)
     Seq(("x", 2)).toDF("t", "n").createOrReplaceTempView("badspec")
