@@ -51,9 +51,15 @@ object Queries5 {
     * collect. */
   val q61Tfidf: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
+    // tf feeds BOTH the document-frequency aggregate and the final join,
+    // under different shuffle keys — exchange reuse can't fire, so without
+    // materialization the tokenize+explode+aggregate runs twice. The lazy
+    // checkpoint computes it once at first action (same pattern as
+    // ops.Components); at cluster scale this is persist() on the tf table.
     val tf = d
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

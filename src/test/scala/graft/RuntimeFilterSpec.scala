@@ -34,6 +34,34 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // keep it a sort-merge join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~100x the rows of every other key
+      val skewed = spark.range(20000)
+        .select(when($"id" < 19000, lit(7L)).otherwise($"id" % 64).as("k"),
+          concat(lit("payload-payload-payload-"), $"id").as("v"))
+      val dim = spark.range(64).select($"id".as("k"), concat(lit("d"), $"id").as("d"))
+      val joined = skewed.join(dim, Seq("k"))
+      // collect() (not count()) so THIS queryExecution runs and AQE
+      // finalizes its adaptive plan
+      assert(joined.collect().length == 20000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter reaches the probe-side scan of a shuffle join") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
