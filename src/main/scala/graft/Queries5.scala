@@ -470,6 +470,47 @@ object Queries5 {
       |  FROM q8 e, (SELECT xq FROM q8 WHERE vec_id = 7) q) v
       |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- eval decontamination
+  /** Benchmark decontamination: word-8-gram overlap between every corpus
+    * document and a benchmark set (doc_id ≡ 0 mod 97 stands in for the
+    * held-out eval set) — the check a training pipeline runs so eval
+    * questions don't leak into training data. Only docs with ≥1 shared
+    * shingle are reported, with the overlap fraction in ppm. The benchmark
+    * shingle set is small and broadcasts; at 100 TB the join key would be
+    * xxhash64(shingle) so the shuffle carries 8 bytes, not strings (the
+    * raw-string join here is what keeps DuckDB bit-parity). */
+  val q76Contamination: Q = (spark, dir) => {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFns.wordShingles(col("text"), 8).as("sh"))
+      .localCheckpoint(eager = false) // three consumers below — compute once
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val docg = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val tot = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    docg.join(bench, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        expr("(n_hits * 1000000) div n_shingles").as("overlap_ppm"))
+  }
+  val q76Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |      FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 7),
+      |              i -> array_to_string(list_slice(tk, i::INT, (i + 7)::INT), ' '))) END AS sh
+      |  FROM t),
+      |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      |docg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |tot AS (SELECT doc_id, len(sh)::BIGINT AS n_shingles FROM sh),
+      |hits AS (SELECT d.doc_id, count(*) AS n_hits
+      |         FROM docg d JOIN bench b ON d.g = b.g GROUP BY 1)
+      |SELECT h.doc_id, h.n_hits, t.n_shingles,
+      |  ((h.n_hits * 1000000) // t.n_shingles)::BIGINT AS overlap_ppm
+      |FROM hits h JOIN tot t ON t.doc_id = h.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -486,7 +527,8 @@ object Queries5 {
     "q72_dedup_rate" -> q72DedupRate,
     "q73_simhash_pairs" -> q73SimhashPairs,
     "q74_quantize" -> q74Quantize,
-    "q75_quantized_topk" -> q75QuantizedTopk)
+    "q75_quantized_topk" -> q75QuantizedTopk,
+    "q76_contamination" -> q76Contamination)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -504,5 +546,6 @@ object Queries5 {
     "q72_dedup_rate" -> q72Sql,
     "q73_simhash_pairs" -> q73Sql,
     "q74_quantize" -> q74Sql,
-    "q75_quantized_topk" -> q75Sql)
+    "q75_quantized_topk" -> q75Sql,
+    "q76_contamination" -> q76Sql)
 }
