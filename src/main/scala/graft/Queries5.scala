@@ -481,7 +481,7 @@ object Queries5 {
     * raw-string join here is what keeps DuckDB bit-parity). */
   val q76Contamination: Q = (spark, dir) => {
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.TextFns.wordShingles(col("text"), 8).as("sh"))
+      .select(col("doc_id"), graft.expr.TextExprs.wordShingles(col("text"), 8).as("sh"))
       .localCheckpoint(eager = false) // three consumers below — compute once
     val bench = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("g")).distinct()

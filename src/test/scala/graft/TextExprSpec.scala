@@ -12,11 +12,13 @@ class TextExprSpec extends SparkSpec {
 
   test("WordShingles equals builtin wordShingles on fixture documents") {
     val docs = io.Tables.documents(spark, sfDir)
-    val both = docs.select(
-      TextFns.wordShingles($"text", 2).as("builtin"),
-      TextExprs.wordShingles($"text", 2).as("fused"))
-    val bad = both.filter(not($"builtin" === $"fused")).count()
-    assert(bad == 0)
+    Seq(2, 8).foreach { n => // 2 = the MinHash unit; 8 = q76's decontamination gram
+      val both = docs.select(
+        TextFns.wordShingles($"text", n).as("builtin"),
+        TextExprs.wordShingles($"text", n).as("fused"))
+      val bad = both.filter(not($"builtin" === $"fused")).count()
+      assert(bad == 0, s"n=$n")
+    }
   }
 
   test("WordShingles edge cases match builtin") {
