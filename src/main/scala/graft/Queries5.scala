@@ -10,7 +10,11 @@ import graft.io.Tables
   * training-sequence packing, exact moment statistics from integer sums,
   * aggregate-argmax latest-state compaction, incremental (new-batch vs
   * historical-corpus) dedup, fixed-bin histograms, the classic star-schema
-  * dims-broadcast join, and a one-pass quality-gate funnel. Same
+  * dims-broadcast join, a one-pass quality-gate funnel, balanced per-class
+  * sampling, gap-filled series resampling, vocabulary heavy hitters,
+  * per-source dedup-rate reporting, hamming-verified SimHash pairs, int8
+  * embedding quantization + quantized search, and eval-set n-gram
+  * decontamination. Same
   * determinism rules as [[Queries]]: derived doubles go to integer units
   * before any sum, every window/rank carries a total-order tiebreak, sqrt
   * and division are the only libm-free IEEE ops allowed on the hash path

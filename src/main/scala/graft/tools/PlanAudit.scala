@@ -21,7 +21,7 @@ object PlanAudit {
     // quadratic oracle-parity verifier
     val allowNestedLoop = Set("q16_near_dup_embed", "q18_cosine_topk",
       "q19_knn_join", "q29_rag_context", "q37_ivf_topk", "q41_sql_cosine",
-      "q42_rag_prompt", "q61_tfidf")
+      "q42_rag_prompt", "q61_tfidf", "q75_quantized_topk")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution
