@@ -515,6 +515,38 @@ object Queries5 {
       |  ((h.n_hits * 1000000) // t.n_shingles)::BIGINT AS overlap_ppm
       |FROM hits h JOIN tot t ON t.doc_id = h.doc_id""".stripMargin
 
+  // ------------------------------------------------- full-outer reconcile
+  /** Snapshot reconciliation: per-user event counts on even vs odd days,
+    * FULL OUTER joined so users present in only one snapshot surface as
+    * added/removed — the diff report between two corpus versions (and the
+    * one outer-join flavor the reference never uses). Plans as a single
+    * shuffled join on the key; no row explosion. */
+  val q77FullOuter: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(unix_micros(ts) div 86400000000) % 2").as("par"))
+    def side(p: Int, out: String) =
+      e.filter(col("par") === p).groupBy(col("user_id")).agg(count(lit(1)).as(out))
+    side(0, "n_even").join(side(1, "n_odd"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_even"), lit(0L)).as("n_even"),
+        coalesce(col("n_odd"), lit(0L)).as("n_odd"),
+        when(col("n_even").isNull, "odd_only")
+          .when(col("n_odd").isNull, "even_only")
+          .otherwise("both").as("presence"))
+  }
+  val q77Sql: String =
+    """WITH e AS (SELECT user_id,
+      |        (epoch_us(ts) // 86400000000) % 2 AS par FROM events),
+      |a AS (SELECT user_id, count(*) AS n_even FROM e WHERE par = 0 GROUP BY 1),
+      |b AS (SELECT user_id, count(*) AS n_odd FROM e WHERE par = 1 GROUP BY 1)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      | coalesce(n_even, 0)::BIGINT AS n_even,
+      | coalesce(n_odd, 0)::BIGINT AS n_odd,
+      | CASE WHEN a.user_id IS NULL THEN 'odd_only'
+      |      WHEN b.user_id IS NULL THEN 'even_only'
+      |      ELSE 'both' END AS presence
+      |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -532,7 +564,8 @@ object Queries5 {
     "q73_simhash_pairs" -> q73SimhashPairs,
     "q74_quantize" -> q74Quantize,
     "q75_quantized_topk" -> q75QuantizedTopk,
-    "q76_contamination" -> q76Contamination)
+    "q76_contamination" -> q76Contamination,
+    "q77_full_outer" -> q77FullOuter)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -551,5 +584,6 @@ object Queries5 {
     "q73_simhash_pairs" -> q73Sql,
     "q74_quantize" -> q74Sql,
     "q75_quantized_topk" -> q75Sql,
-    "q76_contamination" -> q76Sql)
+    "q76_contamination" -> q76Sql,
+    "q77_full_outer" -> q77Sql)
 }
