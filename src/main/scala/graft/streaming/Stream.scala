@@ -33,6 +33,28 @@ object Stream {
         unix_micros(col("window.start")).as("win_start_us"),
         col(typeCol), col("n_events"), col("value_e4"))
 
+  /** Tumbling-window EXACT moment statistics: count, integer value sums,
+    * and mean/std derived from Σv/Σv² in the final projection — the
+    * streaming form of the q63 batch moments. Because the shuffle state is
+    * three integers per (window, type), the incremental result is
+    * bit-identical to the batch run at any parallelism — no FP
+    * accumulation drift across micro-batches. */
+  def windowedMoments(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(typeCol),
+        round(col(valueCol) * 100).cast("long").as("__v_e2"))
+      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v_e2")).as("sum_e2"),
+        sum(col("__v_e2") * col("__v_e2")).as("sumsq_e4"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col(typeCol), col("n"),
+        floor(col("sum_e2") * 10000.0 / col("n") + 0.5).cast("long").as("mean_e6"),
+        floor(sqrt((col("n") * col("sumsq_e4") - col("sum_e2") * col("sum_e2")).cast("double"))
+          / col("n") * 10000.0 + 0.5).cast("long").as("std_e6"))
+
   /** Sliding-window variant (windowDur every slideDur). */
   def slidingTypeCounts(events: DataFrame, tsCol: String, typeCol: String,
       windowDur: String, slideDur: String, watermark: String = "10 minutes"): DataFrame =

@@ -39,4 +39,27 @@ class LayoutSpec extends SparkSpec {
     // and the layout round-trips: content unchanged
     assert(spark.read.parquet(s"$dir/li").count() == li.count())
   }
+
+  test("dynamic partition overwrite backfills one partition without touching the rest") {
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "day1", "v1"), (2L, "day2", "v1"), (3L, "day3", "v1"))
+        .toDF("id", "day", "ver")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      // backfill ONLY day2: static overwrite would drop day1/day3; dynamic
+      // replaces just the partitions present in the written frame — the
+      // idempotent-backfill primitive every batch pipeline needs
+      Seq((2L, "day2", "v2"), (4L, "day2", "v2")).toDF("id", "day", "ver")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      val out = spark.read.parquet(s"$dir/t")
+        .select($"id", $"day", $"ver").as[(Long, String, String)].collect().toSet
+      assert(out == Set((1L, "day1", "v1"), (3L, "day3", "v1"),
+        (2L, "day2", "v2"), (4L, "day2", "v2")), out)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

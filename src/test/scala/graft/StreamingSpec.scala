@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedMoments: incremental exact stats equal the batch run bitwise") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Stream.windowedMoments(df, "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("moments").outputMode("complete").start()
+    try {
+      val rows = Seq((ts(0), "click", 1.5), (ts(10), "click", 2.5), (ts(20), "click", 4.0),
+        (ts(5), "view", 3.0), (ts(70), "click", 1.0))
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("moments")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = Stream.windowedMoments(
+        rows.toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // hand-check one window: clicks at 0/10/20 min → mean (1.5+2.5+4)/3
+      val click = batch.find { case (_, t, n, _, _) => t == "click" && n == 3 }.get
+      assert(click._4 == 2666667L, click) // mean_e6
+    } finally q.stop()
+  }
+
   test("enrichStream: stream-static broadcast join enriches each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
