@@ -547,6 +547,25 @@ object Queries5 {
       |      ELSE 'both' END AS presence
       |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin
 
+  // ---------------------------------------------- windowed exact moments
+  /** Hourly mean/std per event type from integer Σv/Σv² — the BATCH form
+    * of [[graft.streaming.Stream.windowedMoments]] (StreamingSpec proves
+    * the incremental run is bit-identical; this oracle proves the math).
+    * Same no-FP-accumulation design as q63, keyed by event-time window. */
+  val q78WindowMoments: Q = (spark, dir) =>
+    graft.streaming.Stream.windowedMoments(
+      Tables.events(spark, dir), "ts", "event_type", "value")
+  val q78Sql: String =
+    """WITH v AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+      |        event_type, round(value * 100)::BIGINT AS v_e2 FROM events),
+      |a AS (SELECT win_start_us, event_type, count(*) AS n,
+      |       sum(v_e2)::BIGINT AS sum_e2, sum(v_e2 * v_e2)::BIGINT AS sumsq_e4
+      |      FROM v GROUP BY 1, 2)
+      |SELECT win_start_us, event_type, n,
+      | floor(sum_e2 * 10000.0 / n + 0.5)::BIGINT AS mean_e6,
+      | floor(sqrt((n * sumsq_e4 - sum_e2 * sum_e2)::DOUBLE) / n * 10000.0 + 0.5)::BIGINT AS std_e6
+      |FROM a""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q60_cube" -> q60Cube,
     "q61_tfidf" -> q61Tfidf,
@@ -565,7 +584,8 @@ object Queries5 {
     "q74_quantize" -> q74Quantize,
     "q75_quantized_topk" -> q75QuantizedTopk,
     "q76_contamination" -> q76Contamination,
-    "q77_full_outer" -> q77FullOuter)
+    "q77_full_outer" -> q77FullOuter,
+    "q78_window_moments" -> q78WindowMoments)
 
   val oracle: Map[String, String] = Map(
     "q60_cube" -> q60Sql,
@@ -585,5 +605,6 @@ object Queries5 {
     "q74_quantize" -> q74Sql,
     "q75_quantized_topk" -> q75Sql,
     "q76_contamination" -> q76Sql,
-    "q77_full_outer" -> q77Sql)
+    "q77_full_outer" -> q77Sql,
+    "q78_window_moments" -> q78Sql)
 }
