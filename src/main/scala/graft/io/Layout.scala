@@ -26,4 +26,32 @@ object Layout {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` Z-ordered on two key columns: rows are range-partitioned
+    * and sorted by their Morton curve position, so each file covers a
+    * small rectangle in (colA, colB) space and min/max statistics prune
+    * on predicates over EITHER column — a single-key sort only ever
+    * prunes its own column.
+    *
+    * Both keys are first normalized to 256 equal-width buckets over their
+    * [min, max] span (a broadcast one-row aggregate, no driver collect):
+    * raw interleaving would let the wider-domain column's high bits
+    * dominate the curve and degenerate into a single-key sort. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, expr, max, min}
+    val bounds = df.agg(
+      min(col(colA)).as("__amin"), max(col(colA)).as("__amax"),
+      min(col(colB)).as("__bmin"), max(col(colB)).as("__bmax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__za",
+        expr(s"(($colA - __amin) * 256) div (__amax - __amin + 1)"))
+      .withColumn("__zb",
+        expr(s"(($colB - __bmin) * 256) div (__bmax - __bmin + 1)"))
+      .withColumn("__z", graft.expr.ZOrder.zValue(col("__za"), col("__zb")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__za", "__zb", "__amin", "__amax", "__bmin", "__bmax")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -40,6 +40,36 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/li").count() == li.count())
   }
 
+  test("Z-order layout prunes on BOTH columns where a single sort prunes one") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val li = graft.io.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val files = 8
+    Layout.writeRangeSorted(li, s"$dir/linear", "l_orderkey", files)
+    Layout.writeZOrdered(li, s"$dir/z", "l_orderkey", "l_partkey", files)
+
+    def ranges(path: String, c: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
+              org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+
+    // a narrow l_partkey probe: in the orderkey-sorted layout every file
+    // spans the whole partkey domain, so nothing prunes; in the Z-order
+    // layout files cover partkey sub-ranges, so some files are skippable
+    val probes = Seq(5L, 50L, 120L, 180L)
+    val linearHits = probes.map(p =>
+      ranges(s"$dir/linear", "l_partkey").count { case (lo, hi) => lo <= p && p <= hi })
+    val zHits = probes.map(p =>
+      ranges(s"$dir/z", "l_partkey").count { case (lo, hi) => lo <= p && p <= hi })
+    assert(zHits.sum < linearHits.sum, s"z=$zHits linear=$linearHits")
+    // round-trip intact
+    assert(spark.read.parquet(s"$dir/z").count() == li.count())
+  }
+
   test("dynamic partition overwrite backfills one partition without touching the rest") {
     val dir = Files.createTempDirectory("graft_backfill").toString
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
