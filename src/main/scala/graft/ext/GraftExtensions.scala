@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{CharShingles, CosineSim, DotProduct, MinHashBandKeys, SimHashMd5, WordShingles}
+import graft.expr.{CharShingles, CosineSim, DotProduct, MinHashBandKeys, SimHashMd5, WordShingles, ZInterleave}
 import graft.functions.HashFns
 
 /** SQL surface for the custom kernels: `spark.sql("SELECT cosine_sim(a, b)")`.
@@ -50,7 +50,10 @@ object GraftExtensions {
         intArg(args(2), "bands"))),
     ("simhash_md5",
       new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
-      (args: Seq[Expression]) => SimHashMd5(args(0))))
+      (args: Seq[Expression]) => SimHashMd5(args(0))),
+    ("z_interleave",
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (args: Seq[Expression]) => ZInterleave(args(0), args(1))))
 
   /** Register every kernel as a temp SQL function on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -180,6 +180,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ZInterleave is per-dimension monotone and matches a driver reference") {
+    val keyGen = Gen.zip(Gen.chooseNum(0L, (1L << 21) - 1), Gen.chooseNum(0L, (1L << 21) - 1))
+    def refSpread(v: Long): Long = {
+      var x = v & 0x1fffffL
+      x = (x | (x << 32)) & 0x1f00000000ffffL
+      x = (x | (x << 16)) & 0x1f0000ff0000ffL
+      x = (x | (x << 8)) & 0x100f00f00f00f00fL
+      x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+      x = (x | (x << 2)) & 0x1249249249249249L
+      x
+    }
+    forAll(keyGen, keyGen) { (p, q) =>
+      val df = Seq(p, q).toDF("a", "b")
+        .select($"a", $"b", graft.expr.ZOrder.zValue($"a", $"b").as("z"))
+      val rows = df.as[(Long, Long, Long)].collect()
+        .map { case (a, b, z) => ((a, b), z) }.toMap
+      Seq(p, q).foreach { case (a, b) =>
+        assert(rows((a, b)) == (refSpread(a) | (refSpread(b) << 1)), s"($a,$b)")
+      }
+      // monotone in a for fixed b (and symmetric for b): compare the pair
+      // when one coordinate matches
+      if (p._2 == q._2 && p._1 != q._1) {
+        val (lo, hi) = if (p._1 < q._1) (p, q) else (q, p)
+        assert(rows(lo) < rows(hi))
+      }
+    }
+  }
+
   test("jaccard is symmetric, 1 on self, and within [0, 1]") {
     val arrGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t")).map(_.distinct)
     forAll(arrGen, arrGen) { (a, b) =>
