@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("heavy hitters top-k plans as TakeOrderedAndProject after the aggregate") {
+    val p = plan(SparkEntry.queries("q71_heavy_hitters")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("full-outer reconciliation is a single hash/merge join, no row explosion") {
+    val p = plan(SparkEntry.queries("q77_full_outer")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("ShuffledHashJoin FullOuter"), p)
+  }
+
   test("fused cosine kernel participates in whole-stage codegen") {
     // q17's equi-join plan codegens end to end (q18's BroadcastNestedLoopJoin
     // does not support codegen, so the kernel runs its eval loop there —
