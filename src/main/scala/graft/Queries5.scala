@@ -427,8 +427,13 @@ object Queries5 {
     * integer outputs: the scale's division and each element's multiply are
     * single IEEE ops, and floor(x+0.5) rounds identically on both engines
     * (round() would not — half-away vs HALF_UP). Zero vectors quantize to
-    * zeros. */
-  val q74Quantize: Q = (spark, dir) =>
+    * zeros.
+    *
+    * `quantized` keeps the array form for downstream consumers (q75); the
+    * registered q74 query emits `q8` as a fixed-format CSV string (like
+    * q26's embedding_csv) because the driver's pandas-lexsort compare
+    * cannot canonicalize array cells. */
+  private[graft] def quantized(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("x"))
@@ -439,13 +444,17 @@ object Queries5 {
         when(col("amax") === 0.0, transform(col("x"), _ => lit(0L)))
           .otherwise(transform(col("x"),
             a => floor(a * (lit(127.0) / col("amax")) + 0.5).cast("long"))).as("q8"))
+  val q74Quantize: Q = (spark, dir) =>
+    quantized(spark, dir)
+      .select(col("vec_id"), col("amax_e6"),
+        array_join(transform(col("q8"), x => x.cast("string")), ",").as("q8_csv"))
   val q74Sql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
       |a AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS amax FROM e)
       |SELECT vec_id, floor(amax * 1e6 + 0.5)::BIGINT AS amax_e6,
-      |  CASE WHEN amax = 0 THEN list_transform(x, v -> 0::BIGINT)
+      |  array_to_string(CASE WHEN amax = 0 THEN list_transform(x, v -> 0::BIGINT)
       |       ELSE list_transform(x, v -> floor(v * (127.0 / amax) + 0.5)::BIGINT)
-      |  END AS q8
+      |  END, ',') AS q8_csv
       |FROM a""".stripMargin
 
   // ---------------------------------------------- quantized cosine top-k
@@ -456,7 +465,7 @@ object Queries5 {
     * products over integer-valued doubles are exact regardless of
     * summation order, which is what keeps this hash-comparable. */
   val q75QuantizedTopk: Q = (spark, dir) => {
-    val q8 = q74Quantize(spark, dir)
+    val q8 = quantized(spark, dir)
       .select(col("vec_id"),
         transform(col("q8"), x => x.cast("double")).as("xq"))
     val query = q8.filter(col("vec_id") === 7L).select(col("xq").as("qvec"))
