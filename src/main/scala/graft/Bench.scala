@@ -36,11 +36,15 @@ object Bench {
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times and headline fields LAST: harnesses that keep only the
+    // tail of stdout still see metric/value/failed even when the per-query
+    // map (80+ entries) pushes the line past their capture window
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -136,15 +136,83 @@ object Queries6 {
       |  'answer ' || t.i || ' to ' || o.o_orderkey AS body,
       |  ((o.o_orderkey * 13 + t.i) % 5000)::BIGINT AS owner_reputation,
       |  'user_' || ((o.o_orderkey + t.i) % 50) AS owner_display_name
-      |FROM orders o,
-      |  generate_series(0, least(o.o_orderkey % 150, 100) - 1) AS t(i)
-      |WHERE o.o_orderkey % 997 = 0 AND (o.o_orderkey + t.i) % 7 != 3""".stripMargin
+      |FROM orders o CROSS JOIN generate_series(0, 99) AS t(i)
+      |WHERE o.o_orderkey % 997 = 0
+      |  AND t.i < least(o.o_orderkey % 150, 100)
+      |  AND (o.o_orderkey + t.i) % 7 != 3""".stripMargin
+
+  /** O11 with noise semantics (reference HDBSCAN min_cluster_size=5,
+    * noise=−1 — PLATFORM-contextual-Chunking.py:83-114): sign-RP-LSH
+    * threshold graph → connected components → small components labeled
+    * noise, then the O12 co-cluster neighbor column over the REAL labels
+    * (noise rows get an empty neighbor list). This is the clustering
+    * family's first hash-checked row — every step is exact arithmetic,
+    * mirrored in the oracle by the q52 recursive-CTE closure. */
+  val q81DensityClusters: Q = (spark, dir) => {
+    import graft.ops.{Embed, Relate}
+    val clustered = Embed.densityClusters(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Queries3.rpPlanes, Queries3.rpBits, threshold = 0.35, minClusterSize = 5)
+    Relate.clusterNeighbors(clustered, "vec_id", "cluster", "neighbors", 10)
+      .select(col("vec_id"), col("cluster"), col("is_noise"),
+        array_join(transform(col("neighbors"), x => x.cast("string")), ",").as("neighbors"),
+        size(col("neighbors")).cast("long").as("n_neighbors"))
+  }
+  val q81Sql: String =
+    s"""WITH RECURSIVE ${Queries3.rpPairsCteBody},
+       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |      UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+       |  UNION
+       |  SELECT e.t AS id, reach.lbl FROM reach JOIN e ON e.s = reach.id),
+       |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id),
+       |sized AS (SELECT vec_id, component,
+       |            count(*) OVER (PARTITION BY component) AS comp_size FROM comp),
+       |lab AS (SELECT vec_id,
+       |          (CASE WHEN comp_size < 5 THEN -1 ELSE component END)::BIGINT AS cluster,
+       |          comp_size < 5 AS is_noise FROM sized),
+       |m AS (SELECT cluster, list_sort(list(vec_id)) AS mem FROM lab GROUP BY cluster)
+       |SELECT l.vec_id, l.cluster, l.is_noise,
+       | CASE WHEN l.cluster = -1 THEN ''
+       |      ELSE array_to_string(list_slice(list_filter(m.mem, x -> x != l.vec_id), 1, 10), ',') END AS neighbors,
+       | CASE WHEN l.cluster = -1 THEN 0
+       |      ELSE len(list_slice(list_filter(m.mem, x -> x != l.vec_id), 1, 10)) END::BIGINT AS n_neighbors
+       |FROM lab l JOIN m USING (cluster)""".stripMargin
+
+  /** Serving-loop session prompt (app.py:77-91,150-159): a 4-turn dialogue
+    * history read from a table, folded in turn order into the reference's
+    * exact prompt scaffold. Deterministic fixture: the history rows are
+    * documents 0–3. */
+  val q82SessionPrompt: Q = (spark, dir) => {
+    import graft.ops.Rag
+    val history = Tables.documents(spark, dir)
+      .filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("turn"),
+        concat(lit("What is in document "), col("doc_id"), lit("?")).as("question"),
+        substring(col("text"), 1, 60).as("response"))
+    Rag.sessionPrompt(history, "turn", "question", "response",
+      comments = "- comment A\n- comment B",
+      question = "And what changed since?")
+  }
+  val q82Sql: String =
+    """SELECT 'You are a helpful assistant. You must base your answers **only** on the comments below.' || chr(10) ||
+      | 'Here are some relevant comments:' || chr(10) ||
+      | '- comment A' || chr(10) || '- comment B' || chr(10) || chr(10) ||
+      | string_agg(chr(10) || 'User: What is in document ' || doc_id || '?' ||
+      |            chr(10) || 'Assistant: ' || substr(text, 1, 60), '' ORDER BY doc_id) ||
+      | chr(10) || 'User: And what changed since?' || chr(10) || 'Assistant:' AS prompt
+      |FROM documents WHERE doc_id <= 3""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
-    "q80_subfetch_expand" -> q80SubfetchExpand)
+    "q80_subfetch_expand" -> q80SubfetchExpand,
+    "q81_density_clusters" -> q81DensityClusters,
+    "q82_session_prompt" -> q82SessionPrompt)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
-    "q80_subfetch_expand" -> q80Sql)
+    "q80_subfetch_expand" -> q80Sql,
+    "q81_density_clusters" -> q81Sql,
+    "q82_session_prompt" -> q82Sql)
 }

@@ -42,6 +42,30 @@ object Embed {
     transform(VectorFns.normalize(counts), x => round(x, 6))
   }
 
+  /** O11 with the reference's NOISE semantics — density clustering over an
+    * embedding column (reference: PLATFORM-contextual-Chunking.py:83-114 —
+    * HDBSCAN, min_cluster_size 5, noise label −1): build the
+    * cosine-threshold similarity graph with sign-RP LSH (candidate pairs
+    * only within LSH buckets — an equi-join, the 100 TB path), take
+    * connected components as density clusters, and label every member of a
+    * component smaller than `minClusterSize` as noise (cluster = −1).
+    *
+    * Unlike HDBSCAN itself (mutual-reachability core distances no other
+    * engine reproduces) every step here is exact deterministic arithmetic,
+    * so the whole operator hash-checks against a SQL oracle — this is the
+    * clustering family's oracle-covered representative; [[kmeansLabels]]
+    * stays as the MLlib centroid form. */
+  def densityClusters(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bitsPerTable: Int, threshold: Double,
+      minClusterSize: Int): DataFrame = {
+    val pairs = Similarity.rpLshNearDup(df, idCol, vecCol, planes, bitsPerTable, threshold)
+    Components.dedupClusters(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+      .select(col(idCol),
+        when(col("comp_size") < minClusterSize, lit(-1L))
+          .otherwise(col("component").cast("long")).as("cluster"),
+        (col("comp_size") < minClusterSize).as("is_noise"))
+  }
+
   /** O11 — seeded KMeans over an array<float>/array<double> vector column
     * (MLlib estimator, outside Catalyst — SURVEY.md §4.2). Returns the
     * input plus a `cluster` int column. Deterministic for a fixed seed and

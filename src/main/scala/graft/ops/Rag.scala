@@ -61,4 +61,33 @@ object Rag {
         lit("\n\n"), lit(historyBlock),
         lit("Question: "), lit(question)).as("prompt"))
   }
+
+  /** Serving-loop conversation state (reference: app.py:150-159 seeds
+    * `dialogue_history` per session; app.py:77-91 folds it into the prompt
+    * as "\nUser: q\nAssistant: r" blocks before the current question).
+    *
+    * The dialogue lives in a DataFrame keyed by a turn ordinal — session
+    * state as a TABLE, not driver-side mutable state — so history can come
+    * from anywhere (a parquet log, a streaming sink, an in-memory relation)
+    * and the fold is one single-row aggregate over an already-bounded
+    * dialogue. Turns are sorted by the ordinal inside the aggregate, so the
+    * fold is deterministic under any partitioning. An empty history folds
+    * to an empty dialogue block, exactly like the reference's
+    * `history=None` branch. */
+  def sessionPrompt(history: DataFrame, turnCol: String, questionCol: String,
+      responseCol: String, comments: String, question: String): DataFrame =
+    history
+      .select(col(turnCol), col(questionCol), col(responseCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(turnCol), col(questionCol), col(responseCol)))),
+          t => concat(lit("\nUser: "), t.getField(questionCol),
+                      lit("\nAssistant: "), t.getField(responseCol))),
+        "").as("dialogue"))
+      .select(concat(
+        lit("You are a helpful assistant. You must base your answers **only** on the comments below.\n"),
+        lit("Here are some relevant comments:\n"),
+        lit(comments), lit("\n\n"),
+        col("dialogue"), lit("\n"),
+        lit("User: "), lit(question), lit("\nAssistant:")).as("prompt"))
 }
