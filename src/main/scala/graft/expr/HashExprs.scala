@@ -5,44 +5,39 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused MinHash+LSH band-key kernel.
-  *
-  * Spec (shared verbatim with the DuckDB oracle SQL in Queries2.q14Sql):
-  *   h(s)    = ('0x' || substr(md5(s), 1, 8))::BIGINT % p   (p = 2^31 − 1)
-  *   sig_k   = min over shingles of (a_k · h + b_k) % p
-  *   band_j  = sig[j·rows .. j·rows+rows) joined with '_' (decimal strings)
-  *
-  * The built-in spelling (transform(md5 → conv → %) → k × array_min ×
-  * transform → concat_ws over slices) evaluates every step as an
-  * interpreted higher-order function — ~25 boxed virtual calls per shingle.
-  * This kernel is one Java loop per row: md5 once per shingle (first 4
-  * digest bytes ARE the first 8 hex chars), then k running minima. Yields
-  * identical values; CodegenFallback only severs whole-stage codegen at
-  * this single projection.
-  */
-case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: Int)
-    extends UnaryExpression with CodegenFallback {
+/** Row-loop bodies of the hash kernels as STATIC forwarders (same rationale
+  * as [[ShingleKernels]]): generated stages call them directly, so the
+  * fused kernels no longer sever whole-stage codegen. */
+object HashKernels {
 
-  private val p = 2147483647L
-  private val rows = { require(coeffs.size % bands == 0); coeffs.size / bands }
+  private val md: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = true
-
-  @transient private lazy val md = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  /** First 8 hex chars of md5 as an unsigned long — the portable bucket
+    * hash shared with the DuckDB oracle ('0x' || substr(md5(s),1,8)). */
+  private def md5Prefix(digest: MessageDigest, s: UTF8String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash band keys: k running minima of (a_k·h + b_k) mod p over the
+    * shingles, grouped into `bands` '_'-joined decimal keys. Returns null
+    * for an empty / all-null shingle set (no signature). */
+  def minHashBandKeys(arr: ArrayData, a: Array[Long], b: Array[Long],
+      bands: Int): ArrayData = {
+    val p = 2147483647L
     val n = arr.numElements()
-    val k = coeffs.size
+    val k = a.length
+    val rows = k / bands
     val mins = Array.fill(k)(Long.MaxValue)
     val digest = md.get()
     var i = 0
@@ -50,22 +45,17 @@ case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: 
     while (i < n) {
       if (!arr.isNullAt(i)) {
         any = true
-        digest.reset()
-        val d = digest.digest(arr.getUTF8String(i).getBytes)
-        // first 8 hex chars of md5 == first 4 digest bytes, unsigned
-        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        val h = md5Prefix(digest, arr.getUTF8String(i)) % p
         var j = 0
         while (j < k) {
-          val (a, b) = coeffs(j)
-          val v = (a * h + b) % p
+          val v = (a(j) * h + b(j)) % p
           if (v < mins(j)) mins(j) = v
           j += 1
         }
       }
       i += 1
     }
-    if (!any) return null // empty / all-null shingle set → no signature
+    if (!any) return null
     val keys = new Array[Any](bands)
     var bIdx = 0
     while (bIdx < bands) {
@@ -82,40 +72,11 @@ case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: 
     new GenericArrayData(keys)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Fused 32-bit md5-prefix SimHash kernel.
-  *
-  * Spec (shared verbatim with the DuckDB oracle CTE in Queries2.SimHashCte):
-  *   h(t)  = ('0x' || substr(md5(t), 1, 8))::BIGINT          (per token)
-  *   bit j = set iff ones_j ≥ zeros_j over all tokens (dups counted)
-  *
-  * The built-in spelling (transform(md5 → conv) then 32 × size(filter(...)))
-  * is interpreted HOF evaluation — 32 passes over a boxed array per row.
-  * This kernel is one md5 per token and one 32-counter vote loop; identical
-  * values (spec-asserted bitwise against the HOF form). */
-case class SimHashMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = false
-
-  @transient private lazy val md = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  // null array → 0, mirroring the HOF spelling (each bit's vote predicate
-  // is null, so every when() takes the otherwise(0) branch) and the DuckDB
-  // CTE (NULL list → bitv 0 per bit)
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) 0L else nullSafeEval(v)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 32-bit md5-prefix SimHash majority vote; null/empty token array → 0
+    * for the zero votes and the degenerate all-bits-set empty case exactly
+    * like the HOF reference spelling (see [[SimHashMd5]]). */
+  def simHashMd5(arr: ArrayData): Long = {
+    if (arr == null) return 0L
     val n = arr.numElements()
     val ones = new Array[Int](32)
     val digest = md.get()
@@ -124,10 +85,7 @@ case class SimHashMd5(child: Expression)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         total += 1
-        digest.reset()
-        val d = digest.digest(arr.getUTF8String(i).getBytes)
-        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+        val h = md5Prefix(digest, arr.getUTF8String(i))
         var j = 0
         while (j < 32) {
           if (((h >>> j) & 1L) != 0L) ones(j) += 1
@@ -145,6 +103,77 @@ case class SimHashMd5(child: Expression)
       j += 1
     }
     out
+  }
+}
+
+/** Fused MinHash+LSH band-key kernel.
+  *
+  * Spec (shared verbatim with the DuckDB oracle SQL in Queries2.q14Sql):
+  *   h(s)    = ('0x' || substr(md5(s), 1, 8))::BIGINT % p   (p = 2^31 − 1)
+  *   sig_k   = min over shingles of (a_k · h + b_k) % p
+  *   band_j  = sig[j·rows .. j·rows+rows) joined with '_' (decimal strings)
+  *
+  * The built-in spelling (transform(md5 → conv → %) → k × array_min ×
+  * transform → concat_ws over slices) evaluates every step as an
+  * interpreted higher-order function — ~25 boxed virtual calls per shingle.
+  * This kernel is one Java loop per row: md5 once per shingle (first 4
+  * digest bytes ARE the first 8 hex chars), then k running minima; it
+  * generates code (one static call), so the stage stays whole-stage-codegen.
+  */
+case class MinHashBandKeys(child: Expression, coeffs: Seq[(Long, Long)], bands: Int)
+    extends UnaryExpression {
+
+  require(coeffs.size % bands == 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val aArr: Array[Long] = coeffs.map(_._1).toArray
+  private lazy val bArr: Array[Long] = coeffs.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minHashBandKeys(input.asInstanceOf[ArrayData], aArr, bArr, bands)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.HashKernels.minHashBandKeys($c, $aRef, $bRef, $bands);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused 32-bit md5-prefix SimHash kernel.
+  *
+  * Spec (shared verbatim with the DuckDB oracle CTE in Queries2.SimHashCte):
+  *   h(t)  = ('0x' || substr(md5(t), 1, 8))::BIGINT          (per token)
+  *   bit j = set iff ones_j ≥ zeros_j over all tokens (dups counted)
+  *
+  * The built-in spelling (transform(md5 → conv) then 32 × size(filter(...)))
+  * is interpreted HOF evaluation — 32 passes over a boxed array per row.
+  * This kernel is one md5 per token and one 32-counter vote loop; identical
+  * values (spec-asserted bitwise against the HOF form), codegen'd. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  // null array → 0, mirroring the HOF spelling (each bit's vote predicate
+  // is null, so every when() takes the otherwise(0) branch) and the DuckDB
+  // CTE (NULL list → bitv 0 per bit)
+  override def eval(input: InternalRow): Any =
+    HashKernels.simHashMd5(child.eval(input).asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      long ${ev.value} = graft.expr.HashKernels.simHashMd5(
+        ${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

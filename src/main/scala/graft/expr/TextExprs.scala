@@ -4,40 +4,34 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused word-n-gram shingling kernel.
-  *
-  * Spec (identical to TextFns.wordShingles, the oracle-SQL reference form):
-  *   toks = split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')
-  *   if |toks| < n → [join(toks, ' ')]
-  *   else         → sort(distinct([join(toks[i..i+n), ' ') for i]))
-  *
-  * The builtin spelling evaluates transform/slice/array_join as interpreted
-  * higher-order functions — ~5 boxed calls per token. One Java loop per row
-  * instead. Semantics parity notes: lower/trim use UTF8String (Spark's own
-  * unicode lowercasing, space-only trim — NOT java.lang.String locale
-  * lowercasing), the whitespace collapse uses the same Java regex
-  * runtime regexp_replace uses, and the final sort compares UTF8String
-  * binary order exactly like array_sort.
-  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+/** Row-loop bodies of the shingle kernels, kept as an object so Scala emits
+  * STATIC forwarders — whole-stage-generated Java calls
+  * `graft.expr.ShingleKernels.wordShingles(s, n)` directly, no boxing, no
+  * interpreted-expression detour. Shared by eval and codegen paths. */
+object ShingleKernels {
 
-  require(n >= 1, "shingle size must be >= 1")
+  private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = true
-
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
-
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = ws.matcher(
-      input.asInstanceOf[UTF8String].trim().toLowerCase.toString).replaceAll(" ")
+  /** Fused word-n-gram shingling.
+    *
+    * Spec (identical to TextFns.wordShingles, the oracle-SQL reference form):
+    *   toks = split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')
+    *   if |toks| < n → [join(toks, ' ')]
+    *   else         → sort(distinct([join(toks[i..i+n), ' ') for i]))
+    *
+    * Parity notes: lower/trim use UTF8String (Spark's own unicode
+    * lowercasing, space-only trim — NOT java.lang.String locale
+    * lowercasing), the whitespace collapse uses the same Java regex runtime
+    * regexp_replace uses, and the final sort compares UTF8String binary
+    * order exactly like array_sort. */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val normalized = ws.matcher(input.trim().toLowerCase.toString).replaceAll(" ")
     val toks = normalized.split(" ", -1)
     if (toks.length < n)
       return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
@@ -62,35 +56,18 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Fused character-n-gram shingling kernel.
-  *
-  * Spec (identical to TextFns.charShingles):
-  *   s = regexp_replace(lower(trim(text)), '\s+', ' ')
-  *   if numChars(s) < n → [s]
-  *   else              → sort(distinct([substr(s, i, n) for i in 1..numChars-n+1]))
-  *
-  * Characters are CODE POINTS (Spark's Substring semantics), so the kernel
-  * decodes once to an int[] of code points and slices that — java.lang.String
-  * substring would split surrogate pairs differently. Sorting compares
-  * UTF8String binary order, exactly like array_sort.
-  */
-case class CharShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(n >= 1, "shingle size must be >= 1")
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = true
-
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
-
-  override def nullSafeEval(input: Any): Any = {
-    val normalized = ws.matcher(
-      input.asInstanceOf[UTF8String].trim().toLowerCase.toString).replaceAll(" ")
+  /** Fused character-n-gram shingling.
+    *
+    * Spec (identical to TextFns.charShingles):
+    *   s = regexp_replace(lower(trim(text)), '\s+', ' ')
+    *   if numChars(s) < n → [s]
+    *   else              → sort(distinct([substr(s, i, n) for i in 1..numChars-n+1]))
+    *
+    * Characters are CODE POINTS (Spark's Substring semantics), so the kernel
+    * decodes once to an int[] of code points and slices that —
+    * java.lang.String substring would split surrogate pairs differently. */
+  def charShingles(input: UTF8String, n: Int): ArrayData = {
+    val normalized = ws.matcher(input.trim().toLowerCase.toString).replaceAll(" ")
     val cps = normalized.codePoints().toArray
     if (cps.length < n)
       return new GenericArrayData(Array[Any](UTF8String.fromString(normalized)))
@@ -106,6 +83,49 @@ case class CharShingles(child: Expression, n: Int)
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
     new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
   }
+}
+
+/** Fused word-n-gram shingling kernel (see [[ShingleKernels.wordShingles]]).
+  *
+  * The builtin spelling evaluates transform/slice/array_join as interpreted
+  * higher-order functions — ~5 boxed calls per token. This expression runs
+  * one Java loop per row AND generates code (a single static call), so the
+  * enclosing stage stays whole-stage-codegen — a CodegenFallback here would
+  * put one boxed virtual call per row in the middle of every dedup stage
+  * that shingles (q14/q38/q48/q76). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleKernels.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused character-n-gram shingling kernel (see
+  * [[ShingleKernels.charShingles]]); codegen'd like [[WordShingles]]. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleKernels.charShingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -16,9 +16,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // known, justified exceptions: q18/q41 cross-join a 1-row query vector
-    // (BroadcastNestedLoopJoin over one row); q16 is the deliberately
-    // quadratic oracle-parity verifier
+    // known, justified exceptions — every nested loop here runs over a
+    // BOUNDED side: q18/q41 cross-join a 1-row query vector, q16's exact
+    // verifier is capped to the vec_id<2000 sample slice (the cap is part
+    // of its contract; unbounded inputs take q17/q37/q47 instead)
     val allowNestedLoop = Set("q16_near_dup_embed", "q18_cosine_topk",
       "q19_knn_join", "q29_rag_context", "q37_ivf_topk", "q41_sql_cosine",
       "q42_rag_prompt", "q61_tfidf", "q75_quantized_topk")

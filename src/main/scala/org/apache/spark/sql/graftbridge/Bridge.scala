@@ -23,4 +23,31 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Force-compile every WholeStageCodegen subtree of a plan and return the
+    * generated sources. `WholeStageCodegenExec.doExecute` swallows Janino
+    * failures and silently falls back to interpreted execution, so a CI
+    * assertion that a custom `doGenCode` actually COMPILES must invoke the
+    * compiler directly — this throws on any generated-code error. */
+  def compileWholeStageCodegen(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{ReusedSubqueryExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    def walk(p: SparkPlan): Seq[WholeStageCodegenExec] = {
+      // AQE hides materialized stages behind LEAF wrappers — unwrap them
+      val here = p match {
+        case w: WholeStageCodegenExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedSubqueryExec => walk(r.child)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).map { w =>
+      val (_, code) = w.doCodeGen()
+      CodeGenerator.compile(code) // throws on generated-code compile errors
+      code.body
+    }
+  }
 }

@@ -131,4 +131,26 @@ class PlanSpec extends SparkSpec {
     // projection computing cosinesim must carry one
     assert(p.linesIterator.exists(l => l.contains("cosinesim") && l.contains("*(")), p)
   }
+
+  test("fused shingle/minhash/simhash kernels stay inside whole-stage codegen") {
+    // q14 (word shingles + minhash bands), q15 (simhash), q38 (char
+    // shingles): the kernels were CodegenFallback before — one boxed
+    // virtual call per row severing the stage. Now they must (a) be inside
+    // a '*(n)' stage and (b) produce generated code Janino actually
+    // compiles — WholeStageCodegenExec.doExecute would silently fall back
+    // to interpreted eval otherwise, and no other assertion would notice.
+    for ((q, marker) <- Seq(
+        "q14_minhash_lsh" -> "minhashbandkeys",
+        "q15_simhash" -> "simhashmd5",
+        "q38_ngram_jaccard" -> "charshingles")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // finalize AQE so the executed plan is the real one
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.exists(l =>
+        l.toLowerCase.contains(marker) && l.contains("*(")), s"$q:\n$p")
+      val sources = org.apache.spark.sql.graftbridge.Bridge.compileWholeStageCodegen(df)
+      assert(sources.exists(_.contains("graft.expr.HashKernels")) ||
+             sources.exists(_.contains("graft.expr.ShingleKernels")), s"$q: kernel call not in generated code")
+    }
+  }
 }
