@@ -39,7 +39,10 @@ object Bench {
     // 3-decimal times and headline fields LAST: harnesses that keep only the
     // tail of stdout still see metric/value/failed even when the per-query
     // map (80+ entries) pushes the line past their capture window
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // explicit ROOT locale: the f-interpolator uses the JVM default locale,
+    // which under e.g. de_DE emits "0,123" — invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum

@@ -199,8 +199,8 @@ object Queries6 {
     """SELECT 'You are a helpful assistant. You must base your answers **only** on the comments below.' || chr(10) ||
       | 'Here are some relevant comments:' || chr(10) ||
       | '- comment A' || chr(10) || '- comment B' || chr(10) || chr(10) ||
-      | string_agg(chr(10) || 'User: What is in document ' || doc_id || '?' ||
-      |            chr(10) || 'Assistant: ' || substr(text, 1, 60), '' ORDER BY doc_id) ||
+      | coalesce(string_agg(chr(10) || 'User: What is in document ' || doc_id || '?' ||
+      |            chr(10) || 'Assistant: ' || substr(text, 1, 60), '' ORDER BY doc_id), '') ||
       | chr(10) || 'User: And what changed since?' || chr(10) || 'Assistant:' AS prompt
       |FROM documents WHERE doc_id <= 3""".stripMargin
 

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Fixture/warehouse table loaders.
   *
@@ -27,18 +27,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong — set here, scoped to the
-    * session) and convert to a microsecond TIMESTAMP with integer floor
-    * division, matching DuckDB's epoch_us() truncation exactly. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4's
+    * schema INFERENCE rejects by default (PARQUET_TYPE_ILLEGAL). Rather than
+    * flipping `spark.sql.legacy.parquet.nanosAsLong` — a session-wide conf a
+    * reader helper must not leak into a concurrent session — we declare the
+    * schema with `ts: LONG` up front: with a user-provided schema no
+    * inference runs, the vectorized reader loads the INT64 nanos column
+    * verbatim, and no conf is touched. The long is then converted to a
+    * microsecond TIMESTAMP with integer floor division, matching DuckDB's
+    * epoch_us() truncation exactly. */
+  val eventsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

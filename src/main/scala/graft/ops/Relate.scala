@@ -57,18 +57,23 @@ object Relate {
     * self excluded, capped at `cap`, noise cluster (-1) → empty array
     * (reference: PLATFORM-contextual-Chunking.py:97-114). Pure relational:
     * one groupBy on the cluster id + a re-join on the same key.
+    *
+    * Noise rows are filtered out BEFORE the aggregation: on a high-noise
+    * corpus the -1 label would otherwise concentrate most rows into a
+    * single collect_list key (skew/OOM at scale). They re-acquire an empty
+    * neighbor list via the left join's null side instead.
     */
   def clusterNeighbors(df: DataFrame, idCol: String, clusterCol: String,
       outCol: String, cap: Int, noiseLabel: Int = -1): DataFrame = {
-    val members = df.groupBy(col(clusterCol))
+    // empty array typed to the id column's element type (string AND numeric)
+    val emptyIds =
+      array().cast(org.apache.spark.sql.types.ArrayType(df.schema(idCol).dataType))
+    val members = df.filter(col(clusterCol) =!= noiseLabel)
+      .groupBy(col(clusterCol))
       .agg(array_sort(collect_list(col(idCol))).as("__members"))
     df.join(members, Seq(clusterCol), "left")
       .withColumn(outCol,
-        // noise branch: empty slice of the members array, so the empty
-        // array keeps the element type of the id column (works for string
-        // AND numeric ids)
-        when(col(clusterCol) === noiseLabel, slice(col("__members"), 1, 0))
-          .otherwise(slice(array_remove(col("__members"), col(idCol)), 1, cap)))
+        slice(array_remove(coalesce(col("__members"), emptyIds), col(idCol)), 1, cap))
       .drop("__members")
   }
 }

@@ -80,14 +80,13 @@ class StreamingSpec extends SparkSpec {
   test("file-source streaming over the events fixture equals the batch result") {
     // the real readStream path: parquet file source + schema + watermarked
     // tumbling windows, checked against the oracle-verified batch transform
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source requires a directory; stage the fixture file
     val dir = java.nio.file.Files.createTempDirectory("graft-events")
     java.nio.file.Files.copy(
       java.nio.file.Path.of(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
     val path = dir.toString
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
+    // explicit ts:LONG schema — same no-conf nanos strategy as Tables.events
+    val stream = spark.readStream.schema(io.Tables.eventsSchema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = Stream.windowedTypeCounts(stream, "ts", "event_type", "value")
       .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
