@@ -3,7 +3,7 @@ package graft.expr
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -54,6 +54,31 @@ object ShingleKernels {
     val arr = out.toArray
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
     new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Jaccard similarity of two SORTED-DISTINCT string arrays (the shingle
+    * kernels' output contract) by a single merge walk: |A∩B| counted in
+    * O(|A|+|B|) comparisons, |A∪B| = |A|+|B|−|A∩B|, zero allocation.
+    *
+    * The builtin spelling — size(array_intersect)/size(array_union) — builds
+    * a hash set AND materializes the union array per PAIR; in a blocked
+    * near-dup verify that's two allocations × candidate-pairs × shingles.
+    * Bitwise-identical to it on sorted-distinct inputs (spec-asserted);
+    * both empty → 0.0 like the builtin form's union===0 guard. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /** Fused character-n-gram shingling.
@@ -131,10 +156,36 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused sorted-merge Jaccard kernel (see [[ShingleKernels.sortedJaccard]]).
+  * PRECONDITION: both inputs sorted + distinct — the shingle kernels'
+  * output contract; feed anything else through VectorFns.jaccard instead. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleKernels.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.ShingleKernels.sortedJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[SortedJaccard]]. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column wrapper for [[CharShingles]]. */
   def charShingles(text: Column, n: Int): Column =

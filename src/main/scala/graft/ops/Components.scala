@@ -43,29 +43,36 @@ object Components {
 
   /** One large-star round: for each node u (symmetric neighborhoods),
     * emit (v, min(N(u) ∪ u)) for every neighbor v > u. Output edges are
-    * always (larger, smaller). */
+    * always (larger, smaller).
+    *
+    * The per-neighborhood min is a WINDOW over partitionBy(u), not a
+    * groupBy + re-join: both spell the same "attach min(N(u)) to every
+    * edge of u", but the window computes it in place on the one shuffle
+    * the neighborhood grouping already pays, where the join form shuffles
+    * the edge list a second time. One shuffle per star instead of two —
+    * per-round cost, so it compounds over the O(log n) rounds. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val nbr = e.select(col("u"), col("v"))
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbr.groupBy(col("u"))
-      .agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    nbr.join(mins, "u")
+      .withColumn("m", least(min(col("v")).over(byU), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-    // no distinct here: smallStar's min-aggregate and final distinct absorb
+    // no distinct here: smallStar's min-window and final distinct absorb
     // duplicate edges, and skipping it saves one shuffle per round
   }
 
   /** One small-star round: for each node u, over its SMALLER neighbors
     * G = N⁻(u), emit (x, min(G)) for x ∈ G ∪ {u}, x ≠ min(G). Input and
-    * output edges are (larger, smaller)-oriented. */
+    * output edges are (larger, smaller)-oriented. Same window-over-join
+    * trade as [[largeStar]]; the (u, m) self-edges come out once per edge
+    * instead of once per group, which the closing distinct absorbs. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-    e.join(mins, "u")
-      .select(col("v").as("x"), col("m"))
-      .union(mins.select(col("u").as("x"), col("m")))
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val withMin = e.withColumn("m", min(col("v")).over(byU))
+    withMin.select(col("v").as("x"), col("m"))
+      .union(withMin.select(col("u").as("x"), col("m")))
       .filter(col("x") =!= col("m"))
       .select(col("x").as("u"), col("m").as("v"))
       .distinct()

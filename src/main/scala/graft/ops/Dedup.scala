@@ -57,7 +57,8 @@ object Dedup {
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
-      .withColumn("jaccard", round(VectorFns.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard",
+        round(graft.expr.TextExprs.sortedJaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -95,15 +96,22 @@ object Dedup {
   }
 
   /** N-gram Jaccard similarity for a bounded candidate set produced by any
-    * blocking key (bucket column): pairs within a block, exact Jaccard. */
+    * blocking key (bucket column): pairs within a block, exact Jaccard.
+    * `shCol` must hold SORTED-DISTINCT shingle arrays (what the shingle
+    * kernels emit) — the pair verify uses the merge-walk kernel. */
   def jaccardWithinBlocks(df: DataFrame, idCol: String, shCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(shCol).as("sh_a"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(shCol).as("sh_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(VectorFns.jaccard(col("sh_a"), col("sh_b")), 6))
+    // IDENTICALLY-projected self-join sides: both shuffle the same subplan
+    // on blk, so ReuseExchange computes the (expensive) shingling once and
+    // the second side reads the first's shuffle files. Projecting each side
+    // to renamed columns BEFORE the join makes the exchanges differ and
+    // shingles every document twice.
+    val s = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(shCol).as("sh"))
+    s.as("a").join(s.as("b"), col("a.blk") === col("b.blk"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        round(graft.expr.TextExprs.sortedJaccard(col("a.sh"), col("b.sh")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 }

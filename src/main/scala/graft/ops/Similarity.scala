@@ -66,7 +66,12 @@ object Similarity {
     val b = prepped.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       col("__nrm").as("nrm_b"))
     val denom = col("nrm_a") * col("nrm_b")
-    a.join(b, col("id_a") < col("id_b"))
+    // the bounded input typically arrives as ONE parquet split; without a
+    // spread the nested-loop stream side runs its whole O(n²) pair loop on
+    // a single core. Repartition the stream side to the session's
+    // parallelism — trivial shuffle (n rows), n× the pair-loop cores.
+    val streamA = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    streamA.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", round(
         when(col("vec_a").isNull || col("vec_b").isNull, lit(null).cast("double"))
           .otherwise(when(denom === 0.0, lit(0.0))

@@ -54,4 +54,30 @@ class TextExprSpec extends SparkSpec {
     val out = df.select(TextExprs.wordShingles($"text", 2)).collect()
     assert(out.exists(_.isNullAt(0)) && out.exists(!_.isNullAt(0)))
   }
+
+  test("SortedJaccard equals builtin intersect/union jaccard on shingle pairs") {
+    // cross a small doc sample with itself so the kernel sees identical,
+    // disjoint, and partially-overlapping sorted-distinct arrays
+    val sh = io.Tables.documents(spark, sfDir).limit(40)
+      .select($"doc_id", TextExprs.charShingles($"text", 4).as("sh"))
+    val pairs = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")))
+    val bad = pairs.filter(not(
+      TextExprs.sortedJaccard($"sh_a", $"sh_b") ===
+        functions.VectorFns.jaccard($"sh_a", $"sh_b"))).count()
+    assert(bad == 0)
+  }
+
+  test("SortedJaccard edge cases: empty arrays, null in, identity") {
+    val df = Seq(
+      (Some(Seq[String]()), Some(Seq[String]())),
+      (Some(Seq[String]()), Some(Seq("a", "b"))),
+      (Some(Seq("a", "b")), None),
+      (Some(Seq("a", "b", "c")), Some(Seq("a", "b", "c")))).toDF("a", "b")
+    val rows = df.select(TextExprs.sortedJaccard($"a", $"b")).collect()
+    assert(rows(0).getDouble(0) == 0.0) // both-empty guard, like the builtin
+    assert(rows(1).getDouble(0) == 0.0)
+    assert(rows(2).isNullAt(0))
+    assert(rows(3).getDouble(0) == 1.0)
+  }
 }
