@@ -47,7 +47,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${fmt(total)}}""")
+    val line = s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"metric":"total","unit":"sec","value":${fmt(total)}}"""
+    println(line)
+    // also persist the complete record: stdout capture has truncated the
+    // per-query map before (r03's total was lost to exactly that), so
+    // round-over-round comparison must never depend on captured stdout
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"BENCH_full write failed: $e") }
     spark.stop()
   }
 }

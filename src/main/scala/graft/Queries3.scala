@@ -362,9 +362,10 @@ object Queries3 {
     Similarity.rpLshNearDup(Tables.embeddings(spark, dir), "vec_id", "embedding",
       rpPlanes, rpBits, threshold = 0.35)
   /** CTE body producing `pairs(id_a, id_b, sim)` — the DuckDB mirror of
-    * [[Similarity.rpLshNearDup]] with [[rpPlanes]]; shared by q47 and the
-    * q52 dedup-cluster oracle. */
-  val rpPairsCteBody: String = {
+    * [[Similarity.rpLshNearDup]] with [[rpPlanes]] over `sourceRel`
+    * (a relation with `vec_id`, `embedding` columns); shared by q47, the
+    * q52 dedup-cluster oracle, and q83's restricted-corpus clustering. */
+  def rpPairsCte(sourceRel: String, simThreshold: Double = 0.35): String = {
     val keyExpr: Int => String = t =>
       (0 until rpBits).map { b =>
         val plane = rpPlanes(t * rpBits + b).map(_.toInt).mkString("[", ",", "]")
@@ -375,7 +376,7 @@ object Queries3 {
     s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
-       |  FROM embeddings),
+       |  FROM $sourceRel),
        |k AS (
        |$tables),
        |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -386,8 +387,9 @@ object Queries3 {
        |      round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
        |    FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
        |           JOIN embeddings eb ON eb.vec_id = c.id_b) v
-       |  WHERE sim >= 0.35)""".stripMargin
+       |  WHERE sim >= $simThreshold)""".stripMargin
   }
+  val rpPairsCteBody: String = rpPairsCte("embeddings")
   val q47Sql: String =
     s"WITH $rpPairsCteBody\nSELECT id_a, id_b, sim FROM pairs"
 

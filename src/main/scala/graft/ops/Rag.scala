@@ -22,16 +22,24 @@ object Rag {
     * @param queryVec  1-row DataFrame with column `qvec`
     * @param threshold minimum cosine similarity for the top-1 hit
     * @param cap       max co-cluster neighbors (reference caps at 20)
+    * @param noiseLabel when the index carries density-cluster labels with a
+    *                   noise marker (reference HDBSCAN: −1), pass it here so
+    *                   a noise hit expands to NO neighbors — mirroring the
+    *                   reference's empty `posts_similaires` for noise rows
+    *                   (PLATFORM-contextual-Chunking.py:97-114) instead of
+    *                   treating noise as one giant cluster
     * @return documents of {hit} ∪ {≤cap smallest-id co-cluster members}
     */
   def contextDocs(index: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       documents: DataFrame, docIdCol: String,
-      queryVec: DataFrame, threshold: Double, cap: Int): DataFrame = {
+      queryVec: DataFrame, threshold: Double, cap: Int,
+      noiseLabel: Option[Long] = None): DataFrame = {
     val top1 = Similarity.cosineTopK(index, idCol, vecCol, queryVec, "qvec", 1, threshold)
     val hit = index.join(broadcast(top1.select(col(idCol))), Seq(idCol))
       .select(col(idCol).as("__qid"), col(clusterCol).as("__qcluster"))
-    val neighbors = index.join(broadcast(hit),
-        index(clusterCol) === col("__qcluster") && index(idCol) =!= col("__qid"))
+    val sameCluster = index(clusterCol) === col("__qcluster") && index(idCol) =!= col("__qid")
+    val expandable = noiseLabel.fold(sameCluster)(n => sameCluster && index(clusterCol) =!= lit(n))
+    val neighbors = index.join(broadcast(hit), expandable)
       .select(col(idCol)).orderBy(col(idCol)).limit(cap)
     val contextIds = top1.select(col(idCol)).union(neighbors)
     documents.join(broadcast(contextIds.withColumnRenamed(idCol, docIdCol)),

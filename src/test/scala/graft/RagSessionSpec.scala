@@ -64,4 +64,25 @@ class RagSessionSpec extends SparkSpec {
     assert(byId(11L) == (-1L, true))
     assert(byId(20L) == (-1L, true))
   }
+
+  test("contextDocs noise guard: a noise hit expands to NO co-cluster neighbors") {
+    // hit vector is id 1 (identical to the query) labeled noise (-1);
+    // ids 2,3 are also noise — without the guard they'd come back as
+    // "neighbors of cluster -1"; id 10 is a real cluster and must not appear
+    val v = Array(1.0, 0.0, 0.0, 0.0)
+    val other = Array(0.0, 1.0, 0.0, 0.0)
+    val index = Seq(
+      (1L, v, -1L), (2L, v, -1L), (3L, v, -1L), (10L, other, 5L))
+      .toDF("vec_id", "embedding", "cluster")
+    val docs = Seq(1L, 2L, 3L, 10L).toDF("vec_id")
+    val query = Seq(Tuple1(v)).toDF("qvec")
+    val guarded = Rag.contextDocs(index, "vec_id", "embedding", "cluster",
+        docs, "vec_id", query, threshold = 0.5, cap = 20, noiseLabel = Some(-1L))
+      .as[Long].collect().sorted
+    assert(guarded.toSeq == Seq(1L)) // just the hit
+    val unguarded = Rag.contextDocs(index, "vec_id", "embedding", "cluster",
+        docs, "vec_id", query, threshold = 0.5, cap = 20)
+      .as[Long].collect().sorted
+    assert(unguarded.toSeq == Seq(1L, 2L, 3L)) // legacy behavior preserved
+  }
 }
