@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.{PagedConfig, PagedSource, PageClient}
+import graft.streaming.{PagedStreamProvider, PagedStreamSource}
+
+/** The connector-streaming demo: [[PagedStreamSource]] replays a paged
+  * listing as micro-batches (offset = page cursor) and must agree with the
+  * batch connector over the same client — the streaming analog of
+  * ConnectorSpec. Snapshot rows come from the events fixture (sf0.001). */
+class ConnectorStreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType)))
+
+  // deterministic fixture snapshot: 23 events → 5 pages of ≤5 under pageSize=5
+  private lazy val snapshot: IndexedSeq[Row] =
+    graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")).limit(23)
+      .collect().toIndexedSeq
+
+  private final class FixtureListing(pageSize: Int) extends PageClient[Row] {
+    def fetchPage(method: String, page: Int): Seq[Row] =
+      snapshot.slice(page * pageSize, (page + 1) * pageSize)
+  }
+
+  private def drain(clientName: String, queryName: String): Unit = {
+    val q = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", clientName)
+      .load()
+      .writeStream.format("memory").queryName(queryName).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("paged micro-batch source drains the listing incrementally and matches the batch connector") {
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_events", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    drain("fx_events", "paged_out")
+    val got = spark.table("paged_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = PagedSource.fetchListing(new FixtureListing(5), "top", cfg, _ => ())
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(got == want)
+    assert(got.size == 23)
+  }
+
+  test("limit and maxPages stop the cursor exactly like the batch loop") {
+    // limit 12 raw items → batch keeps pages 0..2 (15 raw ≥ 12 stops paging)
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 12,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_limit", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    drain("fx_limit", "paged_limit")
+    val gotN = spark.table("paged_limit").count()
+    val wantN = PagedSource.fetchListing(new FixtureListing(5), "top", cfg, _ => ()).size
+    assert(gotN == wantN && gotN == 15L)
+
+    val cfg2 = PagedConfig(pageSize = 5, maxPages = 2, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_pages", schema, new FixtureListing(5), cfg2,
+      sleep = _ => ())
+    drain("fx_pages", "paged_pages")
+    assert(spark.table("paged_pages").count() == 10L)
+  }
+
+  test("transient page failures retry with backoff and do not kill the stream") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var failuresLeft = 2
+    val flaky = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] = {
+        if (page == 1 && failuresLeft > 0) { failuresLeft -= 1; sys.error("flaky") }
+        snapshot.slice(page * 5, (page + 1) * 5)
+      }
+    }
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 100L, maxAttempts = 3, backoffMultiplier = 2.0)
+    PagedStreamSource.register("fx_flaky", schema, flaky, cfg,
+      sleep = sleeps += _)
+    drain("fx_flaky", "paged_flaky")
+    // all 23 rows despite two failures on page 1; backoff 100*2^1, 100*2^2
+    assert(spark.table("paged_flaky").count() == 23L)
+    assert(sleeps.toSeq == Seq(200L, 400L))
+  }
+
+  test("downstream viability filter + dedup compose as ordinary streaming operators") {
+    // duplicate the listing (two methods' overlap): source replays both
+    // copies; watermarkless dropDuplicates + filter reproduce ingestItems
+    val dupClient = new PageClient[Row] {
+      private val twice = snapshot ++ snapshot
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        twice.slice(page * 5, (page + 1) * 5)
+    }
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_dup", schema, dupClient, cfg, sleep = _ => ())
+    val q = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", "fx_dup").load()
+      .filter(col("event_id") % 2 === 0) // the viability predicate (P6)
+      .dropDuplicates("event_id")        // dict-insert dedup (U3)
+      .writeStream.format("memory").queryName("paged_dedup").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("paged_dedup").orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = PagedSource.ingestItems[Row, Long](dupClient, cfg,
+      key = _.getLong(0), viable = _.getLong(0) % 2 == 0, sleep = _ => ())
+      .map(_.getLong(0)).sorted
+    assert(got == want)
+  }
+}
