@@ -22,7 +22,11 @@ object PlanAudit {
     // of its contract; unbounded inputs take q17/q37/q47 instead)
     val allowNestedLoop = Set("q16_near_dup_embed", "q18_cosine_topk",
       "q19_knn_join", "q29_rag_context", "q37_ivf_topk", "q41_sql_cosine",
-      "q42_rag_prompt", "q61_tfidf", "q75_quantized_topk")
+      "q42_rag_prompt", "q61_tfidf", "q75_quantized_topk",
+      // q83's serving tail cross-joins the 1-row query vector (q18's shape);
+      // the pipeline/clustering upstream is already materialized by its
+      // checkpoints, so the audit sees only that bounded tail
+      "q83_pipeline_golden")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution
