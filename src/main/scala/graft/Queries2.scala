@@ -275,7 +275,7 @@ object Queries2 {
       |           FROM embeddings GROUP BY label)
       |SELECT e.vec_id, e.label,
       | CASE WHEN e.label = -1 THEN ''
-      |      ELSE array_to_string(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20), ',') END AS neighbors,
+      |      ELSE coalesce(array_to_string(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20), ','), '') END AS neighbors,
       | CASE WHEN e.label = -1 THEN 0
       |      ELSE len(list_slice(list_filter(m.mem, x -> x != e.vec_id), 1, 20)) END::BIGINT AS n_neighbors
       |FROM embeddings e JOIN m USING (label)""".stripMargin

@@ -175,7 +175,7 @@ object Queries6 {
        |m AS (SELECT cluster, list_sort(list(vec_id)) AS mem FROM lab GROUP BY cluster)
        |SELECT l.vec_id, l.cluster, l.is_noise,
        | CASE WHEN l.cluster = -1 THEN ''
-       |      ELSE array_to_string(list_slice(list_filter(m.mem, x -> x != l.vec_id), 1, 10), ',') END AS neighbors,
+       |      ELSE coalesce(array_to_string(list_slice(list_filter(m.mem, x -> x != l.vec_id), 1, 10), ','), '') END AS neighbors,
        | CASE WHEN l.cluster = -1 THEN 0
        |      ELSE len(list_slice(list_filter(m.mem, x -> x != l.vec_id), 1, 10)) END::BIGINT AS n_neighbors
        |FROM lab l JOIN m USING (cluster)""".stripMargin
@@ -385,8 +385,11 @@ object Queries6 {
        |ids AS (SELECT vid FROM top1 UNION SELECT vid FROM nb)
        |SELECT m.id_post, m.platform, m.community, m.title,
        |  len(m.cids)::BIGINT AS n_comments,
-       |  array_to_string(m.cids, ',') AS comment_csv
+       |  coalesce(array_to_string(m.cids, ','), '') AS comment_csv
        |FROM merged m JOIN ids ON ids.vid = m.vid""".stripMargin
+  // ^ coalesce: DuckDB array_to_string(empty list) is NULL where Spark
+  //   array_join(empty) is '' — bites exactly when a childless post enters
+  //   the context set (first seen at sf0.1)
 
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
