@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -117,5 +119,40 @@ class ConnectorStreamSpec extends SparkSpec {
       key = _.getLong(0), viable = _.getLong(0) % 2 == 0, sleep = _ => ())
       .map(_.getLong(0)).sorted
     assert(got == want)
+  }
+
+  test("full streaming ingest: paged listing stream + distributed child expansion per micro-batch") {
+    // the S4+S5 composition under streaming: each micro-batch of parents
+    // fans out through the DISTRIBUTED expandChildren path (q80's shape)
+    // inside foreachBatch — listing stays serial, the heavy side scales out
+    val childSchema = StructType(Seq(
+      StructField("child_id", LongType),
+      StructField("parent_id", LongType)))
+    val childClient: () => graft.io.ChildClient = () => new graft.io.ChildClient {
+      def fetchChildren(parent: Row): Seq[Row] = {
+        val k = parent.getLong(0)
+        (0 until (k % 3).toInt).map(i => Row(k * 100 + i, k))
+      }
+    }
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L, maxChildrenPerParent = 100)
+    PagedStreamSource.register("fx_parents", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", "fx_parents").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        PagedSource.expandChildren(batch, childClient, _ => true, childSchema, cfg)
+          .collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = PagedSource.expandChildren(
+        spark.createDataFrame(java.util.Arrays.asList(snapshot: _*), schema),
+        childClient, _ => true, childSchema, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out.iterator().asScala.toSeq.sorted == want)
   }
 }
