@@ -229,7 +229,7 @@ object Queries3 {
       |       ON e.label = t.label AND e.vec_id != t.vec_id
       |       ORDER BY e.vec_id LIMIT 20),
       |ids AS (SELECT vec_id FROM top1 UNION SELECT vec_id FROM nb),
-      |ctx AS (SELECT string_agg(d.text, chr(10) || '---' || chr(10) ORDER BY d.doc_id) AS c
+      |ctx AS (SELECT coalesce(string_agg(d.text, chr(10) || '---' || chr(10) ORDER BY d.doc_id), '') AS c
       |        FROM documents d JOIN ids ON d.doc_id = ids.vec_id)
       |SELECT 'Context:' || chr(10) || c || chr(10) || chr(10)
       | || 'Q: earlier?' || chr(10) || 'A: earlier answer.' || chr(10) || chr(10)

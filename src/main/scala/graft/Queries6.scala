@@ -391,17 +391,70 @@ object Queries6 {
   //   array_join(empty) is '' — bites exactly when a childless post enters
   //   the context set (first seen at sf0.1)
 
+  /** Mixture construction 1/2 — per-language token-budget sample: the
+    * "how much of each language goes into the pretraining mix" operator
+    * (downstream of dedup/cleaning; no reference analog — the reference
+    * stops at a cleaned table). Hash-ordered, RNG-free, cumsum ≤ budget
+    * per stratum; cum_tokens exposes the accounting. */
+  val q84TokenBudget: Q = (spark, dir) => {
+    import graft.functions.TextFns
+    import graft.ops.Mixture
+    Mixture.tokenBudgetSample(
+        Tables.documents(spark, dir), "lang", "doc_id",
+        TextFns.tokenCount(col("text")), budget = 3000L)
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokenCount(col("text")).as("n_tokens"), col("cum_tokens"))
+  }
+  val q84Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  (CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY md5(doc_id::VARCHAR), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 3000""".stripMargin
+
+  /** Mixture construction 2/2 — deterministic weighted repetition: fr is
+    * seen 2.5× per epoch (every row twice, half the rows a third time, by
+    * md5 draw), de is DOWN-sampled to a quarter, everything else 1×. Pure
+    * map-side explode — no shuffle; this is the data-mixing epoch operator
+    * a training run consumes directly. */
+  val q85MixtureWeights: Q = (spark, dir) => {
+    import graft.ops.Mixture
+    Mixture.repeatWeighted(
+        Tables.documents(spark, dir), "lang", "doc_id",
+        weights = Map("fr" -> 2.5, "de" -> 0.25), defaultWeight = 1.0)
+      .select(col("doc_id"), col("lang"), col("copy"))
+  }
+  val q85Sql: String =
+    """SELECT doc_id, lang, u.copy FROM (
+      |  SELECT doc_id, lang,
+      |    (floor(w) + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
+      |                          < w - floor(w) THEN 1 ELSE 0 END)::BIGINT AS n
+      |  FROM (SELECT doc_id, lang,
+      |          (CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 0.25 ELSE 1.0 END)::DOUBLE AS w
+      |        FROM documents)),
+      |  unnest(generate_series(1, n)) AS u(copy)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
     "q80_subfetch_expand" -> q80SubfetchExpand,
     "q81_density_clusters" -> q81DensityClusters,
     "q82_session_prompt" -> q82SessionPrompt,
-    "q83_pipeline_golden" -> q83PipelineGolden)
+    "q83_pipeline_golden" -> q83PipelineGolden,
+    "q84_token_budget" -> q84TokenBudget,
+    "q85_mixture_weights" -> q85MixtureWeights)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
     "q80_subfetch_expand" -> q80Sql,
     "q81_density_clusters" -> q81Sql,
     "q82_session_prompt" -> q82Sql,
-    "q83_pipeline_golden" -> q83Sql)
+    "q83_pipeline_golden" -> q83Sql,
+    "q84_token_budget" -> q84Sql,
+    "q85_mixture_weights" -> q85Sql)
 }
