@@ -440,6 +440,22 @@ object Queries6 {
       |        FROM documents)),
       |  unnest(generate_series(1, n)) AS u(copy)""".stripMargin
 
+  /** Dense global example ids in (lang, doc_id) order — shard-manifest /
+    * curriculum numbering via the two-phase range-sort + zipWithIndex form
+    * (see [[graft.ops.Ids]]); the oracle is the single-reducer spelling the
+    * operator exists to avoid. */
+  val q86GlobalIndex: Q = (spark, dir) => {
+    import graft.ops.Ids
+    Ids.globalIndex(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq(col("lang"), col("doc_id")), "example_id")
+      .select(col("doc_id"), col("lang"), col("example_id"))
+  }
+  val q86Sql: String =
+    """SELECT doc_id, lang,
+      |  (row_number() OVER (ORDER BY lang, doc_id) - 1)::BIGINT AS example_id
+      |FROM documents""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
     "q80_subfetch_expand" -> q80SubfetchExpand,
@@ -447,7 +463,8 @@ object Queries6 {
     "q82_session_prompt" -> q82SessionPrompt,
     "q83_pipeline_golden" -> q83PipelineGolden,
     "q84_token_budget" -> q84TokenBudget,
-    "q85_mixture_weights" -> q85MixtureWeights)
+    "q85_mixture_weights" -> q85MixtureWeights,
+    "q86_global_index" -> q86GlobalIndex)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
@@ -456,5 +473,6 @@ object Queries6 {
     "q82_session_prompt" -> q82Sql,
     "q83_pipeline_golden" -> q83Sql,
     "q84_token_budget" -> q84Sql,
-    "q85_mixture_weights" -> q85Sql)
+    "q85_mixture_weights" -> q85Sql,
+    "q86_global_index" -> q86Sql)
 }
