@@ -456,6 +456,35 @@ object Queries6 {
       |  (row_number() OVER (ORDER BY lang, doc_id) - 1)::BIGINT AS example_id
       |FROM documents""".stripMargin
 
+  /** Per-language length-distribution report (p50/p90/p99 + extrema) —
+    * the corpus-profiling aggregate every filtering decision starts from.
+    * EXACT percentiles (Hive/DuckDB-identical rank = p·(n−1) linear
+    * interpolation) for oracle parity, emitted in floor-micro-units (q21's
+    * convention — %.Nf rounding of a half-way double disagrees between
+    * engines); the 100 TB path is percentile_approx, invariant-tested
+    * against this exact form in InvariantSpec's approx family. Exact
+    * percentile holds each group's values — bounded here by the per-lang
+    * corpus slice, the same bounded-contract pattern as q16. */
+  val q87LengthQuantiles: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("__qs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"),
+        array_join(transform(col("__qs"),
+          x => floor(x * 1e6 + lit(0.5)).cast("long").cast("string")), ",")
+          .as("quantiles_e6"),
+        col("min_chars"), col("max_chars"))
+  val q87Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  array_to_string(list_transform(quantile_cont(n_chars, [0.5, 0.9, 0.99]),
+      |    x -> (floor(x * 1000000 + 0.5)::BIGINT)::VARCHAR), ',') AS quantiles_e6,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
     "q80_subfetch_expand" -> q80SubfetchExpand,
@@ -464,7 +493,8 @@ object Queries6 {
     "q83_pipeline_golden" -> q83PipelineGolden,
     "q84_token_budget" -> q84TokenBudget,
     "q85_mixture_weights" -> q85MixtureWeights,
-    "q86_global_index" -> q86GlobalIndex)
+    "q86_global_index" -> q86GlobalIndex,
+    "q87_length_quantiles" -> q87LengthQuantiles)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
@@ -474,5 +504,6 @@ object Queries6 {
     "q83_pipeline_golden" -> q83Sql,
     "q84_token_budget" -> q84Sql,
     "q85_mixture_weights" -> q85Sql,
-    "q86_global_index" -> q86Sql)
+    "q86_global_index" -> q86Sql,
+    "q87_length_quantiles" -> q87Sql)
 }

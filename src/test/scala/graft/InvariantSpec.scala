@@ -91,6 +91,26 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks the exact percentile within its accuracy bound") {
+    // q87's oracle uses the exact Hive-interpolation percentile; the
+    // 100 TB path is the sketch form — pin its accuracy here instead
+    val d = graft.io.Tables.documents(spark, sfDir)
+    val rows = d.groupBy($"lang")
+      .agg(
+        expr("percentile(n_chars, array(0.5D, 0.9D))").as("exact"),
+        expr("percentile_approx(n_chars, array(0.5D, 0.9D), 10000)").as("approx"),
+        (max($"n_chars") - min($"n_chars")).as("range"))
+      .select($"exact", $"approx", $"range")
+      .as[(Seq[Double], Seq[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx, range) =>
+      exact.zip(approx).foreach { case (e2, a2) =>
+        assert(math.abs(a2 - e2) <= math.max(1.0, range * 0.02),
+          s"approx=$a2 exact=$e2 range=$range")
+      }
+    }
+  }
+
   test("MinHash LSH pairs are a superset-filtered subset of true near-dups") {
     // construct docs where 1-2 are true near-dups, 3 unrelated
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
