@@ -153,4 +153,23 @@ class PlanSpec extends SparkSpec {
              sources.exists(_.contains("graft.expr.ShingleKernels")), s"$q: kernel call not in generated code")
     }
   }
+
+  // formatted explain prints each node twice (tree + detail section);
+  // count distinct node ids, not raw substring hits
+  private def exchangeNodes(p: String): Int =
+    """\((\d+)\) Exchange""".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("token-budget sample shuffles once on the stratum key (cumsum rides that window)") {
+    val p = plan(SparkEntry.queries("q84_token_budget")(spark, sfDir))
+    assert(exchangeNodes(p) == 1, s"expected 1 exchange:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("length-quantile report partial-aggregates before its single shuffle") {
+    // exact percentile is an ImperativeAggregate with a partial phase —
+    // map-side buffers must form before the one exchange on lang
+    val p = plan(SparkEntry.queries("q87_length_quantiles")(spark, sfDir))
+    assert(exchangeNodes(p) == 1, s"expected 1 exchange:\n$p")
+    assert(p.contains("partial_percentile"), p)
+  }
 }
