@@ -485,6 +485,25 @@ object Queries6 {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Export shard manifest — stateless hash sharding into 8 shards with
+    * per-shard row/token totals and an order-independent checksum (the
+    * table a resumable 100 TB export verifies against; see
+    * [[graft.ops.Shard]]). */
+  val q88ShardManifest: Q = (spark, dir) => {
+    import graft.functions.TextFns
+    import graft.ops.Shard
+    Shard.manifest(
+      Shard.assignShards(Tables.documents(spark, dir), "doc_id", 8),
+      "shard", "doc_id", TextFns.tokenCount(col("text")))
+  }
+  val q88Sql: String =
+    """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+      |  count(*) AS n_rows,
+      |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+      |  sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::BIGINT AS checksum
+      |FROM documents GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
     "q80_subfetch_expand" -> q80SubfetchExpand,
@@ -494,7 +513,8 @@ object Queries6 {
     "q84_token_budget" -> q84TokenBudget,
     "q85_mixture_weights" -> q85MixtureWeights,
     "q86_global_index" -> q86GlobalIndex,
-    "q87_length_quantiles" -> q87LengthQuantiles)
+    "q87_length_quantiles" -> q87LengthQuantiles,
+    "q88_shard_manifest" -> q88ShardManifest)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
@@ -505,5 +525,6 @@ object Queries6 {
     "q84_token_budget" -> q84Sql,
     "q85_mixture_weights" -> q85Sql,
     "q86_global_index" -> q86Sql,
-    "q87_length_quantiles" -> q87Sql)
+    "q87_length_quantiles" -> q87Sql,
+    "q88_shard_manifest" -> q88Sql)
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT: split the final mix into N shards and produce the
+  * manifest a consumer (or a resumed export) verifies against. The
+  * reference's terminal step is a driver-collected CSV upload; at 100 TB
+  * the export is a distributed partitioned write plus a tiny manifest
+  * table — the manifest, not the bytes, is what resumption and integrity
+  * checks read.
+  *
+  * Shard assignment is STATELESS (a hash of the id), so it needs no global
+  * coordination, survives reruns, and any subset of rows can be
+  * re-exported idempotently. For strict size balance use
+  * [[Ids.globalIndex]] modulo N instead — hash sharding balances to
+  * ±O(√(rows/shard)), which at training scale is well under a percent.
+  */
+object Shard {
+
+  /** Stateless shard id from the portable md5-prefix hash (the engine-
+    * portable convention every oracle-checked sampling path here uses). */
+  def assignShards(df: DataFrame, idCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame =
+    df.withColumn(outCol,
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(numShards.toLong)))
+
+  /** xxhash64 variant — one 64-bit hash instead of md5; the faster
+    * spelling for the 100 TB path (not oracle-comparable: xxhash64's seed
+    * and algorithm are Spark-specific). */
+  def assignShardsFast(df: DataFrame, idCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame =
+    df.withColumn(outCol, pmod(xxhash64(col(idCol).cast("string")), lit(numShards.toLong)))
+
+  /** Per-shard manifest: row count, token total, and an ORDER-INDEPENDENT
+    * content checksum (sum of a 32-bit md5 prefix per id — commutative, so
+    * no per-shard sort and no collect; two exports of the same rows match
+    * regardless of task scheduling). */
+  def manifest(df: DataFrame, shardCol: String, idCol: String,
+      tokenCount: Column): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(tokenCount).cast("long").as("n_tokens"),
+        sum(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+
+  /** Distributed sharded write: one directory per shard
+    * (`shard=<k>/part-*.parquet`), plus the manifest as a side table. The
+    * shard column partitions the layout, so a consumer reads any shard
+    * with partition pruning and verifies it against the manifest before
+    * use. Returns the manifest (already computed on the written data's
+    * plan, not re-read). */
+  def writeShards(df: DataFrame, outDir: String, idCol: String, numShards: Int,
+      tokenCount: Column): DataFrame = {
+    val sharded = assignShards(df, idCol, numShards)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val m = manifest(sharded, "shard", idCol, tokenCount)
+    m.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    m
+  }
+}
