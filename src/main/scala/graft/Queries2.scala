@@ -186,9 +186,11 @@ object Queries2 {
   val q21Quality: Q = (spark, dir) =>
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFns.qualityScoreMicro(col("text")).as("quality_e6"))
-  val q21Sql: String = {
+  /** DuckDB spelling of [[TextFns.qualityScoreMicro]] over a `text`
+    * column — shared by q21 and the q89 training-mix capstone. */
+  private[graft] val QualitySqlExpr: String = {
     val stops = TextFns.Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, floor((
+    s"""floor((
        |  least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
        |  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
        |      ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
@@ -197,9 +199,11 @@ object Queries2 {
        |      ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |             t -> list_contains([$stops], t)))::DOUBLE
        |           / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END) * 5.0, 1.0) * 0.3
-       |  ) * 1000000.0 + 0.5)::BIGINT AS quality_e6
-       |FROM documents""".stripMargin
+       |  ) * 1000000.0 + 0.5)::BIGINT""".stripMargin
   }
+  val q21Sql: String =
+    s"""SELECT doc_id, $QualitySqlExpr AS quality_e6
+       |FROM documents""".stripMargin
 
   /** Heuristic language ID vs the fixture's lang column. Spelled as
     * explode → conditional-sum hash aggregate rather than per-row

@@ -504,6 +504,48 @@ object Queries6 {
       |  sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::BIGINT AS checksum
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** The TRAINING-DATA capstone — the extension-side sibling of q83: the
+    * whole corpus→training-mix flow as ONE plan. Quality gate (q21's exact
+    * score) → exact-dedup keep-canonical (q13/q39) → per-language token
+    * budget (q84) → weighted epochs (q85, fr seen 2×) → shard manifest
+    * (q88). What ships to a trainer is the manifest of exactly this mix;
+    * the whole composition hash-checks against one DuckDB query. */
+  val q89TrainingMix: Q = (spark, dir) => {
+    import graft.functions.TextFns
+    import graft.ops.{Dedup, Mixture, Shard}
+    val d = Tables.documents(spark, dir)
+    val quality = d.filter(TextFns.qualityScoreMicro(col("text")) >= 300000L)
+    val groups = Dedup.exactGroups(quality, "doc_id", "text")
+    val deduped = quality.join(
+      groups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val budgeted = Mixture.tokenBudgetSample(
+      deduped, "lang", "doc_id", TextFns.tokenCount(col("text")), budget = 2000L)
+    val mixed = Mixture.repeatWeighted(
+      budgeted, "lang", "doc_id", Map("fr" -> 2.0), defaultWeight = 1.0)
+    Shard.manifest(Shard.assignShards(mixed, "doc_id", 8),
+      "shard", "doc_id", TextFns.tokenCount(col("text")))
+  }
+  val q89Sql: String =
+    s"""WITH q0 AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE ${Queries2.QualitySqlExpr} >= 300000),
+       |dq AS (SELECT * FROM q0 WHERE doc_id IN (
+       |  SELECT min(doc_id) FROM q0
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))),
+       |tb AS (SELECT doc_id, lang,
+       |  (CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens
+       |  FROM dq),
+       |cb AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+       |         ORDER BY md5(doc_id::VARCHAR), doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tb),
+       |kept AS (SELECT * FROM cb WHERE cum <= 2000),
+       |rep AS (SELECT doc_id, n_tokens FROM kept,
+       |        unnest(generate_series(1, CASE lang WHEN 'fr' THEN 2 ELSE 1 END)) AS u(copy))
+       |SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+       |  count(*) AS n_rows, sum(n_tokens)::BIGINT AS n_tokens,
+       |  sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::BIGINT AS checksum
+       |FROM rep GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q79_paged_ingest" -> q79PagedIngest,
     "q80_subfetch_expand" -> q80SubfetchExpand,
@@ -514,7 +556,8 @@ object Queries6 {
     "q85_mixture_weights" -> q85MixtureWeights,
     "q86_global_index" -> q86GlobalIndex,
     "q87_length_quantiles" -> q87LengthQuantiles,
-    "q88_shard_manifest" -> q88ShardManifest)
+    "q88_shard_manifest" -> q88ShardManifest,
+    "q89_training_mix" -> q89TrainingMix)
 
   val oracle: Map[String, String] = Map(
     "q79_paged_ingest" -> q79Sql,
@@ -526,5 +569,6 @@ object Queries6 {
     "q85_mixture_weights" -> q85Sql,
     "q86_global_index" -> q86Sql,
     "q87_length_quantiles" -> q87Sql,
-    "q88_shard_manifest" -> q88Sql)
+    "q88_shard_manifest" -> q88Sql,
+    "q89_training_mix" -> q89Sql)
 }
