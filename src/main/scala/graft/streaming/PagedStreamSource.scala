@@ -101,11 +101,11 @@ private final class PagedTable(clientName: String) extends Table with SupportsRe
 }
 
 /** Offset = number of pages fully ingested (exclusive upper cursor). */
-private[streaming] final case class PageOffset(pages: Long) extends Offset {
+private[graft] final case class PageOffset(pages: Long) extends Offset {
   override def json: String = pages.toString
 }
 
-private final class PagedMicroBatchStream(clientName: String) extends MicroBatchStream {
+private[graft] final class PagedMicroBatchStream(clientName: String) extends MicroBatchStream {
   private val reg = PagedStreamSource.registration(clientName)
   // driver-side buffer of fetched-but-uncommitted pages
   private val buffered = mutable.Map.empty[Long, Seq[Row]]
@@ -136,8 +136,16 @@ private final class PagedMicroBatchStream(clientName: String) extends MicroBatch
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val (s, e) = (start.asInstanceOf[PageOffset].pages, end.asInstanceOf[PageOffset].pages)
-      (s until e).map(p => PagePartition(buffered.getOrElse(p, Seq.empty), reg.schema)
-        : InputPartition).toArray
+      (s until e).map { p =>
+        // replay path: after a driver restart the checkpoint can ask for a
+        // page range this fresh instance never buffered — a cursor-paged
+        // API re-serves any page, so RE-FETCH instead of silently emitting
+        // an empty batch (which would be recovery data loss)
+        val rows = buffered.getOrElse(p,
+          PagedSource.fetchWithRetry(reg.cfg, reg.sleep)(
+            reg.client.fetchPage(reg.method, p.toInt)))
+        PagePartition(rows, reg.schema): InputPartition
+      }.toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory = new PagedReaderFactory

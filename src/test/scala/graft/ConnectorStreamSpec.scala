@@ -121,6 +121,26 @@ class ConnectorStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("restart replay re-fetches committed-away pages instead of emitting empty batches") {
+    // simulate recovery: a FRESH stream instance (post-restart state, empty
+    // buffer) asked to plan a range its predecessor ingested — the pages
+    // must come back from the client, not as silent empties
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_replay", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    val fresh = new graft.streaming.PagedMicroBatchStream("fx_replay")
+    val parts = fresh.planInputPartitions(
+      graft.streaming.PageOffset(0L), graft.streaming.PageOffset(2L))
+    assert(parts.length == 2)
+    val readerFactory = fresh.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = readerFactory.createReader(p)
+      Iterator.continually(r).takeWhile(_.next()).map(_ => 1).toArray
+    }
+    assert(rows.length == 10) // pages 0,1 × 5 rows, re-fetched on demand
+  }
+
   test("full streaming ingest: paged listing stream + distributed child expansion per micro-batch") {
     // the S4+S5 composition under streaming: each micro-batch of parents
     // fans out through the DISTRIBUTED expandChildren path (q80's shape)
