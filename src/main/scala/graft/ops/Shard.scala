@@ -50,13 +50,21 @@ object Shard {
     * (`shard=<k>/part-*.parquet`), plus the manifest as a side table. The
     * shard column partitions the layout, so a consumer reads any shard
     * with partition pruning and verifies it against the manifest before
-    * use. Returns the manifest (already computed on the written data's
-    * plan, not re-read). */
+    * use.
+    *
+    * The manifest is computed from a READ-BACK of the written files, not
+    * from the input plan: re-executing the upstream lineage would both pay
+    * a second full pass over the source and — if anything upstream is
+    * nondeterministic or the source moved between the two executions —
+    * describe rows that are not the bytes on disk, which defeats an
+    * integrity manifest. Reading back costs one scan of the (already
+    * sharded, column-pruned) output. */
   def writeShards(df: DataFrame, outDir: String, idCol: String, numShards: Int,
       tokenCount: Column): DataFrame = {
     val sharded = assignShards(df, idCol, numShards)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val m = manifest(sharded, "shard", idCol, tokenCount)
+    val written = df.sparkSession.read.parquet(outDir)
+    val m = manifest(written, "shard", idCol, tokenCount)
     m.write.mode("overwrite").parquet(s"$outDir/_manifest")
     m
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -28,12 +28,18 @@ import graft.io.{PagedConfig, PagedSource, PageClient}
   *    on the DRIVER — the listing side of a paged API is inherently serial
   *    (cursor + rate limit), exactly like the batch path. The trigger
   *    interval plays the role of `requestDelayMillis`; retry/backoff reuse
-  *    [[PagedSource.fetchWithRetry]] verbatim, and an exhausted retry
-  *    yields an empty page without failing the query (a dead page cannot
-  *    kill the stream, matching STACK-Ingestion.py:64).
-  *  - a short or empty page marks the listing exhausted: the offset stops
-  *    advancing and `processAllAvailable`/`Trigger.AvailableNow` drain
-  *    cleanly; on a live API the next trigger simply re-probes.
+  *    [[PagedSource.fetchWithRetry]] verbatim. A page still dead after all
+  *    retries does NOT fail the query and is NOT skipped: the cursor
+  *    stalls and the next trigger retries it — an outage pauses ingestion
+  *    until the API recovers (no data loss, no stream death).
+  *  - an empty probe leaves the offset unchanged, so
+  *    `processAllAvailable` drains cleanly while a live API keeps being
+  *    re-probed every trigger; `Trigger.AvailableNow` is supported for
+  *    real (SupportsTriggerAvailableNow): prepare pre-drains the whole
+  *    bounded listing — the reference's one-shot download shape.
+  *  - restart recovery is exact: the checkpointed offset resynchronizes
+  *    the cursor (every pre-cursor page was full, so the raw count
+  *    reconstructs), and replayed ranges re-fetch from the client.
   *  - each micro-batch plans the buffered pages in `(start, end]` as one
   *    InputPartition per page; rows convert to InternalRow on executors.
   *    Committed pages are dropped from the driver buffer, so driver memory
@@ -105,45 +111,85 @@ private[graft] final case class PageOffset(pages: Long) extends Offset {
   override def json: String = pages.toString
 }
 
-private[graft] final class PagedMicroBatchStream(clientName: String) extends MicroBatchStream {
+private[graft] final class PagedMicroBatchStream(clientName: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val reg = PagedStreamSource.registration(clientName)
   // driver-side buffer of fetched-but-uncommitted pages
   private val buffered = mutable.Map.empty[Long, Seq[Row]]
   private var nextPage: Long = 0L
   private var rawCount: Long = 0L
-  private var exhausted = false
+  // set once by prepareForTriggerAvailableNow: the whole listing is already
+  // buffered, so per-trigger latestOffset must not advance further
+  private var drainedAvailableNow = false
 
-  override def initialOffset(): Offset = PageOffset(0L)
-  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
+  private def fetchPage(p: Long): Seq[Row] =
+    PagedSource.fetchWithRetry(reg.cfg, reg.sleep)(
+      reg.client.fetchPage(reg.method, p.toInt))
 
-  override def latestOffset(): Offset = synchronized {
-    // one page per trigger: the trigger interval IS the rate limit. Stop
-    // advancing at maxPages / limit raw items / a short page — the same
-    // three exits as the batch fetchListing loop.
-    if (!exhausted && nextPage < reg.cfg.maxPages && rawCount < reg.cfg.limit) {
-      val items = PagedSource.fetchWithRetry(reg.cfg, reg.sleep)(
-        reg.client.fetchPage(reg.method, nextPage.toInt))
+  /** Ingest the page at the cursor if capacity remains; true iff a FULL
+    * page arrived (meaning more may follow). The maxPages / limit /
+    * short-page exits mirror the batch fetchListing loop. */
+  private def advanceOnePage(): Boolean = {
+    if (nextPage < reg.cfg.maxPages && rawCount < reg.cfg.limit) {
+      val items = fetchPage(nextPage)
       if (items.nonEmpty) {
         buffered(nextPage) = items
         rawCount += items.size
         nextPage += 1
       }
-      if (items.size < reg.cfg.pageSize) exhausted = true
+      items.size >= reg.cfg.pageSize
+    } else false
+  }
+
+  /** Restart recovery: the checkpoint's offset tells us how many pages the
+    * previous incarnation ingested. Every page before the cursor was FULL
+    * (a short page ends the listing), so the raw count reconstructs
+    * exactly; without this, latestOffset would regress below the committed
+    * offset and re-emit pages 0..n as duplicates after recovery. */
+  private def syncTo(pages: Long): Unit =
+    if (pages > nextPage) {
+      nextPage = pages
+      rawCount = pages * reg.cfg.pageSize
     }
+
+  override def initialOffset(): Offset = PageOffset(0L)
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val o = PageOffset(json.toLong)
+    syncTo(o.pages)
+    o
+  }
+
+  /** Trigger.AvailableNow contract: snapshot everything available NOW so
+    * the final latestOffset covers the whole listing — this is the
+    * reference's one-shot download shape, bounded by the same three exits. */
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    while (advanceOnePage()) ()
+    drainedAvailableNow = true
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = synchronized { PageOffset(nextPage) }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    syncTo(start.asInstanceOf[PageOffset].pages)
+    // one page per trigger: the trigger interval IS the rate limit
+    // (AvailableNow pre-drained everything in prepare)
+    if (!drainedAvailableNow) advanceOnePage()
     PageOffset(nextPage)
   }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val (s, e) = (start.asInstanceOf[PageOffset].pages, end.asInstanceOf[PageOffset].pages)
+      syncTo(e)
       (s until e).map { p =>
         // replay path: after a driver restart the checkpoint can ask for a
         // page range this fresh instance never buffered — a cursor-paged
         // API re-serves any page, so RE-FETCH instead of silently emitting
         // an empty batch (which would be recovery data loss)
-        val rows = buffered.getOrElse(p,
-          PagedSource.fetchWithRetry(reg.cfg, reg.sleep)(
-            reg.client.fetchPage(reg.method, p.toInt)))
+        val rows = buffered.getOrElse(p, fetchPage(p))
         PagePartition(rows, reg.schema): InputPartition
       }.toArray
     }

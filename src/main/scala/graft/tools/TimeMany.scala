@@ -4,16 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Batch single-session timer for scaling audits:
   * `runMain graft.tools.TimeMany <sfDir> <reps> <name> [name...]`.
-  * Same session config as [[graft.Bench]]; prints per-query min-of-reps.
+  * Session config follows [[graft.Bench]]'s SPARK_GRAFT_CPUS knob but
+  * defaults to 32 — the driver's bench invocation — so numbers are
+  * comparable to BENCH_full.json without exporting anything.
   */
 object TimeMany {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

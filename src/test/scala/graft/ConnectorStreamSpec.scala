@@ -21,7 +21,7 @@ class ConnectorStreamSpec extends SparkSpec {
 
   // deterministic fixture snapshot: 23 events → 5 pages of ≤5 under pageSize=5
   private lazy val snapshot: IndexedSeq[Row] =
-    graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.io.Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id")).limit(23)
       .collect().toIndexedSeq
@@ -119,6 +119,62 @@ class ConnectorStreamSpec extends SparkSpec {
       key = _.getLong(0), viable = _.getLong(0) % 2 == 0, sleep = _ => ())
       .map(_.getLong(0)).sorted
     assert(got == want)
+  }
+
+  test("Trigger.AvailableNow drains the whole listing in one run") {
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_availnow", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    val q = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", "fx_availnow").load()
+      .writeStream.format("memory").queryName("paged_availnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000L)
+    assert(spark.table("paged_availnow").count() == 23L)
+  }
+
+  test("restart resynchronizes the cursor from the checkpointed offset (no duplicate re-emit)") {
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    PagedStreamSource.register("fx_resync", schema, new FixtureListing(5), cfg,
+      sleep = _ => ())
+    // fresh instance = post-restart state; the engine replays the
+    // checkpointed offset through deserializeOffset before planning
+    val fresh = new graft.streaming.PagedMicroBatchStream("fx_resync")
+    val restored = fresh.deserializeOffset("3")
+    // next trigger must advance FROM page 3, never regress to 0
+    val next = fresh.latestOffset(restored,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(next.asInstanceOf[graft.streaming.PageOffset].pages == 4L)
+  }
+
+  test("a retry-dead page stalls the cursor and is retried next trigger, never skipped") {
+    @volatile var dead = true
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] = {
+        if (page == 2 && dead) sys.error("outage")
+        snapshot.slice(page * 5, (page + 1) * 5)
+      }
+    }
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 10L, maxAttempts = 2, backoffMultiplier = 2.0)
+    PagedStreamSource.register("fx_dead", schema, client, cfg, sleep = sleeps += _)
+    val s = new graft.streaming.PagedMicroBatchStream("fx_dead")
+    val all = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    def tick(from: Long): Long =
+      s.latestOffset(graft.streaming.PageOffset(from), all)
+        .asInstanceOf[graft.streaming.PageOffset].pages
+    assert(tick(0) == 1 && tick(1) == 2)
+    // page 2 dead: two triggers stall at 2 (each exhausting its retries)
+    assert(tick(2) == 2 && tick(2) == 2)
+    assert(sleeps.size == 4) // 2 attempts x 2 triggers, backoff each time
+    dead = false // API recovers: the SAME page resumes, nothing skipped
+    assert(tick(2) == 3)
   }
 
   test("restart replay re-fetches committed-away pages instead of emitting empty batches") {
