@@ -158,20 +158,29 @@ object Queries6 {
         array_join(transform(col("neighbors"), x => x.cast("string")), ",").as("neighbors"),
         size(col("neighbors")).cast("long").as("n_neighbors"))
   }
-  val q81Sql: String =
-    s"""WITH RECURSIVE ${Queries3.rpPairsCteBody},
-       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+  /** Connected-components closure + min-size noise labeling over a
+    * `pairs(id_a, id_b, …)` CTE and a seed relation, producing
+    * `lab(vec_id, cluster, is_noise)` — the DuckDB mirror of
+    * [[graft.ops.Components.dedupClusters]] + the noise rule of
+    * [[graft.ops.Embed.densityClusters]]. ONE spelling shared by the q81
+    * and q83 oracles so the noise rule can never silently diverge. */
+  private def ccLabCte(seedRel: String, minClusterSize: Int): String =
+    s"""e AS (SELECT id_a AS s, id_b AS t FROM pairs
        |      UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
        |reach AS (
-       |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+       |  SELECT vec_id AS id, vec_id AS lbl FROM $seedRel
        |  UNION
        |  SELECT e.t AS id, reach.lbl FROM reach JOIN e ON e.s = reach.id),
        |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id),
        |sized AS (SELECT vec_id, component,
        |            count(*) OVER (PARTITION BY component) AS comp_size FROM comp),
        |lab AS (SELECT vec_id,
-       |          (CASE WHEN comp_size < 5 THEN -1 ELSE component END)::BIGINT AS cluster,
-       |          comp_size < 5 AS is_noise FROM sized),
+       |          (CASE WHEN comp_size < $minClusterSize THEN -1 ELSE component END)::BIGINT AS cluster,
+       |          comp_size < $minClusterSize AS is_noise FROM sized)""".stripMargin
+
+  val q81Sql: String =
+    s"""WITH RECURSIVE ${Queries3.rpPairsCteBody},
+       |${ccLabCte("embeddings", 5)},
        |m AS (SELECT cluster, list_sort(list(vec_id)) AS mem FROM lab GROUP BY cluster)
        |SELECT l.vec_id, l.cluster, l.is_noise,
        | CASE WHEN l.cluster = -1 THEN ''
@@ -361,18 +370,7 @@ object Queries6 {
        |kept AS (SELECT e0.vec_id, e0.embedding
        |         FROM embeddings e0 JOIN allkeep ON allkeep.vid = e0.vec_id),
        |${Queries3.rpPairsCte("kept", simThreshold = 0.3)},
-       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
-       |      UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
-       |reach AS (
-       |  SELECT vec_id AS id, vec_id AS lbl FROM kept
-       |  UNION
-       |  SELECT e.t AS id, reach.lbl FROM reach JOIN e ON e.s = reach.id),
-       |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id),
-       |sized AS (SELECT vec_id, component,
-       |            count(*) OVER (PARTITION BY component) AS comp_size FROM comp),
-       |lab AS (SELECT vec_id,
-       |          (CASE WHEN comp_size < 5 THEN -1 ELSE component END)::BIGINT AS cluster
-       |        FROM sized),
+       |${ccLabCte("kept", 5)},
        |qq AS (SELECT embedding FROM embeddings WHERE vec_id = 26),
        |sc AS (SELECT l.vec_id AS vid, l.cluster,
        |         round(list_cosine_similarity(k2.embedding::DOUBLE[], qq.embedding::DOUBLE[]), 6) AS sim
@@ -433,7 +431,7 @@ object Queries6 {
   val q85Sql: String =
     """SELECT doc_id, lang, u.copy FROM (
       |  SELECT doc_id, lang,
-      |    (floor(w) + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0
+      |    (floor(w) + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':draw'), 1, 4))::BIGINT / 65536.0
       |                          < w - floor(w) THEN 1 ELSE 0 END)::BIGINT AS n
       |  FROM (SELECT doc_id, lang,
       |          (CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 0.25 ELSE 1.0 END)::DOUBLE AS w
@@ -453,8 +451,11 @@ object Queries6 {
   }
   val q86Sql: String =
     """SELECT doc_id, lang,
-      |  (row_number() OVER (ORDER BY lang, doc_id) - 1)::BIGINT AS example_id
+      |  (row_number() OVER (ORDER BY lang NULLS FIRST, doc_id NULLS FIRST) - 1)::BIGINT
+      |    AS example_id
       |FROM documents""".stripMargin
+  // ^ NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's asc default;
+  //   without it a single NULL order-key value shifts every id by one
 
   /** Per-language length-distribution report (p50/p90/p99 + extrema) —
     * the corpus-profiling aggregate every filtering decision starts from.

@@ -91,6 +91,28 @@ object PagedSource {
     Seq.empty
   }
 
+  /** Strict variant: same backoff schedule, but exhausted retries RETHROW
+    * the last failure instead of degrading to an empty page. For callers
+    * where an empty result has its own meaning (end-of-listing) and a
+    * swallowed failure would be silent data loss — e.g. a streaming
+    * batch REPLAY or a one-shot AvailableNow drain, where the engine (or
+    * the operator) must see the failure to retry/fail loudly. */
+  def fetchWithRetryStrict[A](cfg: PagedConfig, sleep: Long => Unit)(thunk: => Seq[A]): Seq[A] = {
+    var attempts = 0
+    var last: Throwable = null
+    while (attempts < cfg.maxAttempts) {
+      try return thunk
+      catch {
+        case NonFatal(e) =>
+          last = e
+          attempts += 1
+          sleep((cfg.requestDelayMillis *
+            math.pow(cfg.backoffMultiplier, attempts)).toLong)
+      }
+    }
+    throw last
+  }
+
   /** Page through one listing method until a short/empty page, `maxPages`,
     * or `limit` raw items, pausing `requestDelayMillis` between pages
     * (the reference pauses every 50-item batch — REDDIT-Ingestion.py:54-59). */

@@ -19,7 +19,10 @@ object Ids {
 
   /** Dense 0-based global index in total `orderCols` order (make the key
     * total — append a unique tiebreak — or ids are nondeterministic, the
-    * same rule every window in this repo follows).
+    * same rule every window in this repo follows). Null placement follows
+    * the passed Columns (Spark's bare `asc` is NULLS FIRST — the opposite
+    * of e.g. DuckDB's default; pass `asc_nulls_last` or pin the consumer
+    * side when cross-engine agreement on nullable keys matters).
     *
     * Phase 1 range-repartitions and sorts by the key (one shuffle, the
     * same cost any global ordering pays). Phase 2 is `zipWithIndex`: one

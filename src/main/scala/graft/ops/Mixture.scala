@@ -53,10 +53,14 @@ object Mixture {
     * a 0.25 weight DOWN-samples to a quarter. `copy` numbers the
     * repetitions (1-based); rows from weight-0 strata vanish.
     *
-    * The fractional draw is the first 4 md5 hex digits of the id scaled to
-    * [0,1) — coarse (2^16 buckets) but engine-portable and independent of
-    * the hash ORDER above (different digits would correlate the two
-    * decisions only through md5 itself).
+    * The fractional draw is the first 4 hex digits of md5 of the SALTED id
+    * (`id || ":draw"`) scaled to [0,1) — coarse (2^16 buckets) but
+    * engine-portable, and independent of [[tokenBudgetSample]]'s selection
+    * order BY CONSTRUCTION: that order is ascending md5 of the unsalted
+    * id, so drawing from the same digest would hand budget-sample
+    * survivors systematically small draws and silently inflate fractional
+    * weights when the two ops compose (a 1%-sampled stratum at w=1.5
+    * would repeat ~100% of survivors instead of ~50%).
     *
     * Scale shape: pure map-side (project + explode), no shuffle; output
     * size is Σ w_s · |s|, which is the point.
@@ -67,7 +71,7 @@ object Mixture {
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     val draw =
-      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":draw"))), 1, 4), 16, 10)
         .cast("long") / lit(65536.0)
     val copies = (floor(w).cast("long") +
       when(draw < w - floor(w), lit(1L)).otherwise(lit(0L))).as("__copies")

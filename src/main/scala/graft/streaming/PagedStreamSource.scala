@@ -122,16 +122,26 @@ private[graft] final class PagedMicroBatchStream(clientName: String)
   // buffered, so per-trigger latestOffset must not advance further
   private var drainedAvailableNow = false
 
+  /** Lenient fetch for per-trigger polling: an exhausted retry degrades to
+    * an empty page so the cursor stalls (and re-probes next trigger)
+    * rather than killing the stream. */
   private def fetchPage(p: Long): Seq[Row] =
     PagedSource.fetchWithRetry(reg.cfg, reg.sleep)(
+      reg.client.fetchPage(reg.method, p.toInt))
+
+  /** Strict fetch for replay and one-shot drains: an exhausted retry must
+    * surface as a failure — degrading to empty there is silent data loss
+    * (replay) or a silently truncated download (AvailableNow). */
+  private def fetchPageStrict(p: Long): Seq[Row] =
+    PagedSource.fetchWithRetryStrict(reg.cfg, reg.sleep)(
       reg.client.fetchPage(reg.method, p.toInt))
 
   /** Ingest the page at the cursor if capacity remains; true iff a FULL
     * page arrived (meaning more may follow). The maxPages / limit /
     * short-page exits mirror the batch fetchListing loop. */
-  private def advanceOnePage(): Boolean = {
+  private def advanceOnePage(fetch: Long => Seq[Row]): Boolean = {
     if (nextPage < reg.cfg.maxPages && rawCount < reg.cfg.limit) {
-      val items = fetchPage(nextPage)
+      val items = fetch(nextPage)
       if (items.nonEmpty) {
         buffered(nextPage) = items
         rawCount += items.size
@@ -142,14 +152,17 @@ private[graft] final class PagedMicroBatchStream(clientName: String)
   }
 
   /** Restart recovery: the checkpoint's offset tells us how many pages the
-    * previous incarnation ingested. Every page before the cursor was FULL
-    * (a short page ends the listing), so the raw count reconstructs
-    * exactly; without this, latestOffset would regress below the committed
-    * offset and re-emit pages 0..n as duplicates after recovery. */
+    * previous incarnation ingested. All pre-cursor pages except possibly
+    * the LAST were full (only a short page ends a listing), so the raw
+    * count is reconstructed at its MINIMUM ((pages−1)·pageSize + 1): an
+    * overestimate could trip the `limit` gate permanently after a restart
+    * that a never-restarted stream would not have tripped, while the
+    * underestimate merely lets the stream overshoot `limit` by at most
+    * one page — the same slack the batch loop's between-pages check has. */
   private def syncTo(pages: Long): Unit =
     if (pages > nextPage) {
       nextPage = pages
-      rawCount = pages * reg.cfg.pageSize
+      rawCount = (pages - 1) * reg.cfg.pageSize + 1
     }
 
   override def initialOffset(): Offset = PageOffset(0L)
@@ -161,9 +174,12 @@ private[graft] final class PagedMicroBatchStream(clientName: String)
 
   /** Trigger.AvailableNow contract: snapshot everything available NOW so
     * the final latestOffset covers the whole listing — this is the
-    * reference's one-shot download shape, bounded by the same three exits. */
+    * reference's one-shot download shape, bounded by the same three exits.
+    * STRICT fetch: a page still dead after retries fails the run loudly —
+    * a one-shot download that silently stops at the outage would report
+    * success on a truncated corpus. */
   override def prepareForTriggerAvailableNow(): Unit = synchronized {
-    while (advanceOnePage()) ()
+    while (advanceOnePage(fetchPageStrict)) ()
     drainedAvailableNow = true
   }
 
@@ -173,7 +189,7 @@ private[graft] final class PagedMicroBatchStream(clientName: String)
     syncTo(start.asInstanceOf[PageOffset].pages)
     // one page per trigger: the trigger interval IS the rate limit
     // (AvailableNow pre-drained everything in prepare)
-    if (!drainedAvailableNow) advanceOnePage()
+    if (!drainedAvailableNow) advanceOnePage(fetchPage)
     PageOffset(nextPage)
   }
   override def latestOffset(): Offset =
@@ -187,9 +203,15 @@ private[graft] final class PagedMicroBatchStream(clientName: String)
       (s until e).map { p =>
         // replay path: after a driver restart the checkpoint can ask for a
         // page range this fresh instance never buffered — a cursor-paged
-        // API re-serves any page, so RE-FETCH instead of silently emitting
-        // an empty batch (which would be recovery data loss)
-        val rows = buffered.getOrElse(p, fetchPage(p))
+        // API re-serves any page, so RE-FETCH. Strict: every planned page
+        // held ≥1 row when first ingested (the cursor only advances on
+        // non-empty pages), so an empty or failed replay means the batch
+        // must FAIL for the engine to retry — emitting empty partitions
+        // would commit the offset past rows that were never produced.
+        val rows = buffered.getOrElse(p, fetchPageStrict(p))
+        if (rows.isEmpty && !buffered.contains(p))
+          throw new IllegalStateException(
+            s"replay of page $p returned no rows; failing batch so the engine retries")
         PagePartition(rows, reg.schema): InputPartition
       }.toArray
     }
