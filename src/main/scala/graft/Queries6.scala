@@ -462,23 +462,21 @@ object Queries6 {
     * EXACT percentiles (Hive/DuckDB-identical rank = p·(n−1) linear
     * interpolation) for oracle parity, emitted in floor-micro-units (q21's
     * convention — %.Nf rounding of a half-way double disagrees between
-    * engines); the 100 TB path is percentile_approx, invariant-tested
-    * against this exact form in InvariantSpec's approx family. Exact
-    * percentile holds each group's values — bounded here by the per-lang
-    * corpus slice, the same bounded-contract pattern as q16. */
+    * engines). The registered plan is [[graft.ops.Quantiles.profile]] — the
+    * value-HISTOGRAM form whose every structure is bounded by the length
+    * column's domain, never by row count — NOT the built-in `percentile`,
+    * whose single aggregation buffer holds a whole language's values (the
+    * round-5 scale flag). The built-in exact form stays as the verifier
+    * (QuantilesSpec proves equality); percentile_approx remains
+    * invariant-tested in InvariantSpec as the sketch alternative. */
   val q87LengthQuantiles: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("__qs"),
-        min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
-      .select(col("lang"), col("n_docs"),
-        array_join(transform(col("__qs"),
+    graft.ops.Quantiles.profile(
+        Tables.documents(spark, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
+      .select(col("lang"), col("n_rows").as("n_docs"),
+        array_join(transform(col("quantiles"),
           x => floor(x * 1e6 + lit(0.5)).cast("long").cast("string")), ",")
           .as("quantiles_e6"),
-        col("min_chars"), col("max_chars"))
+        col("vmin").as("min_chars"), col("vmax").as("max_chars"))
   val q87Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  array_to_string(list_transform(quantile_cont(n_chars, [0.5, 0.9, 0.99]),

@@ -98,6 +98,8 @@ object PagedSource {
     * batch REPLAY or a one-shot AvailableNow drain, where the engine (or
     * the operator) must see the failure to retry/fail loudly. */
   def fetchWithRetryStrict[A](cfg: PagedConfig, sleep: Long => Unit)(thunk: => Seq[A]): Seq[A] = {
+    require(cfg.maxAttempts >= 1,
+      s"maxAttempts must be >= 1 (got ${cfg.maxAttempts}); 0 would throw a bare NPE below")
     var attempts = 0
     var last: Throwable = null
     while (attempts < cfg.maxAttempts) {

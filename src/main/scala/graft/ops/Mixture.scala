@@ -28,21 +28,73 @@ object Mixture {
     * dropped). Emits `cum_tokens` so budget accounting is visible
     * downstream.
     *
-    * Scale shape: one shuffle on the stratum key; the cumsum window is a
-    * single per-stratum pass. A stratum far larger than the budget is the
-    * common case (that is why one samples) — at extreme skew, first bound
-    * the stratum by an md5-prefix range estimated from a sample (the q56
-    * filter pushes to the scan), then run the exact cumsum on the bounded
-    * slice; the semantics below are unchanged by that refinement because
-    * the hash order is identical.
+    * Scale shape: the naive spelling funnels EVERY row of a stratum
+    * through that stratum's single cumsum window task — at 100 TB with ~10
+    * language strata, one task sorts a whole language to keep a budget's
+    * worth. So the window here runs only on a BOUNDED slice, and the bound
+    * is exact, not sampled: [[boundedSlice]] aggregates token totals per
+    * (stratum, 16-bit md5-prefix bucket) — a map-side-combined shuffle of
+    * at most |strata|·65536 rows — cumsums the per-BUCKET totals in hash
+    * order (a window over ≤65536 rows per stratum), and keeps, per
+    * stratum, only buckets up to the first whose running total STRICTLY
+    * exceeds the budget. Every surviving row of the exact cumsum
+    * necessarily lies in those buckets (the running total is monotone in
+    * hash order and bucket order is a prefix of the row order), so the
+    * final window sees ~budget + one bucket's worth of rows per stratum
+    * instead of the whole stratum, and the results are identical by
+    * construction. The prefilter is evaluated map-side directly over the
+    * scan (a broadcast of one cutoff row per OVER-budget stratum — the
+    * under-budget ones need no bound); the big side never shuffles before
+    * being bounded.
     */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
       tokenCount: Column, budget: Long): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashOrder(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokenCount).over(w).cast("long"))
+    boundedSlice(df, strataCol, idCol, tokenCount, budget)
+      .withColumn("cum_tokens", sum(tokenCount).over(w).cast("long"))
       .filter(col("cum_tokens") <= budget)
+  }
+
+  /** The 16-bit md5-prefix bucket of the id — a PREFIX of [[hashOrder]]'s
+    * sort key (md5 is fixed-length lowercase hex, so lexicographic order
+    * of the full digest refines numeric order of its first 4 digits):
+    * walking buckets ascending visits rows in the same order the cumsum
+    * window does, coarsened to 65536 steps. */
+  private def hashBucket(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Exact superset of [[tokenBudgetSample]]'s survivors, bounded per
+    * stratum (exposed for MixtureSpec's prune/superset assertions).
+    *
+    * Cutoff rule: a row is dropped iff its exact running total exceeds
+    * `budget`; the running total through the END of bucket B is a lower
+    * bound for every row in buckets > B, so once a bucket's cumulative
+    * total strictly exceeds the budget, no later bucket can hold a
+    * survivor. Strict (>) not (>=): a zero-token row whose running total
+    * EQUALS the budget still survives the exact filter, and sits at
+    * cum == budget, not beyond it. Strata whose grand total never exceeds
+    * the budget produce no cutoff row → left join finds null → all rows
+    * kept (nothing to prune). NULL strata never equi-join a cutoff and are
+    * likewise kept unbounded — correct, merely unpruned. */
+  private[graft] def boundedSlice(df: DataFrame, strataCol: String, idCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("__graft_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = df.withColumn("__graft_bkt", hashBucket(idCol))
+      .groupBy(col(strataCol), col("__graft_bkt"))
+      .agg(sum(tokenCount).as("__graft_btok"))
+      .withColumn("__graft_bcum", sum(col("__graft_btok")).over(wb))
+      .filter(col("__graft_bcum") > budget)
+      .groupBy(col(strataCol))
+      .agg(min(col("__graft_bkt")).as("__graft_cut"))
+    df.join(broadcast(cutoffs), Seq(strataCol), "left")
+      .filter(col("__graft_cut").isNull || hashBucket(idCol) <= col("__graft_cut"))
+      .drop("__graft_cut")
+      // the using-column join hoists strataCol to the front; restore the
+      // caller's column order so the bounded form is schema-identical
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Deterministic weighted repetition (mixture epochs): every row of

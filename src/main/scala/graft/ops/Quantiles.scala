@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT quantiles — the corpus-profiling aggregate (per-group
+  * p50/p90/p99 + extrema) without the scale trap of `percentile(...)`.
+  *
+  * Spark's exact `percentile` (like DuckDB's `quantile_cont`) is an
+  * ImperativeAggregate whose buffer holds every (value, count) pair of the
+  * group — for a group that is "all documents in a language", that is an
+  * unbounded single-task buffer at 100 TB. The approximate path
+  * (`percentile_approx`) bounds the buffer but gives up exactness.
+  *
+  * This operator keeps BOTH: it computes the same type-7 linear
+  * interpolation (`rank = p·(n−1)`, the Hive/DuckDB convention) from a
+  * VALUE HISTOGRAM, so every structure is bounded by the value domain's
+  * cardinality, never by row count:
+  *
+  *  1. `groupBy(group, value).count()` — one map-side-combined shuffle of
+  *     at most |groups|·|distinct values| rows (a length column's domain
+  *     is ~1e6 whatever the corpus size);
+  *  2. per-group running counts over the histogram (a window whose
+  *     partitions are |distinct values| rows, not |rows|);
+  *  3. for each requested p, the two bracketing values are the histogram
+  *     rows whose cumulative range covers `floor(r)` / `floor(r)+1` — a
+  *     map-side filter, then a |groups|·|ps|-row aggregation.
+  *
+  * Values land at double precision and interpolate with the built-in
+  * Percentile's exact spelling — `(ceil(r)−r)·lo + (r−floor(r))·hi`, and
+  * the bracketing value alone when r is integral — so results are
+  * bit-identical to `percentile(...)` (QuantilesSpec asserts equality).
+  *
+  * Null values are excluded from ranks (aggregate semantics) but counted
+  * in `n_rows`; a group whose values are ALL null disappears from the
+  * output (the built-in would emit a null quantile array — don't profile
+  * a column that is entirely null).
+  */
+object Quantiles {
+
+  /** Per-group profile: `(group, n_rows, quantiles array<double>, vmin,
+    * vmax)` with `quantiles(i)` the exact `ps(i)`-quantile of `valueCol`.
+    */
+  def profile(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0,1], got $ps")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val hist = df.groupBy(g, v).agg(count(lit(1)).as("__cnt"))
+    val whole = Window.partitionBy(g)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val running = Window.partitionBy(g).orderBy(v.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      // totals BEFORE the null filter: n_rows counts null-valued rows too,
+      // exactly as count(*) alongside a percentile aggregate would
+      .withColumn("__n_all", sum(col("__cnt")).over(whole))
+      .withColumn("__vmin", min(v).over(whole))
+      .withColumn("__vmax", max(v).over(whole))
+      .filter(v.isNotNull)
+      .withColumn("__n", sum(col("__cnt")).over(whole))
+      .withColumn("__cum", sum(col("__cnt")).over(running))
+      .withColumn("__pcum", col("__cum") - col("__cnt"))
+    val qArr = array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("i"), lit(p).as("p")) }: _*)
+    // a histogram row covers sorted indices [pcum, cum); the p-quantile
+    // brackets are the rows covering k = floor(p·(n−1)) and k+1 (clamped)
+    val e = ranked.select(g, col("__n_all"), col("__vmin"), col("__vmax"),
+        v.cast("double").as("__v"), col("__n"), col("__cum"), col("__pcum"),
+        explode(qArr).as("__q"))
+      .withColumn("__r", col("__q.p") * (col("__n") - 1).cast("double"))
+      .withColumn("__k", floor(col("__r")).cast("long"))
+      .withColumn("__k2", least(col("__k") + 1, col("__n") - 1))
+      .select(g, col("__q.i").as("__i"), col("__n_all"), col("__vmin"),
+        col("__vmax"), col("__r"), col("__k"),
+        when(col("__pcum") <= col("__k") && col("__k") < col("__cum"),
+          col("__v")).as("__lo"),
+        when(col("__pcum") <= col("__k2") && col("__k2") < col("__cum"),
+          col("__v")).as("__hi"))
+      .filter(col("__lo").isNotNull || col("__hi").isNotNull)
+    val perQuantile = e.groupBy(g, col("__i"))
+      .agg(first(col("__n_all")).as("__n_all"),
+        first(col("__vmin")).as("__vmin"), first(col("__vmax")).as("__vmax"),
+        first(col("__r")).as("__r"), first(col("__k")).as("__k"),
+        max(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+      .withColumn("__qv",
+        when(col("__r") === col("__k").cast("double"), col("__lo"))
+          .otherwise(
+            ((col("__k") + 1).cast("double") - col("__r")) * col("__lo") +
+              (col("__r") - col("__k").cast("double")) * col("__hi")))
+    perQuantile.groupBy(g)
+      .agg(first(col("__n_all")).as("n_rows"),
+        transform(array_sort(collect_list(struct(col("__i"), col("__qv")))),
+          x => x.getField("__qv")).as("quantiles"),
+        first(col("__vmin")).as("vmin"),
+        first(col("__vmax")).as("vmax"))
+  }
+}

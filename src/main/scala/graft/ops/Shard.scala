@@ -63,7 +63,11 @@ object Shard {
       tokenCount: Column): DataFrame = {
     val sharded = assignShards(df, idCol, numShards)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // partition-type inference reads `shard=<k>` back as INT; re-align to
+    // assignShards' BIGINT so the persisted manifest schema matches one
+    // computed from the in-memory assignment
     val written = df.sparkSession.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
     val m = manifest(written, "shard", idCol, tokenCount)
     m.write.mode("overwrite").parquet(s"$outDir/_manifest")
     m

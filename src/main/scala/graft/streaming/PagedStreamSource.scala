@@ -88,7 +88,10 @@ final class PagedStreamProvider extends TableProvider {
     PagedStreamSource.registration(options.get("client")).schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new PagedTable(properties.get("client"))
+    // wrap: inferSchema resolved `client` case-insensitively, so the table
+    // lookup must too, or `.option("Client", ...)` passes inference and
+    // then NPEs on a null registry key here
+    new PagedTable(new CaseInsensitiveStringMap(properties).get("client"))
 }
 
 private final class PagedTable(clientName: String) extends Table with SupportsRead {

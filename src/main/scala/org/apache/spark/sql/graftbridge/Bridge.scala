@@ -24,6 +24,23 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Rebuild a DataFrame over an already-captured `InternalRow` RDD
+    * (`df.queryExecution.toRdd`) WITHOUT the external-Row encoder
+    * round-trip `createDataFrame(rdd: RDD[Row])` pays.
+    *
+    * The load-bearing property for two-phase operators ([[graft.ops.Ids]]):
+    * capturing `toRdd` materializes the plan's shuffle dependencies ONCE —
+    * in particular a range partitioner's sampled bounds, which are seeded
+    * by `rdd.id` and therefore DIFFER between two independently-planned
+    * actions over the same logical plan. Every job launched against the
+    * captured RDD shares those bounds (and reuses the shuffle files), so a
+    * count pass and an assignment pass can never disagree on the layout. */
+  def dataFrameFromInternalRdd(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Force-compile every WholeStageCodegen subtree of a plan and return the
     * generated sources. `WholeStageCodegenExec.doExecute` swallows Janino
     * failures and silently falls back to interpreted execution, so a CI

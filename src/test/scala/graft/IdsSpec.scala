@@ -29,4 +29,29 @@ class IdsSpec extends SparkSpec {
         .select($"doc_id", $"idx").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(ids(1) == ids(3) && ids(3) == ids(7))
   }
+
+  test("globalIndex matches row_number at volume across partition counts (incl. empty ones)") {
+    val big = spark.range(0, 5000).select(($"id" * 2654435761L % 9973).as("k"), $"id")
+    def ids(parts: Int) =
+      Ids.globalIndex(big, Seq($"k", $"id"), "idx", Some(parts))
+        .select($"id", $"idx").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = big.select($"k", $"id").as[(Long, Long)].collect()
+      .sortBy(identity).zipWithIndex.map { case ((_, id), i) => (id, i.toLong) }
+      .sortBy(_._1).toSeq
+    // 64 leaves some range partitions empty on 5000 keys; offsets must skip them
+    assert(ids(4) == want && ids(64) == want)
+  }
+
+  test("globalIndex assigns ids as a codegen'd projection over Tungsten rows") {
+    val out = Ids.globalIndex(docs, Seq($"lang", $"doc_id"), "idx", Some(3))
+    val plan = out.queryExecution.executedPlan.toString
+    // offset(pid) + low-33-bits-of-mono-id, computed as a projection inside
+    // WholeStageCodegen — not an external-Row zipWithIndex round-trip
+    assert(plan.contains("monotonically_increasing_id"), plan)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"id projection not in WholeStageCodegen:\n$plan")
+    // and the generated code actually compiles with the id arithmetic in it
+    val sources = org.apache.spark.sql.graftbridge.Bridge.compileWholeStageCodegen(out)
+    assert(sources.nonEmpty)
+  }
 }

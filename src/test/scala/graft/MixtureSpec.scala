@@ -33,6 +33,61 @@ class MixtureSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("tokenBudgetSample: bounded slice is a survivor superset that actually prunes") {
+    // one skewed stratum, 5000 rows of 10 tokens, budget 200 → ~20 survivors;
+    // the md5-prefix bucket cutoff must bound the window input near the
+    // budget's worth of rows, not the whole stratum
+    val skewed = spark.range(0, 5000)
+      .select(lit("big").as("stratum"), $"id", lit(10L).as("toks"))
+    val bounded = Mixture.boundedSlice(skewed, "stratum", "id", col("toks"), 200L)
+    val boundedIds = bounded.select($"id").as[Long].collect().toSet
+    val survivors = Mixture.tokenBudgetSample(skewed, "stratum", "id", col("toks"), 200L)
+      .select($"id").as[Long].collect().toSet
+    assert(survivors.subsetOf(boundedIds), "prefilter dropped a survivor")
+    assert(boundedIds.size < 500,
+      s"prefilter kept ${boundedIds.size} of 5000 — no real pruning")
+    assert(survivors.size == 20)
+  }
+
+  test("tokenBudgetSample: bounded form is row-identical to the naive window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 3000).select(
+      concat(lit("s"), $"id" % 3).as("stratum"), $"id",
+      ($"id" % 13).as("toks")) // includes zero-token rows
+    val w = Window.partitionBy($"stratum")
+      .orderBy(md5($"id".cast("string")).asc, $"id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum_tokens", sum($"toks").over(w).cast("long"))
+      .filter($"cum_tokens" <= 500L)
+      .select($"stratum", $"id", $"cum_tokens")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val got = Mixture.tokenBudgetSample(df, "stratum", "id", col("toks"), 500L)
+      .select($"stratum", $"id", $"cum_tokens")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == naive)
+  }
+
+  test("tokenBudgetSample: zero-token rows at exactly the budget survive (strict cutoff)") {
+    // all-zero tokens, budget 0: every cum_tokens == 0 ≤ 0 → ALL rows kept.
+    // A >=-cutoff regression would prune every bucket after the first.
+    val zeros = spark.range(0, 200).select(lit("z").as("stratum"), $"id", lit(0L).as("toks"))
+    val n = Mixture.tokenBudgetSample(zeros, "stratum", "id", col("toks"), 0L).count()
+    assert(n == 200L)
+  }
+
+  test("tokenBudgetSample plan: bucket prefilter runs below the stratum window exchange") {
+    val plan = Mixture.tokenBudgetSample(docs, "stratum", "id", col("toks"), 250L)
+      .queryExecution.executedPlan.toString
+    // cutoffs arrive by broadcast (big side never shuffles before bounding)
+    // and the bucket-range filter references them before the window sort
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast cutoff join:\n$plan")
+    assert(plan.contains("__graft_cut"), s"expected bucket-cutoff prefilter:\n$plan")
+    val windowAt = plan.indexOf("Window")
+    val filterAt = plan.indexOf("__graft_cut")
+    assert(windowAt >= 0 && filterAt > windowAt,
+      "prefilter must appear BELOW the window in the plan tree (tree prints top-down)")
+  }
+
   test("repeatWeighted: integer part repeats every row, fraction selects by hash, zero drops") {
     val out = Mixture.repeatWeighted(docs, "stratum", "id",
         weights = Map("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0)

@@ -159,17 +159,25 @@ class PlanSpec extends SparkSpec {
   private def exchangeNodes(p: String): Int =
     """\((\d+)\) Exchange""".r.findAllMatchIn(p).map(_.group(1)).toSet.size
 
-  test("token-budget sample shuffles once on the stratum key (cumsum rides that window)") {
+  test("token-budget sample: big side shuffles once, bounded BELOW its window exchange") {
+    // 3 shuffles total, but only ONE touches full-corpus rows: the stratum
+    // window exchange, whose input the md5-bucket prefilter has already
+    // bounded to ~budget rows per stratum. The other two act on the
+    // (stratum × 65536)-row bucket histogram that computes the cutoffs,
+    // which arrive at the big side by broadcast.
     val p = plan(SparkEntry.queries("q84_token_budget")(spark, sfDir))
-    assert(exchangeNodes(p) == 1, s"expected 1 exchange:\n$p")
-    assert(p.contains("Window"), p)
+    assert(exchangeNodes(p) == 3, s"expected 3 exchanges (1 big + 2 histogram):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast, not shuffle:\n$p")
+    assert(p.contains("__graft_cut"), s"expected bucket-cutoff prefilter:\n$p")
   }
 
-  test("length-quantile report partial-aggregates before its single shuffle") {
-    // exact percentile is an ImperativeAggregate with a partial phase —
-    // map-side buffers must form before the one exchange on lang
+  test("length-quantile report: histogram partial-agg, no per-group percentile buffer") {
+    // the registered q87 is the value-histogram form — the only shuffle of
+    // full-corpus rows is the map-side-combined (lang, n_chars) count;
+    // every later exchange moves histogram-sized data. The built-in exact
+    // percentile (whole-group buffer) must NOT appear.
     val p = plan(SparkEntry.queries("q87_length_quantiles")(spark, sfDir))
-    assert(exchangeNodes(p) == 1, s"expected 1 exchange:\n$p")
-    assert(p.contains("partial_percentile"), p)
+    assert(!p.contains("percentile"), s"per-group percentile buffer crept back:\n$p")
+    assert(p.contains("partial_count"), s"expected partial histogram counts:\n$p")
   }
 }
