@@ -17,24 +17,38 @@ object Bench {
     Seq(io.Tables.lineitem _, io.Tables.orders _, io.Tables.documents _,
       io.Tables.embeddings _, io.Tables.events _)
       .foreach(t => t(spark, sfDir).count())
-    // two passes, report the per-query minimum: single-pass numbers carry
-    // ±30% container/JIT noise that a 2x regression gate can't tell from a
-    // real slowdown
+    // two passes over everything, then a THIRD pass for queries still over
+    // 1 s: single-pass numbers carry ±30% container/JIT noise that a 2x
+    // regression gate can't tell from a real slowdown, and the handful of
+    // multi-second queries dominate the total — min-of-3 there makes the
+    // reported total steady-state by construction, while sub-second
+    // queries' absolute noise is immaterial and not worth a third run
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-                   failed += name; false }
-        // a crashed query must not register as fast: sentinel -1, kept
-        // through the min() below so breakage is visible in the JSON
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+    def pass(only: Option[Set[String]]): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                     failed += name; false }
+          // a crashed query must not register as fast: sentinel -1, kept
+          // through the min() below so breakage is visible in the JSON
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+    val (p1, p2) = (pass(None), pass(None))
+    val min2 = p1.zip(p2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val slow = min2.collect { case (n, t) if t >= 1.0 => n }.toSet
+    val p3 = pass(Some(slow)).toMap
+    val results = min2.map { case (n, t) =>
+      n -> (p3.get(n) match {
+        case Some(c) if t >= 0 && c >= 0 => math.min(t, c)
+        case Some(_) => -1.0
+        case None => t
+      })
     }
     // 3-decimal times and headline fields LAST: harnesses that keep only the
     // tail of stdout still see metric/value/failed even when the per-query

@@ -301,9 +301,12 @@ object Queries6 {
     // at PLATFORM-contextual-Chunking.py:132-174); localCheckpoint is the
     // in-session analog. Without it the serving stage's self-references
     // (scored + hit + neighbor sides) would re-run the whole upstream
-    // pipeline and clustering once per reference.
+    // pipeline and clustering once per reference. LAZY (eager = false) so
+    // that merely CONSTRUCTING this query — explain(), PlanAudit — runs no
+    // jobs; the checkpoint caches on the first real action and every
+    // self-reference thereafter reads the materialized partitions.
     val docs = merged.withColumn("vid", col("id_post").cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // -- stage 5: density clustering over the SURVIVORS' embeddings
     val emb = Tables.embeddings(spark, dir)
@@ -316,7 +319,7 @@ object Queries6 {
     val clustered = Embed.densityClusters(embKeep, "vec_id", "embedding",
       Queries3.rpPlanes, Queries3.rpBits, threshold = 0.3, minClusterSize = 5)
     val index = embKeep.join(clustered.select(col("vec_id"), col("cluster")), "vec_id")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // -- stages 6–7: top-1 vector search + noise-guarded cluster expansion
     //    + context fetch, over the pipeline output. Query vector 26 is a

@@ -231,4 +231,55 @@ class ConnectorStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(out.iterator().asScala.toSeq.sorted == want)
   }
+
+  test("streaming pipeline matches the q79+q80 batch composition: overlap dedup + viability + expansion") {
+    // the WHOLE ingest flow, streamed: a listing whose pages overlap (the
+    // two-sort-method duplication q79 exercises) → viability filter (P6) →
+    // WATERMARKED key-dedup (U3, bounded state) → per-micro-batch
+    // distributed child expansion (S5, q80's shape) — and the result must
+    // equal running the batch connector composition over the same client
+    val childSchema = StructType(Seq(
+      StructField("child_id", LongType),
+      StructField("parent_id", LongType)))
+    val childClient: () => graft.io.ChildClient = () => new graft.io.ChildClient {
+      def fetchChildren(parent: Row): Seq[Row] = {
+        val k = parent.getLong(0)
+        (0 until (k % 4).toInt).map(i => Row(k * 100 + i, k))
+      }
+    }
+    val dupClient = new PageClient[Row] {
+      private val twice = snapshot ++ snapshot
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        twice.slice(page * 5, (page + 1) * 5)
+    }
+    val cfg = PagedConfig(pageSize = 5, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L, maxChildrenPerParent = 100)
+    PagedStreamSource.register("fx_full", schema, dupClient, cfg, sleep = _ => ())
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listing = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", "fx_full").load()
+      .filter(col("event_id") % 2 === 0) // viability (P6)
+      // a constant event time keeps every replayed duplicate inside the
+      // watermark window, so the dedup decision is always the state
+      // lookup, never a late-arrival drop
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val deduped = graft.streaming.Stream.dedupKeyed(listing, Seq("event_id"), "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        PagedSource.expandChildren(batch, childClient, _ => true, childSchema, cfg)
+          .collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the batch spelling of the same flow: q79's ingestItems (first-wins
+    // dedup + viability) feeding q80's distributed expansion
+    val parents = PagedSource.ingestItems[Row, Long](dupClient, cfg,
+      key = _.getLong(0), viable = _.getLong(0) % 2 == 0, sleep = _ => ())
+    val want = PagedSource.expandChildren(
+        spark.createDataFrame(java.util.Arrays.asList(parents: _*), schema),
+        childClient, _ => true, childSchema, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty && out.iterator().asScala.toSeq.sorted == want)
+  }
 }
