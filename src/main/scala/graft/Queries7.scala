@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Vocab
+
+/** Seventh query wave: tokenizer-design and split-governance operators for
+  * the training-data pipeline — vocabulary coverage curve, in-vocabulary
+  * (CCNet-style, RNG/float-free) lexical quality scoring, and the
+  * deterministic train/val/test split report. These extend the reference's
+  * clean-corpus endpoint (it hands cleaned text straight to chunking,
+  * PLATFORM-contextual-Chunking.py:58-65) with the steps a 100 TB
+  * pretraining flow runs next; everything is integer arithmetic with
+  * md5-prefix determinism so each query hash-checks against the DuckDB
+  * oracle.
+  */
+object Queries7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenization spelled identically in Spark and DuckDB oracle SQL:
+    * lowercased whitespace split with blank tokens dropped. */
+  private val tokSql =
+    """SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------ vocabulary coverage
+  /** Corpus vocabulary head with cumulative coverage curve — the artifact
+    * a tokenizer budget is read from (how many word types cover which
+    * fraction of all tokens). Top-k selection plans as
+    * TakeOrderedAndProject (never a full vocab sort through one task);
+    * the cumsum window runs on ≤k rows; the token grand total joins as a
+    * broadcast scalar; coverage is an integer ppm division. */
+  val q90VocabCoverage: Q = (spark, dir) =>
+    Vocab.topVocab(Tables.documents(spark, dir), "text", 20)
+
+  val q90Sql: String =
+    s"""WITH tok AS ($tokSql),
+       |counts AS (SELECT word, count(*)::BIGINT AS cnt FROM tok WHERE word <> '' GROUP BY word),
+       |total AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+       |top AS (SELECT word, cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, word ASC)::BIGINT AS rank
+       |        FROM counts ORDER BY cnt DESC, word ASC LIMIT 20)
+       |SELECT rank, word, cnt,
+       |  (sum(cnt) OVER (ORDER BY rank))::BIGINT AS cum_cnt,
+       |  ((sum(cnt) OVER (ORDER BY rank))::BIGINT * 1000000 // total)::BIGINT AS coverage_ppm
+       |FROM top, total""".stripMargin
+
+  // ------------------------------------------------ in-vocab quality score
+  /** Lexical quality score: fraction (ppm) of each document's tokens that
+    * fall inside the corpus top-16 vocabulary — the engine-portable
+    * stand-in for CCNet LM filtering (a doc mostly outside the corpus head
+    * is noise/boilerplate/another register). Vocab derives from the corpus
+    * itself in the same plan; it lands as a broadcast hash join against
+    * the exploded token stream, and the only shuffle is the per-doc
+    * aggregation. */
+  val q91OovQuality: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    Vocab.inVocabScore(docs, "doc_id", "text", Vocab.topVocab(docs, "text", 16))
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    """WITH tok AS (SELECT doc_id,
+       |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+       |      FROM documents),
+       |t AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+       |counts AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY word),
+       |vocab AS (SELECT word FROM counts ORDER BY cnt DESC, word ASC LIMIT 16),
+       |scored AS (SELECT t.doc_id,
+       |    count(*)::BIGINT AS n_tokens,
+       |    count(v.word)::BIGINT AS in_vocab
+       |  FROM t LEFT JOIN vocab v USING (word) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(s.in_vocab, 0)::BIGINT AS in_vocab,
+       |  coalesce(s.in_vocab * 1000000 // s.n_tokens, 0)::BIGINT AS score_ppm
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------ split governance report
+  /** Deterministic train/val/test split report: md5-prefix 3-way
+    * assignment (q56's convention widened: 256 buckets, 240/8/8), then
+    * per-(split, lang) document and token counts — the governance artifact
+    * that proves split sizes and leak-freedom before training. Assignment
+    * is a pure map-side projection; one aggregation shuffle. */
+  val q92SplitReport: Q = (spark, dir) =>
+    Vocab.splitAssign(Tables.documents(spark, dir), "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(graft.functions.TextFns.tokenCount(col("text"))).as("tokens"))
+      .orderBy("split", "lang")
+
+  val q92Sql: String =
+    """WITH a AS (SELECT lang, text,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f0' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f8' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, lang, count(*)::BIGINT AS docs,
+      |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tokens
+      |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  // ------------------------------------------------ repeated-span signal
+  /** Span-level repetition: fraction (ppm) of each doc's word 5-gram spans
+    * that also occur in some OTHER doc — the exact-substring-dedup signal
+    * (Lee et al. 2021) that doc-level MinHash (q14) misses on partial
+    * copies. Distinct-doc detection uses min(doc) < max(doc), an O(1)
+    * buffer instead of a distinct-set aggregation. */
+  val q93RepeatedSpans: Q = (spark, dir) =>
+    Vocab.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  val q93Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |spans AS (SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |        FROM tok WHERE len(toks) >= 5)),
+      |shared AS (SELECT span, (min(doc_id) < max(doc_id)) AS is_shared
+      |  FROM spans GROUP BY span),
+      |scored AS (SELECT s.doc_id,
+      |    count(*)::BIGINT AS n_spans,
+      |    sum(CASE WHEN h.is_shared THEN 1 ELSE 0 END)::BIGINT AS shared_spans
+      |  FROM spans s JOIN shared h USING (span) GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(sc.n_spans, 0)::BIGINT AS n_spans,
+      |  coalesce(sc.shared_spans, 0)::BIGINT AS shared_spans,
+      |  coalesce(sc.shared_spans * 1000000 // sc.n_spans, 0)::BIGINT AS repeat_ppm
+      |FROM documents d LEFT JOIN scored sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q90_vocab_coverage" -> q90VocabCoverage,
+    "q91_oov_quality" -> q91OovQuality,
+    "q92_split_report" -> q92SplitReport,
+    "q93_repeated_spans" -> q93RepeatedSpans)
+
+  val oracle: Map[String, String] = Map(
+    "q90_vocab_coverage" -> q90Sql,
+    "q91_oov_quality" -> q91Sql,
+    "q92_split_report" -> q92Sql,
+    "q93_repeated_spans" -> q93Sql)
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-design + lexical-quality operators for a pretraining corpus:
+  * build the corpus vocabulary with a coverage curve (how many word types
+  * cover what fraction of all tokens — the curve a tokenizer budget is
+  * read off), and score documents by in-vocabulary token fraction (the
+  * RNG-free, engine-portable stand-in for CCNet-style LM quality
+  * filtering: a doc whose tokens are mostly outside the corpus head is
+  * boilerplate, noise, or another language). The reference corpus stops at
+  * cleaned text (PLATFORM-contextual-Chunking.py builds chunks directly);
+  * these compose between [[Clean]] and [[Mixture]] in a 100 TB flow.
+  *
+  * Determinism: everything is integer arithmetic until a final
+  * parts-per-million integer division (`x * 1000000 DIV total`), so
+  * results hash-compare bit-exactly against any engine — no float sums,
+  * no log/exp libm drift.
+  */
+object Vocab {
+
+  /** Lowercased whitespace tokens — the corpus-wide convention
+    * ([[graft.functions.TextFns.tokenCount]] counts the same units). */
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Per-word corpus counts: one map-side-combined hash aggregation over
+    * the exploded token stream; blank tokens (empty docs) dropped. */
+  private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k vocabulary with a cumulative coverage curve.
+    *
+    * Output: `rank` (1-based, by count desc then word asc), `word`, `cnt`,
+    * `cum_cnt`, `coverage_ppm` = floor(cum_cnt · 1e6 / total-tokens) —
+    * integer division, identical in any engine.
+    *
+    * Scale shape: the full vocabulary (possibly 10M+ types at 100 TB) is
+    * never globally sorted through one task — `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject (per-partition top-k heaps merged at
+    * the driver, k rows only). The rank/cumsum window then runs over ≤k
+    * rows, and the grand total joins in as a broadcast scalar. Long
+    * arithmetic holds to ~9·10^12 total tokens (cum·1e6 < 2^63); past
+    * that, widen the two operands to decimal(38,0) — same plan shape.
+    */
+  def topVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = wordCounts(df, textCol)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("word").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm", expr("cum_cnt * 1000000 DIV total"))
+      .select("rank", "word", "cnt", "cum_cnt", "coverage_ppm")
+  }
+
+  /** In-vocabulary token fraction per document, against a supplied
+    * vocabulary (normally [[topVocab]]'s head — pass it pre-computed so
+    * one vocab serves many scoring runs).
+    *
+    * Output per input row: the `idCols`, `n_tokens`, `in_vocab`,
+    * `score_ppm` = floor(in_vocab · 1e6 / n_tokens) (0 for empty docs).
+    *
+    * Scale shape: explode is map-side; the vocab join is a BROADCAST hash
+    * join (a vocabulary head is KB–MB); the only shuffle is the final
+    * per-doc count aggregation. Empty documents never reach the explode
+    * and are restored by a left join so the operator is total.
+    */
+  def inVocabScore(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabWordCol: String = "word"): DataFrame = {
+    val v = broadcast(vocab.select(col(vocabWordCol).as("__w")).distinct())
+    val scored = df.select(col(idCol), explode(toks(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(v.withColumn("__hit", lit(1)), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__hit")).as("in_vocab"))
+      .withColumn("score_ppm", expr("in_vocab * 1000000 DIV n_tokens"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("in_vocab"), lit(0L)).as("in_vocab"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+  }
+
+  /** Span-level repetition signal — the poor-man's exact-substring dedup
+    * (the signal behind "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2021): for each document, the fraction (ppm) of
+    * its word n-gram spans that also occur in SOME OTHER document. A doc
+    * made of corpus-repeated spans is boilerplate or a copy; doc-level
+    * near-dup (MinHash q14, Jaccard q38) misses it when the copying is
+    * partial. Positional n-grams — NOT the distinct/sorted shingle sets of
+    * [[graft.functions.TextFns.wordShingles]] — because span COUNTS are
+    * the unit here.
+    *
+    * Scale shape: explode is map-side (n_tokens − n + 1 spans per doc);
+    * span global frequency is one map-side-combined hash agg keyed by the
+    * span text; docs-per-span needs distinct doc counting only up to 2 —
+    * `count_distinct` is avoided in favor of min/max doc comparison (an
+    * O(1) buffer, no distinct set). The per-doc roll-up is the second and
+    * final shuffle. At 100 TB, hash the span to a 64-bit key before the
+    * agg (xxhash64) to shrink shuffle bytes — kept as raw text here so the
+    * DuckDB oracle can spell the same plan.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val spans = df
+      .select(col(idCol), explode(
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("__span"))
+    // a span is "shared" iff it appears in at least two DISTINCT docs:
+    // min(doc) < max(doc) — constant-size agg buffer, no distinct set
+    val shared = spans.groupBy(col("__span"))
+      .agg((min(col(idCol)) < max(col(idCol))).as("__shared"))
+    val scored = spans.join(shared, Seq("__span"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__shared"), 1L).otherwise(0L)).as("shared_spans"))
+      .withColumn("repeat_ppm", expr("shared_spans * 1000000 DIV n_spans"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("shared_spans"), lit(0L)).as("shared_spans"),
+        coalesce(col("repeat_ppm"), lit(0L)).as("repeat_ppm"))
+  }
+
+  /** Deterministic train/val/test assignment by md5-prefix bucket of the
+    * id — the [[graft.Queries4.q56HashSample]] convention widened to a
+    * 3-way split: 256 two-hex-digit buckets, `< "f0"` → train (93.75%),
+    * `< "f8"` → val (3.125%), rest → test (3.125%). RNG-free and
+    * engine-portable: the same row lands in the same split on every
+    * engine, every rerun, forever — the property that makes a 100 TB
+    * split resumable and leak-auditable. Pure map-side projection. */
+  def splitAssign(df: DataFrame, idCol: String): DataFrame = {
+    val p = substring(md5(col(idCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(p < "f0", lit("train")).when(p < "f8", lit("val")).otherwise(lit("test")))
+  }
+}

@@ -8,20 +8,37 @@ import org.apache.spark.sql.functions._
   * Foreign keys into dimensions are left untouched so joins stay valid;
   * primary/grouping keys get a per-copy offset so group counts scale
   * linearly instead of collapsing onto the same keys. Used for scaling
-  * sanity runs (BASELINE.md), not for correctness gates. */
+  * sanity runs (BASELINE.md), not for correctness gates.
+  *
+  * Optional 4th arg `perturb`: make the copies DISTINCT content, not
+  * clones — each copy's embeddings are cyclically rotated by the copy
+  * index (norms and within-copy pairwise similarities are exactly
+  * preserved, cross-copy similarities collapse to noise) and each copy's
+  * document text gets a per-copy salt token appended. Clone mode (the
+  * default) models an adversarially duplicate-heavy corpus: every
+  * near-dup/clustering candidate generator sees k× copies of every point
+  * in the same bucket, so PAIR work grows ~k² — the regime where the
+  * production answer is exact-dedup-first, not a faster join. Perturb mode
+  * models the realistic "k× more data" corpus: the similarity graph
+  * becomes k disjoint copies of the 1× graph (k× nodes, k× edges, same
+  * density), which is the right fixture for reading off how graph
+  * algorithms (LSH buckets, connected components) scale with DATA rather
+  * than with duplication. */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, kStr) = args
+    val (sfDir, outDir, kStr) = (args(0), args(1), args(2))
     val k = kStr.toInt
+    val perturb = args.length > 3 && args(3) == "perturb"
     val off = 100000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def scaled(df: DataFrame, idCols: Seq[String]): DataFrame =
+    def scaled(df: DataFrame, idCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until k).map { i =>
-        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * off)))
+        perCopy(idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * off))), i)
       }.reduce(_ unionByName _)
 
     def write(df: DataFrame, name: String): Unit =
@@ -34,8 +51,22 @@ object GenScale {
     write(scaled(graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey")), "orders")
     write(scaled(graft.io.Tables.lineitem(spark, sfDir), Seq("l_orderkey")), "lineitem")
     write(scaled(graft.io.Tables.events(spark, sfDir), Seq("event_id", "user_id")), "events")
-    write(scaled(graft.io.Tables.documents(spark, sfDir), Seq("doc_id")), "documents")
-    write(scaled(graft.io.Tables.embeddings(spark, sfDir), Seq("vec_id")), "embeddings")
+    // perturb: per-copy salt token (distinct text per copy) / cyclic
+    // embedding rotation (within-copy sims preserved, cross-copy collapse)
+    val saltText: (DataFrame, Int) => DataFrame = (d, i) =>
+      if (!perturb || i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" copysalt$i")))
+        .withColumn("n_chars", col("n_chars") + lit(s" copysalt$i".length))
+    val rotateEmb: (DataFrame, Int) => DataFrame = (d, i) =>
+      if (!perturb || i == 0) d
+      else {
+        val dim = 64
+        val r = i % dim
+        d.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r)))
+      }
+    write(scaled(graft.io.Tables.documents(spark, sfDir), Seq("doc_id"), saltText), "documents")
+    write(scaled(graft.io.Tables.embeddings(spark, sfDir), Seq("vec_id"), rotateEmb), "embeddings")
     println(s"[genscale] wrote ${k}x of $sfDir to $outDir")
     spark.stop()
   }

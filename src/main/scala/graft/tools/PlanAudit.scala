@@ -26,7 +26,10 @@ object PlanAudit {
       // q83's serving tail cross-joins the 1-row query vector (q18's shape);
       // the pipeline/clustering upstream is already materialized by its
       // checkpoints, so the audit sees only that bounded tail
-      "q83_pipeline_golden")
+      "q83_pipeline_golden",
+      // q90/q91 cross-join the 1-ROW token grand total (a broadcast scalar)
+      // into the ≤k-row vocab head — bounded by construction
+      "q90_vocab_coverage", "q91_oov_quality")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

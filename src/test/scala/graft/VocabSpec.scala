@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Vocab
+
+/** Vocabulary coverage curve, in-vocab quality scoring, and deterministic
+  * split assignment (the tokenizer-design / split-governance wave). */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat", "en"),
+    (2L, "the dog ate the cat food", "en"),
+    (3L, "zzz qqq xxx", "und"),
+    (4L, "", "und"),
+    (5L, "the the the", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("topVocab: ranks by count desc then word asc; coverage is a monotone ppm curve") {
+    val out = Vocab.topVocab(docs, "text", 4).orderBy("rank").collect()
+    assert(out.length == 4)
+    // "the" appears 7 times; clear winner
+    assert(out.head.getString(1) == "the" && out.head.getLong(2) == 7L)
+    // ties (cat=2) resolved by word asc before singletons
+    assert(out(1).getString(1) == "cat")
+    val ppm = out.map(_.getLong(4))
+    assert(ppm.sameElements(ppm.sorted), "coverage must be non-decreasing")
+    assert(ppm.last <= 1000000L)
+    // rank 1 coverage: 7 of 18 tokens = 388888 ppm exactly (integer div)
+    assert(out.head.getLong(4) == 7L * 1000000L / 18L)
+  }
+
+  test("topVocab: cum_cnt of the full vocab reaches the token total (k >= |vocab|)") {
+    val out = Vocab.topVocab(docs, "text", 100).orderBy(desc("rank")).first()
+    assert(out.getLong(4) == 1000000L, "full vocab must cover 1e6 ppm exactly")
+  }
+
+  test("inVocabScore: ppm fractions against a fixed vocab; empty docs kept at zero") {
+    val vocab = Seq("the", "cat").toDF("word")
+    val out = Vocab.inVocabScore(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5, "operator must be total over input rows")
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) == ((6L, 3L, 500000L)))   // the,cat of 6 tokens
+    assert(byId(3L) == ((3L, 0L, 0L)))        // all OOV
+    assert(byId(4L) == ((0L, 0L, 0L)))        // empty doc: no tokens, score 0
+    assert(byId(5L) == ((3L, 3L, 1000000L)))  // fully in-vocab
+  }
+
+  test("inVocabScore: vocab lands as a broadcast join; no shuffle on the vocab side") {
+    val vocab = Vocab.topVocab(docs, "text", 2)
+    val plan = Vocab.inVocabScore(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+  }
+
+  test("splitAssign: deterministic, exhaustive, and matching the md5-prefix contract") {
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val out = Vocab.splitAssign(ids, "doc_id")
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(counts.values.sum == 2000L)
+    // rerun-stable (no RNG anywhere)
+    val a = out.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val b = Vocab.splitAssign(ids, "doc_id").orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+    // contract: the bucket boundaries are exactly the md5 prefix ranges
+    val check = Vocab.splitAssign(ids, "doc_id")
+      .withColumn("p", substring(md5($"doc_id".cast("string")), 1, 2))
+      .filter(($"p" < "f0" && $"split" =!= "train") ||
+        ($"p" >= "f0" && $"p" < "f8" && $"split" =!= "val") ||
+        ($"p" >= "f8" && $"split" =!= "test"))
+    assert(check.count() == 0)
+  }
+
+  test("repeatedSpans: shared spans need a DISTINCT other doc; short docs yield zero spans") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // spans: "a b c d e", "b c d e f"
+      (2L, "x a b c d e f y"),    // contains both of doc 1's spans
+      (3L, "p q r s t"),          // unique single span
+      (4L, "u v w"),              // < n tokens: zero spans
+      (5L, "m m m m m m"))        // self-repeated span in ONE doc only: not shared
+      .toDF("doc_id", "text")
+    val out = Vocab.repeatedSpans(d, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)), "both doc-1 spans occur in doc 2")
+    assert(out(2L)._1 == 4L && out(2L)._2 == 2L, "doc 2: 4 spans, 2 shared with doc 1")
+    assert(out(3L) == ((1L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)), "sub-n doc must survive with zero spans")
+    assert(out(5L) == ((2L, 0L, 0L)), "within-doc repetition alone is not 'shared'")
+  }
+
+  test("q90/q91 fixture run: shapes and invariants at sf0.001") {
+    val q90 = Queries7.q90VocabCoverage(spark, sfDir).collect()
+    assert(q90.length == 20)
+    assert(q90.map(_.getLong(0)).toSet == (1L to 20L).toSet)
+    val q91 = Queries7.q91OovQuality(spark, sfDir)
+    assert(q91.filter(col("score_ppm") > 1000000L).count() == 0)
+    assert(q91.filter(col("in_vocab") > col("n_tokens")).count() == 0)
+  }
+}
