@@ -232,7 +232,17 @@ object Queries6 {
     * the RAG search sees is exactly the merged survivors. Everything is
     * exact arithmetic → the full flow hash-checks against one DuckDB query.
     */
-  val q83PipelineGolden: Q = (spark, dir) => {
+  val q83PipelineGolden: Q = (spark, dir) =>
+    q83PipelineWith(spark, dir, Queries3.rpPlanes, Queries3.rpBits)
+
+  /** q83's exact plan with the LSH resolution (planes, bits per table) as
+    * parameters. The registered query binds the corpus-sized defaults
+    * above; a deployment re-derives bits from corpus size with
+    * [[graft.ops.Similarity.lshBitsFor]] (constant bucket occupancy — the
+    * knob that keeps candidate generation linear in data; see the 64×
+    * audit in BASELINE.md and `tools/TimeScaled`). */
+  def q83PipelineWith(spark: SparkSession, dir: String,
+      planes: Array[Array[Double]], bits: Int): DataFrame = {
     import graft.ops.{Embed, Pipeline, Rag}
     val d = Tables.documents(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -317,7 +327,7 @@ object Queries6 {
     // the HDBSCAN-like regime the reference's clustering produces — a
     // handful of real clusters over a noise majority
     val clustered = Embed.densityClusters(embKeep, "vec_id", "embedding",
-      Queries3.rpPlanes, Queries3.rpBits, threshold = 0.3, minClusterSize = 5)
+      planes, bits, threshold = 0.3, minClusterSize = 5)
     val index = embKeep.join(clustered.select(col("vec_id"), col("cluster")), "vec_id")
       .localCheckpoint(eager = false)
 

@@ -166,6 +166,28 @@ object Similarity {
     * (1 - θ/π)^bits — tune bits up to keep buckets bounded; the verify join
     * re-reads only candidate ids (a semi-join-shaped probe of the index).
     */
+  /** Deployment sizing rule for sign-RP LSH: bits per table so that the
+    * EXPECTED bucket occupancy stays ~`targetOccupancy` regardless of
+    * corpus size — `bits = ceil(log2(n / targetOccupancy))`, floored at 6.
+    *
+    * Why this is THE scale knob: candidate generation in [[rpLshNearDup]]
+    * is a self-join within (table, bucket), so per-bucket work is
+    * occupancy², and total candidate work is `n · occupancy` — linear in n
+    * only if occupancy is held constant. Run a 64× corpus at 1× resolution
+    * and occupancy grows 64×, candidate pairs ~4096× (measured: the 64×
+    * capstone audit in BASELINE.md). Resolution is a deploy-time parameter
+    * chosen from corpus statistics — exactly like `numPartitions` — not
+    * part of a query's semantics; the oracle-checked queries bind the
+    * fixture-sized defaults (6 bits for ≤5k vectors ⇒ this rule's own
+    * output). Raising bits lowers per-table recall (P[agree]^bits), so
+    * deployments raise the table count alongside — see `tools/TimeScaled`
+    * for the worked 64× example (12 tables × 12 bits). */
+  def lshBitsFor(n: Long, targetOccupancy: Int = 80): Int = {
+    require(n >= 0 && targetOccupancy >= 1)
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.max(6, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+  }
+
   def rpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], bitsPerTable: Int, threshold: Double,
       quantScale: Double = 1000.0): DataFrame = {

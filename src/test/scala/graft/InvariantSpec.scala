@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Embed}
+import graft.ops.{Dedup, Embed, Similarity}
 
 /** Invariant tests for the operators excluded from the SQL oracle
   * (SURVEY.md §5.2.3): clustering and the xxhash64-based fingerprints. */
@@ -122,5 +122,29 @@ class InvariantSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("lshBitsFor holds bucket occupancy constant and reproduces the fixture resolution") {
+    // the fixture corpora (<=5k vectors) must land on the registered 6 bits
+    assert(Similarity.lshBitsFor(50) == 6)
+    assert(Similarity.lshBitsFor(500) == 6)
+    assert(Similarity.lshBitsFor(5000) == 6)
+    // 64x the sf0.1 corpus: 320k / 80 = 4000 buckets -> 12 bits
+    assert(Similarity.lshBitsFor(320000) == 12)
+    // occupancy n / 2^bits stays within [target/2, target] above the floor
+    Seq(100000L, 1000000L, 100000000L, 10000000000L).foreach { n =>
+      val occ = n.toDouble / (1L << Similarity.lshBitsFor(n))
+      assert(occ <= 80.0 && occ > 40.0, s"n=$n occupancy=$occ")
+    }
+  }
+
+  test("q83 registered plan is exactly q83PipelineWith at the default resolution") {
+    val reg = Queries6.q83PipelineGolden(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val param = Queries6.q83PipelineWith(spark, sfDir, Queries3.rpPlanes, Queries3.rpBits)
+      .queryExecution.optimizedPlan.toString
+    // localCheckpoint plan ids differ per instance; compare shape modulo ids
+    def shape(s: String) = s.replaceAll("#\\d+L?", "#id").replaceAll("rdd_\\d+", "rdd_n")
+    assert(shape(reg) == shape(param))
   }
 }
