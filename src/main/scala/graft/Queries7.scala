@@ -133,15 +133,48 @@ object Queries7 {
       |FROM documents d LEFT JOIN scored sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ temperature mixture
+  /** mT5-style temperature-scaled language allocation (alpha = 0.5): how a
+    * 10M-token budget splits across languages with sqrt-mass upsampling of
+    * low-resource strata. epochs_ppm > 1e6 on the small languages is the
+    * point of the rule — they repeat; the head language is capped below
+    * its natural share. One corpus aggregation; the rest runs on |langs|
+    * rows (see [[graft.ops.Mixture.temperatureAlloc]]). */
+  val q94TemperatureMix: Q = (spark, dir) =>
+    ops.Mixture.temperatureAlloc(
+      Tables.documents(spark, dir), "lang",
+      graft.functions.TextFns.tokenCount(col("text")), budget = 10000000L)
+      .orderBy("lang")
+
+  val q94Sql: String =
+    """WITH tok AS (SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS t
+      |  FROM documents),
+      |n AS (SELECT lang, sum(t)::BIGINT AS n_tokens FROM tok GROUP BY lang),
+      |m AS (SELECT lang, n_tokens,
+      |        floor(sqrt(n_tokens::DOUBLE) * 1000000 + 0.5)::BIGINT AS mass6
+      |      FROM n),
+      |s AS (SELECT sum(mass6)::BIGINT AS total_mass FROM m),
+      |a AS (SELECT lang, n_tokens, mass6,
+      |        ((10000000::HUGEINT * mass6) // total_mass)::BIGINT AS alloc_tokens
+      |      FROM m, s)
+      |SELECT lang, n_tokens, mass6, alloc_tokens,
+      |  CASE WHEN n_tokens > 0 THEN alloc_tokens * 1000000 // n_tokens
+      |       ELSE 0 END::BIGINT AS epochs_ppm
+      |FROM a ORDER BY lang""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q90_vocab_coverage" -> q90VocabCoverage,
     "q91_oov_quality" -> q91OovQuality,
     "q92_split_report" -> q92SplitReport,
-    "q93_repeated_spans" -> q93RepeatedSpans)
+    "q93_repeated_spans" -> q93RepeatedSpans,
+    "q94_temperature_mix" -> q94TemperatureMix)
 
   val oracle: Map[String, String] = Map(
     "q90_vocab_coverage" -> q90Sql,
     "q91_oov_quality" -> q91Sql,
     "q92_split_report" -> q92Sql,
-    "q93_repeated_spans" -> q93Sql)
+    "q93_repeated_spans" -> q93Sql,
+    "q94_temperature_mix" -> q94Sql)
 }

@@ -97,6 +97,49 @@ object Mixture {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Temperature-scaled stratum allocation — the mT5/XLM-R sampling rule
+    * (Xue et al. 2021 §3.1; Conneau et al. 2020 §3): allocate a global
+    * token budget across strata with mass ∝ n_s^alpha, so low-resource
+    * strata are UP-sampled relative to their natural share (alpha < 1
+    * flattens the distribution; alpha = 1 is proportional; alpha = 0
+    * uniform). Output per stratum: `n_tokens` (natural size), `mass6`
+    * (n^alpha in integer micro-units), `alloc_tokens` =
+    * floor(budget · mass6 / Σ mass6), and `epochs_ppm` =
+    * floor(alloc · 1e6 / n_tokens) — epochs > 1e6 ppm means the stratum
+    * repeats (compose with [[repeatWeighted]] to realize the repetition).
+    *
+    * Determinism: at the default alpha = 0.5 the mass is
+    * floor(sqrt(n)·1e6 + 0.5) — sqrt is IEEE-correctly-rounded in every
+    * engine, and everything after is integer arithmetic (the budget·mass
+    * product runs in decimal(38,0) so a 10^12-token budget times a 10^12
+    * mass cannot overflow), so results hash-match the DuckDB oracle
+    * bit-exactly. Other alphas go through libm `pow`, whose last-ulp
+    * behavior is engine-specific — supported, spec-tested, but kept out
+    * of the hash-checked oracle surface by design.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus (the
+    * only full-data shuffle); everything after runs on |strata| rows with
+    * the grand total joined as a 1-row broadcast. */
+  def temperatureAlloc(df: DataFrame, strataCol: String, tokenCount: Column,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0 && alpha >= 0.0)
+    val nTok = col("n_tokens").cast("double")
+    val mass =
+      if (alpha == 0.5) floor(sqrt(nTok) * 1e6 + 0.5).cast("long")
+      else floor(pow(nTok, lit(alpha)) * 1e6 + 0.5).cast("long")
+    val massed = df.groupBy(col(strataCol))
+      .agg(sum(tokenCount).cast("long").as("n_tokens"))
+      .withColumn("mass6", mass)
+    val total = massed.agg(sum(col("mass6")).as("__total_mass"))
+    massed.crossJoin(broadcast(total))
+      .withColumn("alloc_tokens",
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * mass6 DIV __total_mass AS BIGINT)"))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0, expr("alloc_tokens * 1000000 DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .drop("__total_mass")
+  }
+
   /** Deterministic weighted repetition (mixture epochs): every row of
     * stratum s appears `floor(w_s)` times, plus once more for the
     * `frac(w_s)` fraction of rows whose md5-derived uniform draw falls

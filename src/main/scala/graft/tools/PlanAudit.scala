@@ -27,9 +27,9 @@ object PlanAudit {
       // the pipeline/clustering upstream is already materialized by its
       // checkpoints, so the audit sees only that bounded tail
       "q83_pipeline_golden",
-      // q90/q91 cross-join the 1-ROW token grand total (a broadcast scalar)
-      // into the ≤k-row vocab head — bounded by construction
-      "q90_vocab_coverage", "q91_oov_quality")
+      // q90/q91/q94 cross-join a 1-ROW grand total (a broadcast scalar)
+      // into a ≤|strata|-row aggregate — bounded by construction
+      "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

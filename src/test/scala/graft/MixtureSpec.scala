@@ -114,4 +114,48 @@ class MixtureSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("temperatureAlloc alpha=0.5: flattens the head, upsamples the tail, stays in budget") {
+    // strata with 90000 / 9000 / 900 tokens: natural shares 90/9/0.9%;
+    // sqrt masses 300/94.9/30 -> allocated shares ~70.6/22.3/7.1%
+    val d = Seq.tabulate(100)(i => (s"r$i", "big", 900L)) ++
+      Seq.tabulate(10)(i => (s"m$i", "mid", 900L)) ++
+      Seq(("s0", "small", 900L))
+    val out = Mixture.temperatureAlloc(
+      d.toDF("id", "stratum", "toks"), "stratum", col("toks"), budget = 10000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val (bigN, bigA, bigE) = out("big")
+    val (midN, midA, midE) = out("mid")
+    val (smallN, smallA, smallE) = out("small")
+    assert((bigN, midN, smallN) == ((90000L, 9000L, 900L)))
+    // allocation sums to <= budget (floor rounding loses at most |strata|-1)
+    assert(bigA + midA + smallA <= 10000L && bigA + midA + smallA >= 10000L - 2)
+    // head share shrinks vs natural (90% -> ~70%), tail grows (0.9% -> ~7%)
+    assert(bigA < 7100 && bigA > 7000, s"big=$bigA")
+    assert(smallA > 700, s"small=$smallA")
+    // epochs: head is DOWN-sampled (<1e6 ppm would need budget<corpus; here
+    // budget is 10% of corpus so all are <1e6, but ordering must invert)
+    assert(bigE < midE && midE < smallE, s"epochs must favor the tail: $bigE $midE $smallE")
+  }
+
+  test("temperatureAlloc alpha=1 is proportional; deterministic across reruns") {
+    val d = Seq(("a", "x", 3000L), ("b", "y", 1000L)).toDF("id", "stratum", "toks")
+    val out = Mixture.temperatureAlloc(d, "stratum", col("toks"), 4000L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("x") == 3000L && out("y") == 1000L)
+    val again = Mixture.temperatureAlloc(d, "stratum", col("toks"), 4000L, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == again)
+  }
+
+  test("temperatureAlloc: decimal product survives a 10^12 budget times a 10^12 mass") {
+    // 10^12-token stratum -> mass6 = sqrt(1e12)*1e6 = 1e12; budget 1e12:
+    // the product is 1e24, far past long range — must not overflow/corrupt
+    val d = Seq(("a", "x", 1000000000000L), ("b", "y", 1000000000000L))
+      .toDF("id", "stratum", "toks")
+    val out = Mixture.temperatureAlloc(d, "stratum", col("toks"), 1000000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("x") == 500000000000L && out("y") == 500000000000L, out.toString)
+  }
 }

@@ -171,6 +171,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__graft_cut"), s"expected bucket-cutoff prefilter:\n$p")
   }
 
+  test("vocab coverage: top-k by TakeOrdered (no global vocab sort); grand total broadcasts") {
+    // the full vocabulary (10M+ types at 100 TB) must never be globally
+    // sorted through one task — limit(k) after orderBy plans as per-
+    // partition heaps; the cumsum window then runs over <=k rows and the
+    // token grand total arrives as a 1-row broadcast
+    val p = plan(SparkEntry.queries("q90_vocab_coverage")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab head must heap-select:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"grand total must broadcast:\n$p")
+  }
+
+  test("in-vocab scoring: the vocabulary joins by broadcast, never a shuffle of tokens") {
+    val p = plan(SparkEntry.queries("q91_oov_quality")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+  }
+
+  test("split report: pure map-side assignment, one aggregation exchange") {
+    // md5-prefix split assignment is a projection; the only full-corpus
+    // shuffle is the (split, lang) aggregation (plus the final presentation
+    // sort's range exchange over the tiny report)
+    val p = plan(SparkEntry.queries("q92_split_report")(spark, sfDir))
+    assert(exchangeNodes(p) == 2, s"expected agg + presentation-sort exchanges only:\n$p")
+    assert("""[+:]- Scan parquet""".r.findAllIn(p).size == 1, s"one scan, no self-join:\n$p")
+  }
+
   test("length-quantile report: histogram partial-agg, no per-group percentile buffer") {
     // the registered q87 is the value-histogram form — the only shuffle of
     // full-corpus rows is the map-side-combined (lang, n_chars) count;
