@@ -164,17 +164,102 @@ object Queries7 {
       |       ELSE 0 END::BIGINT AS epochs_ppm
       |FROM a ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ PII redaction
+  /** Pattern-based PII masking over a contact blurb synthesized
+    * deterministically from the customer table (the fixture corpus
+    * carries no natural PII; q83's convention — construct the structure
+    * the operator exists for from fixture columns, identically in both
+    * engines). Every row exercises both the email and the phone path.
+    * Map-side only; see [[graft.ops.Scrub.redactPii]]. */
+  val q95PiiRedact: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val contact = concat(
+      lit("reach "), col("c_name"), lit(" at "),
+      lower(col("c_name")), lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+      lit(" about "), lower(col("c_mktsegment")))
+    ops.Scrub.redactPii(
+      c.select(col("c_custkey"), contact.as("contact")), "contact")
+      .select("c_custkey", "n_emails", "n_phones", "red_text")
+      .orderBy("c_custkey")
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT c_custkey,
+      |    'reach ' || c_name || ' at ' || lower(c_name) ||
+      |    '@example.com or +1-555-' ||
+      |    lpad((c_custkey % 10000)::VARCHAR, 4, '0') || '-' ||
+      |    lpad(((c_custkey * 7) % 10000)::VARCHAR, 4, '0') ||
+      |    ' about ' || lower(c_mktsegment) AS contact
+      |  FROM customer),
+      |r AS (SELECT c_custkey, contact,
+      |    len(regexp_extract_all(contact,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |    regexp_replace(contact,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS e1
+      |  FROM t)
+      |SELECT c_custkey, n_emails,
+      |  len(regexp_extract_all(e1, '\+?\d[\d-]{7,}\d'))::BIGINT AS n_phones,
+      |  regexp_replace(e1, '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS red_text
+      |FROM r ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------ boilerplate lines
+  /** Cross-document boilerplate-line removal (CCNet/Dolma line dedup):
+    * synthetic footers are appended to fixture docs on deterministic id
+    * residues (1/3 of docs get a newsletter line, 1/5 a rights line,
+    * 1/250 a rare footer that stays UNDER the min-docs threshold at small
+    * SFs and crosses it at sf0.1 — the threshold's scale-dependence is
+    * part of what the three-SF oracle checks). Doc-level dedup cannot
+    * catch these: every page is unique, only its furniture repeats. */
+  val q96BoilerplateStrip: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val page = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter!")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\nAll rights reserved.")).otherwise(lit("")),
+      when(col("doc_id") % 250 === 0, lit("\nVisit our sister site.")).otherwise(lit("")))
+    ops.Scrub.stripBoilerplateLines(
+      d.select(col("doc_id"), page.as("page")), "doc_id", "page", minDocs = 3)
+      .orderBy("doc_id")
+  }
+
+  val q96Sql: String =
+    """WITH t AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter!' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'All rights reserved.' ELSE '' END ||
+      |    CASE WHEN doc_id % 250 = 0 THEN chr(10) || 'Visit our sister site.' ELSE '' END AS page
+      |  FROM documents),
+      |l AS (SELECT doc_id, ls[i] AS line, i AS pos
+      |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+      |        FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM t))),
+      |f AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+      |k AS (SELECT l.doc_id, l.pos, l.line, f.nd < 3 AS keep
+      |  FROM l JOIN f USING (line)),
+      |r AS (SELECT doc_id,
+      |    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+      |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+      |  FROM k GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+      |  coalesce(r.n_dropped, 0)::BIGINT AS n_dropped
+      |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q90_vocab_coverage" -> q90VocabCoverage,
     "q91_oov_quality" -> q91OovQuality,
     "q92_split_report" -> q92SplitReport,
     "q93_repeated_spans" -> q93RepeatedSpans,
-    "q94_temperature_mix" -> q94TemperatureMix)
+    "q94_temperature_mix" -> q94TemperatureMix,
+    "q95_pii_redact" -> q95PiiRedact,
+    "q96_boilerplate_strip" -> q96BoilerplateStrip)
 
   val oracle: Map[String, String] = Map(
     "q90_vocab_coverage" -> q90Sql,
     "q91_oov_quality" -> q91Sql,
     "q92_split_report" -> q92Sql,
     "q93_repeated_spans" -> q93Sql,
-    "q94_temperature_mix" -> q94Sql)
+    "q94_temperature_mix" -> q94Sql,
+    "q95_pii_redact" -> q95Sql,
+    "q96_boilerplate_strip" -> q96Sql)
 }
