@@ -245,6 +245,36 @@ object Queries7 {
       |  coalesce(r.n_dropped, 0)::BIGINT AS n_dropped
       |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ split-leak audit
+  /** Cross-split span contamination counts over the q92 split: distinct
+    * word 5-gram spans appearing in more than one split — the
+    * decontamination audit a training run signs off on (see
+    * [[graft.ops.Vocab.crossSplitLeaks]]). */
+  val q97SplitLeakAudit: Q = (spark, dir) =>
+    Vocab.crossSplitLeaks(Tables.documents(spark, dir), "doc_id", "text", n = 5)
+
+  val q97Sql: String =
+    """WITH a AS (SELECT text,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f0' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f8' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tok AS (SELECT split,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM a),
+      |spans AS (SELECT DISTINCT split, array_to_string(toks[i : i + 4], ' ') AS span
+      |  FROM (SELECT split, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |        FROM tok WHERE len(toks) >= 5)),
+      |g AS (SELECT span,
+      |    bool_or(split = 'train') AS tr,
+      |    bool_or(split = 'val') AS va,
+      |    bool_or(split = 'test') AS te
+      |  FROM spans GROUP BY span)
+      |SELECT
+      |  sum(CASE WHEN tr AND va THEN 1 ELSE 0 END)::BIGINT AS train_val,
+      |  sum(CASE WHEN tr AND te THEN 1 ELSE 0 END)::BIGINT AS train_test,
+      |  sum(CASE WHEN va AND te THEN 1 ELSE 0 END)::BIGINT AS val_test
+      |FROM g""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q90_vocab_coverage" -> q90VocabCoverage,
     "q91_oov_quality" -> q91OovQuality,
@@ -252,7 +282,8 @@ object Queries7 {
     "q93_repeated_spans" -> q93RepeatedSpans,
     "q94_temperature_mix" -> q94TemperatureMix,
     "q95_pii_redact" -> q95PiiRedact,
-    "q96_boilerplate_strip" -> q96BoilerplateStrip)
+    "q96_boilerplate_strip" -> q96BoilerplateStrip,
+    "q97_split_leak_audit" -> q97SplitLeakAudit)
 
   val oracle: Map[String, String] = Map(
     "q90_vocab_coverage" -> q90Sql,
@@ -261,5 +292,6 @@ object Queries7 {
     "q93_repeated_spans" -> q93Sql,
     "q94_temperature_mix" -> q94Sql,
     "q95_pii_redact" -> q95Sql,
-    "q96_boilerplate_strip" -> q96Sql)
+    "q96_boilerplate_strip" -> q96Sql,
+    "q97_split_leak_audit" -> q97Sql)
 }

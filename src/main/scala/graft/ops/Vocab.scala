@@ -134,6 +134,44 @@ object Vocab {
         coalesce(col("repeat_ppm"), lit(0L)).as("repeat_ppm"))
   }
 
+  /** Cross-split contamination audit — the decontamination check run
+    * BEFORE training (GPT-3, Brown et al. 2020, Appendix C: n-gram overlap
+    * between training data and eval sets): for each pair of splits, the
+    * number of DISTINCT word n-gram spans present in both. An id-hash
+    * split ([[splitAssign]]) guarantees no document leaks; this query
+    * audits the stronger property — how much CONTENT leaks via distinct
+    * documents sharing spans (near-dups straddling the split boundary).
+    * [[graft.Queries5]]'s q76 checks the corpus against an EXTERNAL
+    * benchmark; this is the intra-corpus, split-aware sibling.
+    *
+    * Output: one row — `train_val`, `train_test`, `val_test` distinct
+    * shared-span counts.
+    *
+    * Scale shape: span explode is map-side; `(split, span)` distinct and
+    * the per-span split-membership aggregate (three bool_or flags — an
+    * O(1) buffer, never a split set) are span-keyed hash aggs with
+    * map-side partials; the final pair counts are a single-row aggregate.
+    * Same 64-bit-hash note as [[repeatedSpans]] for 100 TB shuffles. */
+  def crossSplitLeaks(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val spans = splitAssign(df, idCol)
+      .select(col("split"), explode(
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("__span"))
+      .distinct()
+    spans.groupBy(col("__span"))
+      .agg(
+        max(col("split") === "train").as("__tr"),
+        max(col("split") === "val").as("__va"),
+        max(col("split") === "test").as("__te"))
+      .agg(
+        sum(when(col("__tr") && col("__va"), 1L).otherwise(0L)).as("train_val"),
+        sum(when(col("__tr") && col("__te"), 1L).otherwise(0L)).as("train_test"),
+        sum(when(col("__va") && col("__te"), 1L).otherwise(0L)).as("val_test"))
+  }
+
   /** Deterministic train/val/test assignment by md5-prefix bucket of the
     * id — the [[graft.Queries4.q56HashSample]] convention widened to a
     * 3-way split: 256 two-hex-digit buckets, `< "f0"` → train (93.75%),

@@ -93,6 +93,25 @@ class VocabSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, 0L)), "within-doc repetition alone is not 'shared'")
   }
 
+  test("crossSplitLeaks: a span shared across split boundaries is counted once") {
+    // find two ids the md5 split sends to different splits, then plant the
+    // same 5-token span in both documents
+    val probe = ops.Vocab.splitAssign(spark.range(0, 200).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val trainId = probe.collectFirst { case (id, "train") => id }.get
+    val valId = probe.collectFirst { case (id, "val") => id }.get
+    val span = "one two three four five"
+    val d = Seq(
+      (trainId, s"$span and some train padding"),
+      (valId, s"prefix words here $span"),
+      (probe.collectFirst { case (id, "train") => id }.get + 0L, s"$span and some train padding"))
+      .toDF("doc_id", "text").distinct()
+    val out = ops.Vocab.crossSplitLeaks(d, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].head()
+    assert(out._1 >= 1L, s"planted train/val span leak must be found: $out")
+    assert(out._3 == 0L, s"no val/test span exists: $out")
+  }
+
   test("q90/q91 fixture run: shapes and invariants at sf0.001") {
     val q90 = Queries7.q90VocabCoverage(spark, sfDir).collect()
     assert(q90.length == 20)
