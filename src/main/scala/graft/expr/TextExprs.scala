@@ -81,6 +81,41 @@ object ShingleKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Fused POSITIONAL word-n-gram spans — [[wordShingles]]'s sibling for
+    * the span-counting family (q93 repeated spans, q97 split-leak audit),
+    * where duplicates and document order are the point, not noise:
+    * repetition SCORES need every occurrence, so no distinct, no sort.
+    *
+    * Spec (identical to the HOF reference spelling in graft.ops.Vocab,
+    * which the DuckDB oracles mirror):
+    *   toks = split(lower(trim(text)), '\s+')   — trim is SPACE-only
+    *   if |toks| < n → []
+    *   else         → [join(toks[i..i+n), ' ') for i in 0..|toks|-n]
+    *
+    * Unlike [[wordShingles]] there is NO whitespace-collapse regex pass
+    * and NO short-doc fallback element — `split` on `\s+` handles interior
+    * runs, and a sub-n doc yields zero spans (the operators restore such
+    * docs with zero counts via a left join). */
+  def wordSpans(input: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(input.trim().toLowerCase.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused character-n-gram shingling.
     *
     * Spec (identical to TextFns.charShingles):
@@ -131,6 +166,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.ShingleKernels.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused positional word-span kernel (see [[ShingleKernels.wordSpans]]);
+  * codegen'd like [[WordShingles]]. */
+case class WordSpans(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "span size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.wordSpans(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleKernels.wordSpans($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -190,4 +245,8 @@ object TextExprs {
   /** Column wrapper for [[CharShingles]]. */
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[WordSpans]]. */
+  def wordSpans(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordSpans(ExpressionUtils.expression(text), n))
 }

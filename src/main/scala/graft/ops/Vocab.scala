@@ -25,6 +25,19 @@ object Vocab {
     * ([[graft.functions.TextFns.tokenCount]] counts the same units). */
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Positional n-gram spans, HOF reference spelling — the form the DuckDB
+    * oracles mirror; the operators run the fused codegen kernel
+    * ([[graft.expr.ShingleKernels.wordSpans]]), and VocabSpec asserts the
+    * two agree (the interpreted HOF chain costs ~µs per span — 20× the
+    * whole-query budget at sf0.1). */
+  private[graft] def spansReference(c: Column, n: Int): Column = {
+    val t = toks(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-word corpus counts: one map-side-combined hash aggregation over
     * the exploded token stream; blank tokens (empty docs) dropped. */
   private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
@@ -110,13 +123,9 @@ object Vocab {
     * DuckDB oracle can spell the same plan.
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = toks(col(textCol))
     val spans = df
-      .select(col(idCol), explode(
-        when(size(t) >= n,
-          transform(sequence(lit(0), size(t) - n),
-            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("__span"))
+      .select(col(idCol),
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), n)).as("__span"))
     // a span is "shared" iff it appears in at least two DISTINCT docs:
     // min(doc) < max(doc) — constant-size agg buffer, no distinct set
     val shared = spans.groupBy(col("__span"))
@@ -147,20 +156,18 @@ object Vocab {
     * Output: one row — `train_val`, `train_test`, `val_test` distinct
     * shared-span counts.
     *
-    * Scale shape: span explode is map-side; `(split, span)` distinct and
-    * the per-span split-membership aggregate (three bool_or flags — an
-    * O(1) buffer, never a split set) are span-keyed hash aggs with
-    * map-side partials; the final pair counts are a single-row aggregate.
-    * Same 64-bit-hash note as [[repeatedSpans]] for 100 TB shuffles. */
+    * Scale shape: span explode is map-side; the per-span split-membership
+    * aggregate (three bool_or flags — an O(1) buffer, never a split set)
+    * is ONE span-keyed hash agg with map-side partials. No distinct over
+    * the raw (split, span) stream: bool_or is idempotent under duplicate
+    * spans, so deduplicating first would only add a second full shuffle
+    * of span text for the same answer. The final pair counts are a
+    * single-row aggregate. Same 64-bit-hash note as [[repeatedSpans]] for
+    * 100 TB shuffles. */
   def crossSplitLeaks(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = toks(col(textCol))
     val spans = splitAssign(df, idCol)
-      .select(col("split"), explode(
-        when(size(t) >= n,
-          transform(sequence(lit(0), size(t) - n),
-            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("__span"))
-      .distinct()
+      .select(col("split"),
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), n)).as("__span"))
     spans.groupBy(col("__span"))
       .agg(
         max(col("split") === "train").as("__tr"),

@@ -93,6 +93,31 @@ class VocabSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, 0L)), "within-doc repetition alone is not 'shared'")
   }
 
+  test("wordSpans kernel is element-identical to the HOF reference spelling") {
+    // edge cases: empty text, pure whitespace, sub-n doc, exact-n doc,
+    // interior whitespace runs, leading tab surviving the space-only trim,
+    // mixed case, repeated spans (duplicates MUST be preserved, in order)
+    val texts = Seq(
+      "", "   ", "\t\n  ", "a b c d", "a b c d e", "A  B\tC   d E f",
+      "\tx a b c d e", "m m m m m m", "one two three four five six seven",
+      (1 to 40).map(i => s"tok${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select($"id",
+      graft.expr.TextExprs.wordSpans($"text", 5).as("kernel"),
+      ops.Vocab.spansReference($"text", 5).as("hof"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, k, h) =>
+      assert(k == h, s"id=$id kernel=$k hof=$h")
+    }
+  }
+
+  test("wordSpans participates in whole-stage codegen") {
+    val plan = graft.io.Tables.documents(spark, sfDir)
+      .select(graft.expr.TextExprs.wordSpans($"text", 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"span kernel fell out of codegen:\n$plan")
+  }
+
   test("crossSplitLeaks: a span shared across split boundaries is counted once") {
     // find two ids the md5 split sends to different splits, then plant the
     // same 5-token span in both documents
