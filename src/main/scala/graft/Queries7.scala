@@ -275,6 +275,101 @@ object Queries7 {
       |  sum(CASE WHEN va AND te THEN 1 ELSE 0 END)::BIGINT AS val_test
       |FROM g""".stripMargin
 
+  // ------------------------------------------------ corpus datasheet
+  /** The GOVERNANCE capstone — a corpus datasheet (Gebru et al. 2021,
+    * "Datasheets for Datasets") as one tall (section, metric, value)
+    * table: volume, split sizes, exact-dup rate, vocabulary size and head
+    * coverage, cross-split leak counts, and empty-doc quality — the
+    * sign-off artifact a dataset release ships, composed from the round's
+    * operator families in ONE hash-checked plan (q89's mix capstone's
+    * governance sibling).
+    *
+    * Scale shape: four corpus passes, each a map-side-combined aggregation
+    * (split×lang rollup; md5-fingerprint distinct; token explode for the
+    * vocabulary; span explode for the leak audit) — every pass's shuffle
+    * carries aggregates, never documents, and all derived sections run on
+    * the tiny rollups. All values are integers; no floats anywhere. */
+  val q98CorpusDatasheet: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val tokCount = graft.functions.TextFns.tokenCount(col("text"))
+    val base = Vocab.splitAssign(d, "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("docs"), sum(tokCount).as("tokens"))
+    val volume = base
+      .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"),
+        countDistinct(col("lang")).as("langs"))
+      .selectExpr("stack(3, 'volume','docs',docs, 'volume','tokens',tokens," +
+        " 'volume','langs',langs) AS (section, metric, value)")
+    val splits = base.groupBy(col("split")).agg(sum(col("docs")).as("value"))
+      .select(lit("split").as("section"),
+        concat(lit("docs_"), col("split")).as("metric"), col("value"))
+    val dedup = d
+      .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("value"))
+      .select(lit("dedup").as("section"), lit("exact_dup_docs").as("metric"), col("value"))
+    val quality = d
+      .agg(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("value"))
+      .select(lit("quality").as("section"), lit("empty_docs").as("metric"), col("value"))
+    val vocabSize = Vocab.wordCounts(d, "text")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("vocab").as("section"), lit("vocab_size").as("metric"), col("value"))
+    val headCov = Vocab.topVocab(d, "text", 16)
+      .agg(max(col("coverage_ppm")).as("value"))
+      .select(lit("vocab").as("section"), lit("top16_coverage_ppm").as("metric"), col("value"))
+    val leaks = Vocab.crossSplitLeaks(d, "doc_id", "text", n = 5)
+      .selectExpr("stack(3, 'leak','spans_train_val',train_val," +
+        " 'leak','spans_train_test',train_test," +
+        " 'leak','spans_val_test',val_test) AS (section, metric, value)")
+    volume.unionByName(splits).unionByName(dedup).unionByName(quality)
+      .unionByName(vocabSize).unionByName(headCov).unionByName(leaks)
+      .withColumn("value", col("value").cast("long"))
+      .orderBy("section", "metric")
+  }
+
+  val q98Sql: String =
+    """WITH a AS (SELECT doc_id, lang, text,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f0' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f8' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+      |  FROM documents),
+      |base AS (SELECT split, lang, count(*)::BIGINT AS docs,
+      |    sum(tok)::BIGINT AS tokens FROM a GROUP BY split, lang),
+      |w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |counts AS (SELECT word, count(*)::BIGINT AS cnt FROM w WHERE word <> ''
+      |  GROUP BY word),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+      |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+      |  FROM counts ORDER BY cnt DESC, word ASC LIMIT 16),
+      |toks2 AS (SELECT split, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM a),
+      |spans AS (SELECT split, array_to_string(toks[i : i + 4], ' ') AS span
+      |  FROM (SELECT split, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |        FROM toks2 WHERE len(toks) >= 5)),
+      |g AS (SELECT span, bool_or(split = 'train') AS tr,
+      |    bool_or(split = 'val') AS va, bool_or(split = 'test') AS te
+      |  FROM spans GROUP BY span)
+      |SELECT section, metric, value FROM (
+      |  SELECT 'volume' AS section, 'docs' AS metric, sum(docs)::BIGINT AS value FROM base
+      |  UNION ALL SELECT 'volume', 'tokens', sum(tokens)::BIGINT FROM base
+      |  UNION ALL SELECT 'volume', 'langs', count(DISTINCT lang)::BIGINT FROM base
+      |  UNION ALL SELECT 'split', 'docs_' || split, sum(docs)::BIGINT FROM base GROUP BY split
+      |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
+      |    (count(*) - count(DISTINCT md5(text)))::BIGINT FROM documents
+      |  UNION ALL SELECT 'quality', 'empty_docs',
+      |    sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)::BIGINT FROM documents
+      |  UNION ALL SELECT 'vocab', 'vocab_size', count(*)::BIGINT FROM counts
+      |  UNION ALL SELECT 'vocab', 'top16_coverage_ppm',
+      |    (sum(cnt)::BIGINT * 1000000 // (SELECT total FROM tot))::BIGINT FROM top
+      |  UNION ALL SELECT 'leak', 'spans_train_val',
+      |    sum(CASE WHEN tr AND va THEN 1 ELSE 0 END)::BIGINT FROM g
+      |  UNION ALL SELECT 'leak', 'spans_train_test',
+      |    sum(CASE WHEN tr AND te THEN 1 ELSE 0 END)::BIGINT FROM g
+      |  UNION ALL SELECT 'leak', 'spans_val_test',
+      |    sum(CASE WHEN va AND te THEN 1 ELSE 0 END)::BIGINT FROM g
+      |) ORDER BY section, metric""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q90_vocab_coverage" -> q90VocabCoverage,
     "q91_oov_quality" -> q91OovQuality,
@@ -283,7 +378,8 @@ object Queries7 {
     "q94_temperature_mix" -> q94TemperatureMix,
     "q95_pii_redact" -> q95PiiRedact,
     "q96_boilerplate_strip" -> q96BoilerplateStrip,
-    "q97_split_leak_audit" -> q97SplitLeakAudit)
+    "q97_split_leak_audit" -> q97SplitLeakAudit,
+    "q98_corpus_datasheet" -> q98CorpusDatasheet)
 
   val oracle: Map[String, String] = Map(
     "q90_vocab_coverage" -> q90Sql,
@@ -293,5 +389,6 @@ object Queries7 {
     "q94_temperature_mix" -> q94Sql,
     "q95_pii_redact" -> q95Sql,
     "q96_boilerplate_strip" -> q96Sql,
-    "q97_split_leak_audit" -> q97Sql)
+    "q97_split_leak_audit" -> q97Sql,
+    "q98_corpus_datasheet" -> q98Sql)
 }
