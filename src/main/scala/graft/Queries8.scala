@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{Delta, Scrub}
+
+/** Eighth query wave: corpus LIFECYCLE operators — the ingest-time Unicode
+  * canonicalization every downstream fingerprint assumes, and the
+  * release-to-release delta a versioned dataset ships next to its
+  * datasheet (q98). Both are deterministic integer/string plans that
+  * hash-check against the DuckDB oracle; q99 doubles as a
+  * cross-implementation conformance test of NFC itself (java.text.Normalizer
+  * in Spark vs utf8proc in DuckDB must agree byte-for-byte for the hash to
+  * match).
+  */
+object Queries8 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------ unicode normalization
+  /** Unicode-NFC ingest audit over a deterministically DECOMPOSED copy of
+    * the corpus. The synthetic fixture is pure ASCII — NFC-invariant by
+    * construction — so to exercise composition the query first rewrites
+    * every 'e' to 'e' + COMBINING ACUTE ACCENT (U+0301), the canonical
+    * decomposed spelling of 'é', then normalizes with the codegen'd
+    * [[graft.expr.NfcNormalize]] kernel and reports per language: documents
+    * actually rewritten by NFC, code points removed by composition, and
+    * documents NFC left untouched (those with no 'e').
+    *
+    * Scale shape: injection + kernel are one map-side codegen'd projection
+    * (the kernel's ASCII fast path is deliberately DEFEATED here — that's
+    * the point of the audit); one partial-agg shuffle keyed by lang. */
+  val q99UnicodeNfc: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val inj = d.select(col("lang"),
+      regexp_replace(col("text"), "e", "e\u0301").as("inj_text"))
+    Scrub.normalizeNfc(inj, "inj_text")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("nfc_changed"), 1L).otherwise(0L)).as("docs_composed"),
+        sum(col("nfc_chars_delta")).as("chars_composed"),
+        sum(when(col("nfc_changed"), 0L).otherwise(1L)).as("docs_untouched"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror: chr(769) = U+0301; nfc_normalize is utf8proc NFC;
+    * length() counts code points in both engines, so chars_composed is the
+    * number of (e, U+0301) pairs each engine's NFC composed. */
+  val q99Sql: String =
+    """WITH a AS (
+      |  SELECT lang, regexp_replace(text, 'e', 'e' || chr(769), 'g') AS inj
+      |  FROM documents),
+      |n AS (SELECT lang, inj, nfc_normalize(inj) AS nrm FROM a)
+      |SELECT lang,
+      |  sum(CASE WHEN nrm <> inj THEN 1 ELSE 0 END)::BIGINT AS docs_composed,
+      |  sum(length(inj) - length(nrm))::BIGINT AS chars_composed,
+      |  sum(CASE WHEN nrm = inj THEN 1 ELSE 0 END)::BIGINT AS docs_untouched
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------ release delta
+  /** Release-to-release corpus diff rolled up to (status, source) counts.
+    * The "previous release" is derived deterministically from the fixture
+    * so the delta exercises all four statuses: docs with doc_id % 11 = 0
+    * are absent from prev (→ `added` in current), docs with doc_id % 7 = 3
+    * carried a draft suffix in prev (→ `changed`), docs with
+    * doc_id % 13 = 5 additionally existed under a retired id range in prev
+    * (→ `removed`), everything else is `unchanged`.
+    *
+    * Scale shape: [[graft.ops.Delta.releaseDiff]] — both sides collapse to
+    * (key, md5 fingerprint, source) at the scan, one full-outer equi-join
+    * shuffling ~50 bytes/doc, then a tiny rollup. */
+  val q100ReleaseDelta: Q = (spark, dir) => {
+    val cur = Tables.documents(spark, dir)
+    val prev = cur.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      .unionByName(cur.filter(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"),
+          col("source")))
+    Delta.releaseDiff(prev, cur.select(col("doc_id"), col("text"),
+        col("source")), "doc_id", Seq("text"), Seq("source"))
+      .groupBy(col("status"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("status", "source")
+  }
+
+  val q100Sql: String =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || ' [v1]' ELSE text END AS text,
+      |    source
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text, source FROM documents
+      |  WHERE doc_id % 13 = 5),
+      |j AS (
+      |  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+      |              WHEN c.doc_id IS NULL THEN 'removed'
+      |              WHEN p.text = c.text THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |    coalesce(c.source, p.source) AS source
+      |  FROM prev p FULL OUTER JOIN documents c ON p.doc_id = c.doc_id)
+      |SELECT status, source, count(*)::BIGINT AS n_docs
+      |FROM j GROUP BY status, source ORDER BY status, source""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q99_unicode_nfc" -> q99UnicodeNfc,
+    "q100_release_delta" -> q100ReleaseDelta)
+
+  val oracle: Map[String, String] = Map(
+    "q99_unicode_nfc" -> q99Sql,
+    "q100_release_delta" -> q100Sql)
+}

@@ -145,6 +145,50 @@ object ShingleKernels {
   }
 }
 
+/** Row-loop body of the Unicode-normalization kernel; object for static
+  * forwarders like [[ShingleKernels]]. */
+object NormalizeKernels {
+
+  private val NFC = java.text.Normalizer.Form.NFC
+
+  /** NFC-normalize one string (canonical composition, the form every
+    * tokenizer/dedup stage should see exactly once at ingest).
+    *
+    * Two fast paths matter at corpus scale: (1) pure-ASCII input — the
+    * overwhelming majority of web text — is NFC-invariant and detected
+    * WITHOUT decoding (`numBytes == numChars` iff every code point is
+    * single-byte), returning the input UTF8String untouched; (2) already-
+    * normalized non-ASCII input returns the original bytes after a
+    * non-allocating `isNormalized` scan, so only genuinely decomposed rows
+    * pay the normalize + re-encode cost. */
+  def nfc(input: UTF8String): UTF8String = {
+    if (input.numBytes() == input.numChars()) return input
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, NFC)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, NFC))
+  }
+}
+
+/** Unicode NFC normalization as a codegen'd expression (see
+  * [[NormalizeKernels.nfc]]). Spark exposes no normalization builtin, and a
+  * Scala UDF would box + break whole-stage codegen in the one pass that by
+  * definition touches every byte of the corpus. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.NormalizeKernels.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused word-n-gram shingling kernel (see [[ShingleKernels.wordShingles]]).
   *
   * The builtin spelling evaluates transform/slice/array_join as interpreted
@@ -249,4 +293,8 @@ object TextExprs {
   /** Column wrapper for [[WordSpans]]. */
   def wordSpans(text: Column, n: Int): Column =
     ExpressionUtils.column(WordSpans(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }

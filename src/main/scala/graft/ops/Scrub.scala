@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
 
+  /** Unicode-NFC normalize `textCol` in place and report what changed:
+    * adds `nfc_changed` (did normalization alter the string) and
+    * `nfc_chars_delta` (code points removed by canonical composition —
+    * e.g. `e` + COMBINING ACUTE collapsing to `é`; ≥ 0 for pure
+    * composition, composition exclusions can make it negative).
+    *
+    * Every tokenizer/dedup/fingerprint stage downstream assumes ONE
+    * canonical byte form per grapheme — decomposed and composed spellings
+    * of the same text would otherwise hash apart and tokenize apart, so
+    * this runs once at ingest, before any fingerprinting. Backed by the
+    * codegen'd [[graft.expr.NfcNormalize]] kernel whose ASCII fast path
+    * skips the whole decode for single-byte rows (the common case).
+    * Scale shape: pure map-side projection, no shuffle. */
+  def normalizeNfc(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = graft.expr.TextExprs.nfcNormalize(t)
+    df.withColumn("nfc_text", n)
+      .withColumn("nfc_changed", col("nfc_text") =!= t)
+      .withColumn("nfc_chars_delta", (length(t) - length(col("nfc_text"))).cast("long"))
+  }
+
   /** RE2-safe email pattern (user@host.tld). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -9,6 +9,40 @@ import graft.ops.Scrub
 class ScrubSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeNfc: composes decomposed sequences; ASCII and composed text untouched") {
+    val decomposed = "caf" + "e\u0301"          // e + COMBINING ACUTE
+    val composed = "caf\u00e9"                   // precomposed e-acute
+    val hangulDecomposed = "\u1100\u1161"      // choseong G + jungseong A
+    val df = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, hangulDecomposed))
+      .toDF("id", "text")
+    val out = Scrub.normalizeNfc(df, "text")
+      .select($"id", $"nfc_text", $"nfc_changed", $"nfc_chars_delta")
+      .as[(Long, String, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, composed, true, 1L)))
+    assert(out(2L) == ((2L, composed, false, 0L)))
+    assert(out(3L) == ((3L, "plain ascii", false, 0L)))
+    // NFC composes the jamo pair into the single syllable block 가 (U+AC00)
+    assert(out(4L) == ((4L, "\uac00", true, 1L)))
+    // idempotence: normalizing the normalized output is the identity
+    val again = Scrub.normalizeNfc(
+      Scrub.normalizeNfc(df, "text").select($"id", $"nfc_text".as("text")), "text")
+    assert(again.filter($"nfc_changed").count() == 0L)
+  }
+
+  test("normalizeNfc plans map-side only and its kernel stays in whole-stage codegen") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.expr.TextExprs.nfcNormalize(col("text")).as("t"))
+      .agg(sum(length($"t")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") || plan.contains("Exchange SinglePartition"),
+      s"unexpected wide shuffle:\n$plan")
+    val sources = org.apache.spark.sql.graftbridge.Bridge.compileWholeStageCodegen(df)
+    assert(sources.exists(_.contains("graft.expr.NormalizeKernels")),
+      "nfc kernel call not in generated code")
+  }
+
   test("redactPii: masks emails then phones; stage counts never double-report") {
     val df = Seq(
       (1L, "mail alice.smith@corp.example.org or call +1-555-0100-200 now"),
