@@ -28,8 +28,10 @@ object PlanAudit {
       // checkpoints, so the audit sees only that bounded tail
       "q83_pipeline_golden",
       // q90/q91/q94 cross-join a 1-ROW grand total (a broadcast scalar)
-      // into a ≤|strata|-row aggregate — bounded by construction
-      "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix")
+      // into a ≤|strata|-row aggregate — bounded by construction; q98's
+      // vocab section composes q90's topVocab and inherits the same shape
+      "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix",
+      "q98_corpus_datasheet")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution
