@@ -107,11 +107,100 @@ object Queries8 {
       |SELECT status, source, count(*)::BIGINT AS n_docs
       |FROM j GROUP BY status, source ORDER BY status, source""".stripMargin
 
+  // ------------------------------------------------ gopher repetition
+  /** WITHIN-document repetition signals (Gopher quality rules, Rae et al.
+    * 2021 A1.1) per document — duplicate-line rate, duplicate-line
+    * character mass, and most-frequent-bigram coverage, all integer ppm.
+    * The self-repetition complement of q93's cross-doc span signal. */
+  val q101GopherRepetition: Q = (spark, dir) =>
+    graft.ops.Repetition.repetitionSignals(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q101Sql: String =
+    """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |ls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |  FROM l GROUP BY doc_id, line),
+      |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+      |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+      |  FROM ls GROUP BY doc_id),
+      |tok AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |sc AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+      |top AS (SELECT doc_id, c, span FROM (
+      |    SELECT doc_id, c, span,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+      |    FROM sc) WHERE rk = 1),
+      |base AS (SELECT doc_id, length(lower(trim(text))) AS n_norm FROM documents)
+      |SELECT b.doc_id,
+      |  (la.dup_lines * 1000000 // la.n_lines)::BIGINT AS dup_line_ppm,
+      |  (CASE WHEN la.tot_chars = 0 THEN 0
+      |        ELSE la.dup_chars * 1000000 // la.tot_chars END)::BIGINT
+      |    AS dup_line_char_ppm,
+      |  (CASE WHEN t.c IS NULL OR b.n_norm = 0 THEN 0
+      |        ELSE t.c * length(t.span) * 1000000 // b.n_norm END)::BIGINT
+      |    AS top_bigram_ppm
+      |FROM base b JOIN la USING (doc_id) LEFT JOIN top t USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** Repetition GATE pass/fail rates per source (thresholds from the
+    * published rule: 30% duplicate lines, 20% duplicate-line chars, 18%
+    * top-bigram coverage — in ppm). */
+  val q102RepetitionGate: Q = (spark, dir) =>
+    graft.ops.Repetition.repetitionGate(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+      maxTopBigramPpm = 180000L)
+      .orderBy("source")
+
+  val q102Sql: String =
+    """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |ls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |  FROM l GROUP BY doc_id, line),
+      |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+      |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+      |  FROM ls GROUP BY doc_id),
+      |tok AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |sc AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+      |top AS (SELECT doc_id, c, span FROM (
+      |    SELECT doc_id, c, span,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+      |    FROM sc) WHERE rk = 1),
+      |base AS (SELECT doc_id, source, length(lower(trim(text))) AS n_norm
+      |  FROM documents),
+      |sig AS (SELECT b.doc_id, b.source,
+      |    (la.dup_lines * 1000000 // la.n_lines)::BIGINT AS dup_line_ppm,
+      |    (CASE WHEN la.tot_chars = 0 THEN 0
+      |          ELSE la.dup_chars * 1000000 // la.tot_chars END)::BIGINT AS dup_line_char_ppm,
+      |    (CASE WHEN t.c IS NULL OR b.n_norm = 0 THEN 0
+      |          ELSE t.c * length(t.span) * 1000000 // b.n_norm END)::BIGINT AS top_bigram_ppm
+      |  FROM base b JOIN la USING (doc_id) LEFT JOIN top t USING (doc_id))
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN dup_line_ppm > 300000 THEN 1 ELSE 0 END)::BIGINT AS fail_dup_line,
+      |  sum(CASE WHEN dup_line_char_ppm > 200000 THEN 1 ELSE 0 END)::BIGINT AS fail_dup_line_char,
+      |  sum(CASE WHEN top_bigram_ppm > 180000 THEN 1 ELSE 0 END)::BIGINT AS fail_top_bigram,
+      |  sum(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+      |            AND top_bigram_ppm <= 180000 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+      |FROM sig GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_unicode_nfc" -> q99UnicodeNfc,
-    "q100_release_delta" -> q100ReleaseDelta)
+    "q100_release_delta" -> q100ReleaseDelta,
+    "q101_gopher_repetition" -> q101GopherRepetition,
+    "q102_repetition_gate" -> q102RepetitionGate)
 
   val oracle: Map[String, String] = Map(
     "q99_unicode_nfc" -> q99Sql,
-    "q100_release_delta" -> q100Sql)
+    "q100_release_delta" -> q100Sql,
+    "q101_gopher_repetition" -> q101Sql,
+    "q102_repetition_gate" -> q102Sql)
 }
