@@ -192,15 +192,92 @@ object Queries8 {
       |            AND top_bigram_ppm <= 180000 THEN 1 ELSE 0 END)::BIGINT AS n_pass
       |FROM sig GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ bloom decontamination
+  /** Two-phase bloom-prefiltered decontamination drop list: train docs
+    * sharing a distinct word 5-gram with val/test, with leaked-span
+    * counts. The SCALE path for q97's exact audit — the train-span mass is
+    * pruned map-side against a bloom of the eval spans (built in-plan as a
+    * scalar subquery, Spark's own runtime-filter lifecycle) and only
+    * bloom survivors reach the exact verify semi-join, so the result is
+    * hash-identical to the exact spelling the oracle runs. See
+    * [[graft.ops.Decontaminate]]. */
+  val q103BloomDecon: Q = (spark, dir) =>
+    graft.ops.Decontaminate.bloomDropList(
+      Tables.documents(spark, dir), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  val q103Sql: String =
+    """WITH a AS (SELECT doc_id, text,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f0' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f8' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tok AS (SELECT doc_id, split,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM a),
+      |spans AS (SELECT DISTINCT doc_id, split, array_to_string(toks[i : i + 4], ' ') AS span
+      |  FROM (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |        FROM tok WHERE len(toks) >= 5)),
+      |tr AS (SELECT DISTINCT doc_id, span FROM spans WHERE split = 'train'),
+      |ev AS (SELECT DISTINCT span FROM spans WHERE split <> 'train')
+      |SELECT doc_id, count(*)::BIGINT AS n_leaked_spans
+      |FROM tr WHERE span IN (SELECT span FROM ev)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ canonical survivors
+  /** Quality-aware dedup survivor selection: near-dup clusters (q52's
+    * sign-RP-LSH pairs → connected components) keep their HIGHEST-QUALITY
+    * member (q21's integer quality score; ties → smallest id) instead of
+    * the arbitrary min-id — the "which copy ships" decision of a
+    * production dedup. Winner per cluster is a min(struct) aggregate, not
+    * a window, so degenerate giant clusters never sort
+    * ([[graft.ops.Components.canonicalizeBy]]). */
+  val q104CanonicalDedup: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = graft.ops.Similarity.rpLshNearDup(emb, "vec_id", "embedding",
+      Queries3.rpPlanes, Queries3.rpBits, threshold = 0.35)
+    val comp = graft.ops.Components.connectedComponents(
+      emb.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
+    val scores = Tables.documents(spark, dir).select(
+      col("doc_id").as("vec_id"),
+      graft.functions.TextFns.qualityScoreMicro(col("text")).as("quality_e6"))
+    graft.ops.Components.canonicalizeBy(comp, "vec_id", scores, "quality_e6")
+      .orderBy("vec_id")
+  }
+
+  val q104Sql: String =
+    s"""WITH RECURSIVE ${Queries3.rpPairsCteBody},
+       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |      UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+       |  UNION
+       |  SELECT e.t AS id, reach.lbl FROM reach JOIN e ON e.s = reach.id),
+       |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id),
+       |qs AS (SELECT doc_id AS vec_id, ${Queries2.QualitySqlExpr} AS quality_e6
+       |  FROM documents),
+       |m AS (SELECT c.vec_id, c.component, qs.quality_e6
+       |  FROM comp c JOIN qs USING (vec_id)),
+       |w AS (SELECT vec_id, component, quality_e6,
+       |    (count(*) OVER (PARTITION BY component))::BIGINT AS comp_size,
+       |    row_number() OVER (PARTITION BY component
+       |                       ORDER BY quality_e6 DESC, vec_id ASC) AS rk
+       |  FROM m)
+       |SELECT vec_id, component, comp_size, quality_e6, rk = 1 AS keep
+       |FROM w ORDER BY vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_unicode_nfc" -> q99UnicodeNfc,
     "q100_release_delta" -> q100ReleaseDelta,
     "q101_gopher_repetition" -> q101GopherRepetition,
-    "q102_repetition_gate" -> q102RepetitionGate)
+    "q102_repetition_gate" -> q102RepetitionGate,
+    "q103_bloom_decon" -> q103BloomDecon,
+    "q104_canonical_dedup" -> q104CanonicalDedup)
 
   val oracle: Map[String, String] = Map(
     "q99_unicode_nfc" -> q99Sql,
     "q100_release_delta" -> q100Sql,
     "q101_gopher_repetition" -> q101Sql,
-    "q102_repetition_gate" -> q102Sql)
+    "q102_repetition_gate" -> q102Sql,
+    "q103_bloom_decon" -> q103Sql,
+    "q104_canonical_dedup" -> q104Sql)
 }

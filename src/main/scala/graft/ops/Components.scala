@@ -137,4 +137,31 @@ object Components {
         col("comp_size"),
         (col(idCol) === col("component")).as("is_canonical"))
   }
+
+  /** Quality-aware survivor selection: instead of keeping the arbitrary
+    * min-id member of each dedup cluster ([[dedupClusters]]'s
+    * `is_canonical`), keep the member with the highest `scoreCol` (ties →
+    * smallest id) — what a production dedup ships when members differ
+    * (mirrors of the same page with different boilerplate, versions of the
+    * same doc at different quality). `clusters` is (`idCol`, `component`)
+    * as produced by [[connectedComponents]]; `scores` is (`idCol`,
+    * `scoreCol`).
+    *
+    * The winner per component is a `min(struct(-score, id))` hash
+    * aggregate — one map-side-combined pass with an O(1) buffer per
+    * component, then a slim equi-join of the |components|-row winner table
+    * back onto members. No window sort, no skew on degenerate giant
+    * clusters (the aggregate never materializes a cluster's member list).
+    */
+  def canonicalizeBy(clusters: DataFrame, idCol: String,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    val m = clusters.join(scores, Seq(idCol))
+    val winners = m.groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"),
+        min(struct((-col(scoreCol)).as("s"), col(idCol).as("i"))).as("__w"))
+      .select(col("component"), col("comp_size"), col("__w.i").as("__winner"))
+    m.join(winners, Seq("component"))
+      .select(col(idCol), col("component"), col("comp_size"), col(scoreCol),
+        (col(idCol) === col("__winner")).as("keep"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Decontaminate}
+
+/** Two-phase bloom decontamination (q103) and quality-aware dedup
+  * survivor selection (q104's kernel). */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomDropList equals the exact no-bloom spelling (bloom only prunes)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bloom = Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val exact = Decontaminate.exactDropList(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(bloom == exact)
+    // and the fixture actually exercises the path (a leak exists)
+    assert(bloom.nonEmpty)
+  }
+
+  test("bloom prefilter sits below the exact verify join in the plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    // the bloom predicate must survive optimization as a Filter (the
+    // map-side prune) and the verify must be a LeftSemi join — if either
+    // degrades, the scale story is gone
+    assert(plan.contains("might_contain"), s"bloom filter optimized away:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact verify join missing:\n$plan")
+    // the bloom build is a scalar subquery, not a driver collect
+    assert(plan.contains("scalar-subquery"), s"bloom not a scalar subquery:\n$plan")
+  }
+
+  test("canonicalizeBy: highest score survives, ties break to smallest id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (7L, 7L), (9L, 7L),           // cluster 7: tie on score
+      (5L, 5L))                     // singleton
+      .toDF("id", "component")
+    val scores = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),
+      (7L, 42L), (9L, 42L),
+      (5L, 1L)).toDF("id", "score")
+    val out = Components.canonicalizeBy(clusters, "id", scores, "score")
+      .select($"id", $"component", $"comp_size", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) == ((2L, 1L, 3L, true)))   // best quality wins, not min id
+    assert(!out(1L)._4 && !out(3L)._4)
+    assert(out(7L)._4 && !out(9L)._4)         // tie → smallest id
+    assert(out(5L) == ((5L, 5L, 1L, true)))   // singleton keeps itself
+    // exactly one survivor per component
+    val perComp = out.values.groupBy(_._2).map { case (c, rs) => c -> rs.count(_._4) }
+    assert(perComp.values.forall(_ == 1))
+  }
+
+  test("canonicalizeBy plans the winner as an aggregate, not a window") {
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val scores = Seq((1L, 1L), (2L, 2L)).toDF("id", "score")
+    val plan = Components.canonicalizeBy(clusters, "id", scores, "score")
+      .queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+}
