@@ -231,10 +231,18 @@ object Queries8 {
     * production dedup. Winner per cluster is a min(struct) aggregate, not
     * a window, so degenerate giant clusters never sort
     * ([[graft.ops.Components.canonicalizeBy]]). */
-  val q104CanonicalDedup: Q = (spark, dir) => {
+  val q104CanonicalDedup: Q = (spark, dir) =>
+    q104CanonicalWith(spark, dir, Queries3.rpPlanes, Queries3.rpBits)
+
+  /** q104's exact plan with the LSH resolution parameterized — the deploy
+    * knob a k× corpus retunes via [[graft.ops.Similarity.lshBitsFor]]
+    * (see `tools/TimeScaled`); the registered q104 binds the 1× fixture
+    * resolution and is byte-identical. */
+  def q104CanonicalWith(spark: SparkSession, dir: String,
+      planes: Array[Array[Double]], bits: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = graft.ops.Similarity.rpLshNearDup(emb, "vec_id", "embedding",
-      Queries3.rpPlanes, Queries3.rpBits, threshold = 0.35)
+      planes, bits, threshold = 0.35)
     val comp = graft.ops.Components.connectedComponents(
       emb.select("vec_id"), "vec_id", pairs, "id_a", "id_b")
     val scores = Tables.documents(spark, dir).select(

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Similarity
 
-/** Scaling-audit timer for the q83 capstone at deployment-correct LSH
-  * resolution: `runMain graft.tools.TimeScaled <sfDir> [reps] [tables]`.
+/** Scaling-audit timer for the LSH-graph capstones at deployment-correct
+  * resolution: `runMain graft.tools.TimeScaled <sfDir> [reps] [tables] [q]`
+  * where `q` is `q83` (default) or `q104`.
   *
   * A k× corpus run at the 1× fixture resolution (6 tables × 6 bits = 64
   * buckets/table) grows bucket occupancy k× and candidate pairs ~k² — a
@@ -34,6 +35,7 @@ object TimeScaled {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val tables = if (args.length > 2) args(2).toInt else 12
+    val q = if (args.length > 3) args(3) else "q83"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,9 +51,12 @@ object TimeScaled {
     System.err.println(s"[timescaled] n=$n bits=$bits tables=$tables")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val rows = graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits).count()
+      val rows = (q match {
+        case "q104" => graft.Queries8.q104CanonicalWith(spark, sfDir, planes, bits)
+        case _ => graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits)
+      }).count()
       System.err.println(
-        s"[timescaled] q83 rep=$i rows=$rows sec=${(System.nanoTime() - t0) / 1e9}")
+        s"[timescaled] $q rep=$i rows=$rows sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }
