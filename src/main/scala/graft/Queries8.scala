@@ -273,13 +273,37 @@ object Queries8 {
        |SELECT vec_id, component, comp_size, quality_e6, rk = 1 AS keep
        |FROM w ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ epoch-shuffled order
+  /** Deterministic epoch-shuffled data-loader order over the corpus: every
+    * (epoch, doc) gets a dense global position in md5(epoch:id) order —
+    * different every epoch, identical on every rerun/partitioning, and
+    * assigned by the two-phase [[graft.ops.Ids.globalIndex]] (no
+    * single-reducer row_number). The oracle IS the single-reducer
+    * spelling. */
+  val q105EpochOrder: Q = (spark, dir) =>
+    graft.ops.Mixture.epochOrder(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", epochs = 3)
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        col("position"))
+      .orderBy("position")
+
+  val q105Sql: String =
+    """WITH e AS (SELECT doc_id, unnest(generate_series(0, 2)) AS epoch
+      |  FROM documents),
+      |k AS (SELECT epoch, doc_id,
+      |    md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS ord FROM e)
+      |SELECT epoch::BIGINT AS epoch, doc_id,
+      |  (row_number() OVER (ORDER BY epoch, ord, doc_id) - 1)::BIGINT AS position
+      |FROM k ORDER BY position""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_unicode_nfc" -> q99UnicodeNfc,
     "q100_release_delta" -> q100ReleaseDelta,
     "q101_gopher_repetition" -> q101GopherRepetition,
     "q102_repetition_gate" -> q102RepetitionGate,
     "q103_bloom_decon" -> q103BloomDecon,
-    "q104_canonical_dedup" -> q104CanonicalDedup)
+    "q104_canonical_dedup" -> q104CanonicalDedup,
+    "q105_epoch_order" -> q105EpochOrder)
 
   val oracle: Map[String, String] = Map(
     "q99_unicode_nfc" -> q99Sql,
@@ -287,5 +311,6 @@ object Queries8 {
     "q101_gopher_repetition" -> q101Sql,
     "q102_repetition_gate" -> q102Sql,
     "q103_bloom_decon" -> q103Sql,
-    "q104_canonical_dedup" -> q104Sql)
+    "q104_canonical_dedup" -> q104Sql,
+    "q105_epoch_order" -> q105Sql)
 }

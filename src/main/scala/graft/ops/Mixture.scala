@@ -177,4 +177,32 @@ object Mixture {
           .otherwise(array().cast("array<bigint>"))))
       .drop("__copies")
   }
+
+  /** Deterministic epoch-shuffled data-loader order — the last mile
+    * between a training mix and the trainer: every (epoch, example) gets a
+    * dense global `position` in an order that is a PURE FUNCTION of
+    * (epoch, id) — `md5(epoch || ':' || id)` — so every reshuffle is
+    * different across epochs (the point of epoch shuffling), yet any
+    * worker, on any rerun, on any partitioning, re-derives the identical
+    * order (resumable mid-epoch from a position checkpoint; no RNG state
+    * to persist, the Megatron-style shuffle-index file as a query).
+    *
+    * Scale shape: the E× epoch explode is map-side; the one shuffle is the
+    * range-partitioned global sort any total order pays, and positions are
+    * assigned by [[Ids.globalIndex]] (per-partition counts → broadcast
+    * offsets → codegen'd projection), NOT a single-reducer
+    * `row_number()`. At 100 TB one materializes a per-epoch manifest
+    * lazily (filter `epoch = e` before the sort — the explode then costs
+    * one epoch, and the key function is unchanged); the all-epochs
+    * spelling here is the full manifest a small mix ships. */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val e = df.withColumn("epoch",
+      explode(sequence(lit(0), lit(epochs - 1))))
+    val ord = md5(concat(col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    Ids.globalIndex(e.withColumn("__ord", ord),
+        Seq(col("epoch").asc, col("__ord").asc, col(idCol).asc), "position")
+      .drop("__ord")
+  }
 }

@@ -158,4 +158,22 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(out("x") == 500000000000L && out("y") == 500000000000L, out.toString)
   }
+
+  test("epochOrder: dense positions, per-epoch reshuffle, partition-stable") {
+    val d = (1L to 40L).toDF("id")
+    val out = Mixture.epochOrder(d, "id", epochs = 3)
+      .select($"epoch".cast("int"), $"id", $"position")
+      .as[(Int, Long, Long)].collect()
+    // dense 0..119 across all (epoch, id) pairs, epochs in blocks
+    assert(out.map(_._3).sorted.toSeq == (0L until 120L))
+    assert(out.forall { case (e, _, p) => p / 40 == e })
+    // epochs genuinely reshuffle: within-epoch id sequences differ
+    def seqOf(e: Int) = out.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    assert(seqOf(0) != seqOf(1) && seqOf(1) != seqOf(2))
+    // order is a pure function of (epoch, id): repartitioning cannot move it
+    val again = Mixture.epochOrder(d.repartition(7), "id", epochs = 3)
+      .select($"epoch".cast("int"), $"id", $"position")
+      .as[(Int, Long, Long)].collect()
+    assert(out.sortBy(_._3).toSeq == again.sortBy(_._3).toSeq)
+  }
 }
