@@ -79,7 +79,9 @@ object Queries8 {
           .otherwise(col("text")).as("text"),
         col("source"))
       .unionByName(cur.filter(col("doc_id") % 13 === 5)
-        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"),
+        // offset is 1e12: far outside any GenScale copy-offset id space, so
+        // the synthetic 'removed' class survives on 8x/64x scaled fixtures
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"),
           col("source")))
     Delta.releaseDiff(prev, cur.select(col("doc_id"), col("text"),
         col("source")), "doc_id", Seq("text"), Seq("source"))
@@ -95,7 +97,7 @@ object Queries8 {
       |    source
       |  FROM documents WHERE doc_id % 11 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 100000000, text, source FROM documents
+      |  SELECT doc_id + 1000000000000, text, source FROM documents
       |  WHERE doc_id % 13 = 5),
       |j AS (
       |  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'

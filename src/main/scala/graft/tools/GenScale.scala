@@ -60,10 +60,12 @@ object GenScale {
     val rotateEmb: (DataFrame, Int) => DataFrame = (d, i) =>
       if (!perturb || i == 0) d
       else {
-        val dim = 64
-        val r = i % dim
+        // rotation derived from the ACTUAL array length — a fixture with a
+        // different embedding dim rotates correctly instead of truncating
+        val dim = size(col("embedding"))
+        val r = lit(i) % dim
         d.withColumn("embedding",
-          concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r)))
+          concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), lit(1), r)))
       }
     write(scaled(graft.io.Tables.documents(spark, sfDir), Seq("doc_id"), saltText), "documents")
     write(scaled(graft.io.Tables.embeddings(spark, sfDir), Seq("vec_id"), rotateEmb), "embeddings")

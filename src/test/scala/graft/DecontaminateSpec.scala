@@ -20,6 +20,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloom.nonEmpty)
   }
 
+  test("bloomDropList is reentrant: concurrent calls on one session, different inputs") {
+    // Regression: the r6 form registered fixed session-global temp views, so
+    // two in-flight invocations clobbered each other's inputs. The pure-plan
+    // form must keep concurrent calls on DIFFERENT inputs independent.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fFull = Future(Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq)
+    val fHalf = Future(Decontaminate.bloomDropList(half, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq)
+    val (full, halfRes) = (Await.result(fFull, 120.seconds), Await.result(fHalf, 120.seconds))
+    assert(full == Decontaminate.exactDropList(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq)
+    assert(halfRes == Decontaminate.exactDropList(half, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().sorted.toSeq)
+    // and no catalog residue from either invocation
+    assert(spark.catalog.listTables().filter($"name".startsWith("graft_decon")).isEmpty)
+  }
+
   test("bloom prefilter sits below the exact verify join in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
