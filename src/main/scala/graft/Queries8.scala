@@ -298,6 +298,82 @@ object Queries8 {
       |  (row_number() OVER (ORDER BY epoch, ord, doc_id) - 1)::BIGINT AS position
       |FROM k ORDER BY position""".stripMargin
 
+  // ------------------------------------------------ decontamination APPLY
+  /** APPLY step for the decontamination + repetition audits: the cleaned
+    * TRAIN corpus with removal accounting. Composes the bloom-prefiltered
+    * drop list (q103) and the per-doc Gopher repetition gate (q102's
+    * thresholds) through [[graft.ops.Decontaminate.applyVerdicts]], then
+    * publishes the per-(source, reason) datasheet rollup — the step that
+    * turns the audits into a shippable corpus, mirroring what q39 does for
+    * dedup. Survivors are the `'kept'` class; DeconApplySpec asserts the
+    * survivor set equals train minus dropped minus gated. */
+  val q106DeconApply: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val drop = graft.ops.Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
+    val gateFail = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+        maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+        maxTopBigramPpm = 180000L)
+      .filter(!col("gate_pass")).select("doc_id")
+    graft.ops.Decontaminate.applyVerdicts(docs, "doc_id", drop, gateFail)
+      .groupBy(col("source"), col("removal_reason"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .orderBy("source", "removal_reason")
+  }
+
+  val q106Sql: String =
+    """WITH a AS (SELECT doc_id, text, source,
+      |    CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f0' THEN 'train'
+      |         WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'f8' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tok AS (SELECT doc_id, split,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM a),
+      |spans AS (SELECT DISTINCT doc_id, split, array_to_string(toks[i : i + 4], ' ') AS span
+      |  FROM (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |        FROM tok WHERE len(toks) >= 5)),
+      |ev AS (SELECT DISTINCT span FROM spans WHERE split <> 'train'),
+      |dropl AS (SELECT DISTINCT doc_id FROM spans
+      |  WHERE split = 'train' AND span IN (SELECT span FROM ev)),
+      |t AS (SELECT doc_id, text, source FROM a WHERE split = 'train'),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM a),
+      |ls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |  FROM l GROUP BY doc_id, line),
+      |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+      |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+      |  FROM ls GROUP BY doc_id),
+      |sp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |sc AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+      |top AS (SELECT doc_id, c, span FROM (
+      |    SELECT doc_id, c, span,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+      |    FROM sc) WHERE rk = 1),
+      |base AS (SELECT doc_id, length(lower(trim(text))) AS n_norm FROM a),
+      |sig AS (SELECT b.doc_id,
+      |    (la.dup_lines * 1000000 // la.n_lines)::BIGINT AS dup_line_ppm,
+      |    (CASE WHEN la.tot_chars = 0 THEN 0
+      |          ELSE la.dup_chars * 1000000 // la.tot_chars END)::BIGINT AS dup_line_char_ppm,
+      |    (CASE WHEN tp.c IS NULL OR b.n_norm = 0 THEN 0
+      |          ELSE tp.c * length(tp.span) * 1000000 // b.n_norm END)::BIGINT AS top_bigram_ppm
+      |  FROM base b JOIN la USING (doc_id) LEFT JOIN top tp USING (doc_id)),
+      |gf AS (SELECT doc_id FROM sig
+      |  WHERE dup_line_ppm > 300000 OR dup_line_char_ppm > 200000
+      |     OR top_bigram_ppm > 180000),
+      |v AS (SELECT d.source, length(d.text) AS len,
+      |    CASE WHEN dl.doc_id IS NOT NULL AND g.doc_id IS NOT NULL
+      |           THEN 'contaminated+gated'
+      |         WHEN dl.doc_id IS NOT NULL THEN 'contaminated'
+      |         WHEN g.doc_id IS NOT NULL THEN 'gated'
+      |         ELSE 'kept' END AS removal_reason
+      |  FROM t d LEFT JOIN dropl dl ON d.doc_id = dl.doc_id
+      |            LEFT JOIN gf g ON d.doc_id = g.doc_id)
+      |SELECT source, removal_reason, count(*)::BIGINT AS n_docs,
+      |  sum(len)::BIGINT AS n_chars
+      |FROM v GROUP BY source, removal_reason
+      |ORDER BY source, removal_reason""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q99_unicode_nfc" -> q99UnicodeNfc,
     "q100_release_delta" -> q100ReleaseDelta,
@@ -305,7 +381,8 @@ object Queries8 {
     "q102_repetition_gate" -> q102RepetitionGate,
     "q103_bloom_decon" -> q103BloomDecon,
     "q104_canonical_dedup" -> q104CanonicalDedup,
-    "q105_epoch_order" -> q105EpochOrder)
+    "q105_epoch_order" -> q105EpochOrder,
+    "q106_decon_apply" -> q106DeconApply)
 
   val oracle: Map[String, String] = Map(
     "q99_unicode_nfc" -> q99Sql,
@@ -314,5 +391,6 @@ object Queries8 {
     "q102_repetition_gate" -> q102Sql,
     "q103_bloom_decon" -> q103Sql,
     "q104_canonical_dedup" -> q104Sql,
-    "q105_epoch_order" -> q105Sql)
+    "q105_epoch_order" -> q105Sql,
+    "q106_decon_apply" -> q106Sql)
 }

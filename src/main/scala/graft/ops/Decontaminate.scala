@@ -68,6 +68,46 @@ object Decontaminate {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked_spans"))
   }
 
+  /** APPLY step — turn the decontamination and repetition AUDITS into a
+    * shippable corpus. Annotates every TRAIN document (q92 split) with its
+    * removal verdict:
+    *
+    *  - `removal_reason`: `'contaminated'` (on `dropList`), `'gated'`
+    *    (in `gateFails`), `'contaminated+gated'` (both), `'kept'`
+    *  - `keep`: `removal_reason == 'kept'`
+    *
+    * Survivor corpus = `.filter(col("keep"))`; removal accounting = any
+    * rollup over the annotations (q106 publishes the per-source one).
+    * `dropList`/`gateFails` are consumed by their FIRST column (doc id) —
+    * pass [[bloomDropList]] and [[Repetition.gateVerdicts]] failures
+    * directly.
+    *
+    * Scale shape: two left equi-joins on the id. The drop list is rare
+    * events (broadcast side at any scale); the gate-fail side can be a
+    * double-digit percent of the corpus, but it joins as BARE IDS — ~8
+    * bytes/row — while the text mass moves only through the join keyed by
+    * the id it is already bucketed by in a warehouse layout
+    * ([[graft.io.Layout]]), so co-location makes the apply shuffle-free at
+    * deploy. Verdict derivation itself is map-side. */
+  def applyVerdicts(docs: DataFrame, idCol: String, dropList: DataFrame,
+      gateFails: DataFrame): DataFrame = {
+    val train = Vocab.splitAssign(docs, idCol)
+      .filter(col("split") === "train").drop("split")
+    val dl = dropList.select(col(dropList.columns.head).as("__drop_id")).distinct()
+    val gf = gateFails.select(col(gateFails.columns.head).as("__gate_id")).distinct()
+    train
+      .join(dl, col(idCol) === col("__drop_id"), "left")
+      .join(gf, col(idCol) === col("__gate_id"), "left")
+      .withColumn("removal_reason",
+        when(col("__drop_id").isNotNull && col("__gate_id").isNotNull,
+          "contaminated+gated")
+          .when(col("__drop_id").isNotNull, "contaminated")
+          .when(col("__gate_id").isNotNull, "gated")
+          .otherwise("kept"))
+      .withColumn("keep", col("removal_reason") === "kept")
+      .drop("__drop_id", "__gate_id")
+  }
+
   /** The no-bloom exact spelling of [[bloomDropList]] — the verifier the
     * spec holds the two-phase plan against (they must be row-identical on
     * ANY input; the bloom only prunes). */

@@ -80,6 +80,19 @@ object Repetition {
           .as("top_bigram_ppm"))
   }
 
+  /** Per-document gate verdict: [[repetitionSignals]] plus a `gate_pass`
+    * boolean (the published rule is a conjunction of acceptances — a doc
+    * fails if ANY signal exceeds its threshold). The per-doc form the
+    * APPLY step consumes ([[Decontaminate.applyVerdicts]], q106);
+    * [[repetitionGate]] (q102) is its per-source rollup. */
+  def gateVerdicts(df: DataFrame, idCol: String, textCol: String,
+      maxDupLinePpm: Long, maxDupLineCharPpm: Long,
+      maxTopBigramPpm: Long): DataFrame =
+    repetitionSignals(df, idCol, textCol).withColumn("gate_pass",
+      col("dup_line_ppm") <= maxDupLinePpm &&
+        col("dup_line_char_ppm") <= maxDupLineCharPpm &&
+        col("top_bigram_ppm") <= maxTopBigramPpm)
+
   /** Gopher-style repetition GATE: apply rejection thresholds to
     * [[repetitionSignals]] and roll pass/fail rates up by `byCol` — the
     * per-source acceptance report a filtering run publishes. A document

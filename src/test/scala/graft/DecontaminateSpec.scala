@@ -55,6 +55,41 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("scalar-subquery"), s"bloom not a scalar subquery:\n$plan")
   }
 
+  test("applyVerdicts: survivors are exactly train minus dropped minus gated") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val drop = Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
+    val gateFail = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+        maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+        maxTopBigramPpm = 180000L)
+      .filter(!$"gate_pass").select("doc_id")
+    val out = Decontaminate.applyVerdicts(docs, "doc_id", drop, gateFail)
+
+    val trainIds = graft.ops.Vocab.splitAssign(docs, "doc_id")
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val dropIds = drop.select("doc_id").as[Long].collect().toSet
+    val gateIds = gateFail.as[Long].collect().toSet
+    val verdicts = out.select($"doc_id", $"removal_reason", $"keep")
+      .as[(Long, String, Boolean)].collect()
+
+    // verdict frame covers exactly the train split, once per doc
+    assert(verdicts.map(_._1).toSet == trainIds)
+    assert(verdicts.length == trainIds.size)
+    // survivors = train \ (drop ∪ gated); reasons partition correctly
+    val survivors = verdicts.filter(_._3).map(_._1).toSet
+    assert(survivors == trainIds -- dropIds -- gateIds)
+    verdicts.foreach { case (id, reason, keep) =>
+      val expected =
+        if (dropIds(id) && gateIds(id)) "contaminated+gated"
+        else if (dropIds(id)) "contaminated"
+        else if (gateIds(id)) "gated"
+        else "kept"
+      assert(reason == expected && keep == (expected == "kept"))
+    }
+    // schema passthrough: original columns survive annotation
+    assert(Seq("doc_id", "text", "lang", "source", "n_chars")
+      .forall(out.columns.contains))
+  }
+
   test("canonicalizeBy: highest score survives, ties break to smallest id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
