@@ -370,6 +370,28 @@ object Queries7 {
       |    sum(CASE WHEN va AND te THEN 1 ELSE 0 END)::BIGINT FROM g
       |) ORDER BY section, metric""".stripMargin
 
+  // ------------------------------------------------ materialized vocab
+  /** q91's scoring against a MATERIALIZED vocabulary head — the 100 TB
+    * shape. q91 derives the vocab in-plan, which scans and explodes the
+    * token stream twice in one query (fine at sf0.1, wasteful when the
+    * corpus is the cost); a production run derives the head ONCE, persists
+    * it, and every scoring run reads the k-row artifact back. Here: write
+    * [[graft.ops.Vocab.topVocab]]'s head to a warehouse temp path, score
+    * from the read-back — the scoring plan then contains exactly ONE scan
+    * of `documents` plus a broadcast of the tiny vocab parquet
+    * (VocabSpec pins that shape). Results are identical to q91 by
+    * construction, so it shares q91's oracle SQL. */
+  val q107VocabMaterialized: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val head = java.nio.file.Files.createTempDirectory("graft_vocab_head_")
+    head.toFile.deleteOnExit()
+    Vocab.topVocab(docs, "text", 16).write.mode("overwrite")
+      .parquet(head.toString)
+    Vocab.inVocabScore(docs, "doc_id", "text",
+        spark.read.parquet(head.toString))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q90_vocab_coverage" -> q90VocabCoverage,
     "q91_oov_quality" -> q91OovQuality,
@@ -379,7 +401,8 @@ object Queries7 {
     "q95_pii_redact" -> q95PiiRedact,
     "q96_boilerplate_strip" -> q96BoilerplateStrip,
     "q97_split_leak_audit" -> q97SplitLeakAudit,
-    "q98_corpus_datasheet" -> q98CorpusDatasheet)
+    "q98_corpus_datasheet" -> q98CorpusDatasheet,
+    "q107_vocab_materialized" -> q107VocabMaterialized)
 
   val oracle: Map[String, String] = Map(
     "q90_vocab_coverage" -> q90Sql,
@@ -390,5 +413,6 @@ object Queries7 {
     "q95_pii_redact" -> q95Sql,
     "q96_boilerplate_strip" -> q96Sql,
     "q97_split_leak_audit" -> q97Sql,
-    "q98_corpus_datasheet" -> q98Sql)
+    "q98_corpus_datasheet" -> q98Sql,
+    "q107_vocab_materialized" -> q91Sql)
 }

@@ -145,4 +145,20 @@ class VocabSpec extends SparkSpec {
     assert(q91.filter(col("score_ppm") > 1000000L).count() == 0)
     assert(q91.filter(col("in_vocab") > col("n_tokens")).count() == 0)
   }
+
+  test("q107 materialized vocab: row-identical to q91; one documents scan + broadcast") {
+    val q91 = Queries7.q91OovQuality(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val q107df = Queries7.q107VocabMaterialized(spark, sfDir)
+    assert(q107df.as[(Long, Long, Long, Long)].collect().sorted.toSeq == q91)
+    // the scale shape q91 lacks: the vocab head is a persisted artifact, so
+    // the scoring plan scans the corpus ONCE and broadcasts the head
+    val plan = q107df.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans == 2, s"expected 2 documents scan refs (score + left-join restore), got $docScans:\n$plan")
+    // the token-stream join against the vocab must be a broadcast hash
+    // join keyed on the word (the 16-row distinct inside the broadcast
+    // side may legitimately exchange its own rows first)
+    assert(plan.contains("BroadcastHashJoin [__w"), s"vocab join must broadcast on __w:\n$plan")
+  }
 }
