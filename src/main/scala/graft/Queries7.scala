@@ -279,16 +279,21 @@ object Queries7 {
   /** The GOVERNANCE capstone — a corpus datasheet (Gebru et al. 2021,
     * "Datasheets for Datasets") as one tall (section, metric, value)
     * table: volume, split sizes, exact-dup rate, vocabulary size and head
-    * coverage, cross-split leak counts, and empty-doc quality — the
-    * sign-off artifact a dataset release ships, composed from the round's
-    * operator families in ONE hash-checked plan (q89's mix capstone's
-    * governance sibling).
+    * coverage, cross-split leak counts, empty-doc quality, the length
+    * distribution (exact p50/p90/p99 via the value-histogram
+    * [[graft.ops.Quantiles.profile]], in e6 micro-units, plus min/max),
+    * and the Gopher repetition gate's corpus-wide fail counts per signal
+    * — the sign-off artifact a dataset release ships, composed from the
+    * round's operator families in ONE hash-checked plan (q89's mix
+    * capstone's governance sibling).
     *
-    * Scale shape: four corpus passes, each a map-side-combined aggregation
+    * Scale shape: six corpus passes, each a map-side-combined aggregation
     * (split×lang rollup; md5-fingerprint distinct; token explode for the
-    * vocabulary; span explode for the leak audit) — every pass's shuffle
+    * vocabulary; span explode for the leak audit; n_chars value histogram;
+    * doc-keyed line/bigram aggs for repetition) — every pass's shuffle
     * carries aggregates, never documents, and all derived sections run on
-    * the tiny rollups. All values are integers; no floats anywhere. */
+    * the tiny rollups. Quantile micro-units use floor(x·1e6+0.5), the
+    * §7.4 rounding convention; everything else is plain integers. */
   val q98CorpusDatasheet: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
     val tokCount = graft.functions.TextFns.tokenCount(col("text"))
@@ -319,8 +324,31 @@ object Queries7 {
       .selectExpr("stack(3, 'leak','spans_train_val',train_val," +
         " 'leak','spans_train_test',train_test," +
         " 'leak','spans_val_test',val_test) AS (section, metric, value)")
+    val lengths = graft.ops.Quantiles.profile(
+        d.select(lit("all").as("__g"), col("n_chars")), "__g", "n_chars",
+        Seq(0.5, 0.9, 0.99))
+      .selectExpr("stack(5," +
+        " 'length','p50_chars_e6', floor(quantiles[0]*1000000+0.5)," +
+        " 'length','p90_chars_e6', floor(quantiles[1]*1000000+0.5)," +
+        " 'length','p99_chars_e6', floor(quantiles[2]*1000000+0.5)," +
+        " 'length','min_chars', vmin," +
+        " 'length','max_chars', vmax) AS (section, metric, value)")
+    val repetition = graft.ops.Repetition.gateVerdicts(d, "doc_id", "text",
+        maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+        maxTopBigramPpm = 180000L)
+      .agg(
+        sum(when(col("dup_line_ppm") > 300000L, 1L).otherwise(0L)).as("fdl"),
+        sum(when(col("dup_line_char_ppm") > 200000L, 1L).otherwise(0L)).as("fdlc"),
+        sum(when(col("top_bigram_ppm") > 180000L, 1L).otherwise(0L)).as("ftb"),
+        sum(when(!col("gate_pass"), 1L).otherwise(0L)).as("fany"))
+      .selectExpr("stack(4," +
+        " 'repetition','fail_dup_line',fdl," +
+        " 'repetition','fail_dup_line_char',fdlc," +
+        " 'repetition','fail_top_bigram',ftb," +
+        " 'repetition','gate_fail_docs',fany) AS (section, metric, value)")
     volume.unionByName(splits).unionByName(dedup).unionByName(quality)
       .unionByName(vocabSize).unionByName(headCov).unionByName(leaks)
+      .unionByName(lengths).unionByName(repetition)
       .withColumn("value", col("value").cast("long"))
       .orderBy("section", "metric")
   }
@@ -349,7 +377,33 @@ object Queries7 {
       |        FROM toks2 WHERE len(toks) >= 5)),
       |g AS (SELECT span, bool_or(split = 'train') AS tr,
       |    bool_or(split = 'val') AS va, bool_or(split = 'test') AS te
-      |  FROM spans GROUP BY span)
+      |  FROM spans GROUP BY span),
+      |lq AS (SELECT quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q FROM documents),
+      |rl AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |rls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |  FROM rl GROUP BY doc_id, line),
+      |rla AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+      |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+      |  FROM rls GROUP BY doc_id),
+      |rsp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |              FROM documents)
+      |        WHERE len(toks) >= 2)),
+      |rsc AS (SELECT doc_id, span, count(*) AS c FROM rsp GROUP BY doc_id, span),
+      |rtop AS (SELECT doc_id, c, span FROM (
+      |    SELECT doc_id, c, span,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+      |    FROM rsc) WHERE rk = 1),
+      |rbase AS (SELECT doc_id, length(lower(trim(text))) AS n_norm FROM documents),
+      |rsig AS (SELECT b.doc_id,
+      |    (rla.dup_lines * 1000000 // rla.n_lines)::BIGINT AS dup_line_ppm,
+      |    (CASE WHEN rla.tot_chars = 0 THEN 0
+      |          ELSE rla.dup_chars * 1000000 // rla.tot_chars END)::BIGINT AS dup_line_char_ppm,
+      |    (CASE WHEN tp.c IS NULL OR b.n_norm = 0 THEN 0
+      |          ELSE tp.c * length(tp.span) * 1000000 // b.n_norm END)::BIGINT AS top_bigram_ppm
+      |  FROM rbase b JOIN rla USING (doc_id) LEFT JOIN rtop tp USING (doc_id))
       |SELECT section, metric, value FROM (
       |  SELECT 'volume' AS section, 'docs' AS metric, sum(docs)::BIGINT AS value FROM base
       |  UNION ALL SELECT 'volume', 'tokens', sum(tokens)::BIGINT FROM base
@@ -368,6 +422,20 @@ object Queries7 {
       |    sum(CASE WHEN tr AND te THEN 1 ELSE 0 END)::BIGINT FROM g
       |  UNION ALL SELECT 'leak', 'spans_val_test',
       |    sum(CASE WHEN va AND te THEN 1 ELSE 0 END)::BIGINT FROM g
+      |  UNION ALL SELECT 'length', 'p50_chars_e6', floor(q[1]*1000000+0.5)::BIGINT FROM lq
+      |  UNION ALL SELECT 'length', 'p90_chars_e6', floor(q[2]*1000000+0.5)::BIGINT FROM lq
+      |  UNION ALL SELECT 'length', 'p99_chars_e6', floor(q[3]*1000000+0.5)::BIGINT FROM lq
+      |  UNION ALL SELECT 'length', 'min_chars', min(n_chars)::BIGINT FROM documents
+      |  UNION ALL SELECT 'length', 'max_chars', max(n_chars)::BIGINT FROM documents
+      |  UNION ALL SELECT 'repetition', 'fail_dup_line',
+      |    sum(CASE WHEN dup_line_ppm > 300000 THEN 1 ELSE 0 END)::BIGINT FROM rsig
+      |  UNION ALL SELECT 'repetition', 'fail_dup_line_char',
+      |    sum(CASE WHEN dup_line_char_ppm > 200000 THEN 1 ELSE 0 END)::BIGINT FROM rsig
+      |  UNION ALL SELECT 'repetition', 'fail_top_bigram',
+      |    sum(CASE WHEN top_bigram_ppm > 180000 THEN 1 ELSE 0 END)::BIGINT FROM rsig
+      |  UNION ALL SELECT 'repetition', 'gate_fail_docs',
+      |    sum(CASE WHEN dup_line_ppm > 300000 OR dup_line_char_ppm > 200000
+      |              OR top_bigram_ppm > 180000 THEN 1 ELSE 0 END)::BIGINT FROM rsig
       |) ORDER BY section, metric""".stripMargin
 
   // ------------------------------------------------ materialized vocab
