@@ -282,4 +282,44 @@ class ConnectorStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(want.nonEmpty && out.iterator().asScala.toSeq.sorted == want)
   }
+
+  test("streaming ingest parity: clean→join→topN over the micro-batch source equals the batch connector path") {
+    // the q79-shaped ingest composition, run BOTH ways over the same paged
+    // client: (a) PagedStreamSource micro-batches with the viability clean
+    // and a broadcast dim join as stream transforms, AvailableNow-drained,
+    // topN at the sink; (b) the batch connector (PagedSource.fetchListing)
+    // through the identical transforms. Rows must match exactly.
+    val base = graft.io.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val snap = base.orderBy("c_custkey").limit(200).collect().toIndexedSeq
+    val cfg = PagedConfig(pageSize = 32, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        snap.slice(page * 32, (page + 1) * 32)
+    }
+    PagedStreamSource.register("fx_parity", base.schema, client, cfg,
+      sleep = _ => ())
+    val nation = graft.io.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val clean = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("c_acctbal") > 0 && col("c_name").isNotNull && col("c_name") =!= "")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .drop("n_nationkey")
+    val q = clean(spark.readStream
+        .format(classOf[PagedStreamProvider].getName)
+        .option("client", "fx_parity").load())
+      .writeStream.format("memory").queryName("parity_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val topN = graft.ops.TopK.topNPerGroup("c_mktsegment", "c_acctbal", "c_custkey", 3) _
+    val got = topN(spark.table("parity_out"))
+      .orderBy("c_mktsegment", "c_custkey").collect().map(_.toSeq).toSeq
+    val batchDf = PagedSource.toDF(spark,
+      PagedSource.fetchListing(client, "top", cfg, _ => ()), base.schema)
+    val want = topN(clean(batchDf))
+      .orderBy("c_mktsegment", "c_custkey").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want)
+  }
 }
