@@ -365,13 +365,14 @@ object Queries3 {
     * [[Similarity.rpLshNearDup]] with [[rpPlanes]] over `sourceRel`
     * (a relation with `vec_id`, `embedding` columns); shared by q47, the
     * q52 dedup-cluster oracle, and q83's restricted-corpus clustering. */
-  def rpPairsCte(sourceRel: String, simThreshold: Double = 0.35): String = {
+  def rpPairsCte(sourceRel: String, simThreshold: Double = 0.35,
+      planes: Array[Array[Double]] = rpPlanes, bits: Int = rpBits): String = {
     val keyExpr: Int => String = t =>
-      (0 until rpBits).map { b =>
-        val plane = rpPlanes(t * rpBits + b).map(_.toInt).mkString("[", ",", "]")
+      (0 until bits).map { b =>
+        val plane = planes(t * bits + b).map(_.toInt).mkString("[", ",", "]")
         s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
-    val tables = (0 until rpPlanes.length / rpBits).map(t =>
+    val tables = (0 until planes.length / bits).map(t =>
       s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM q").mkString("\nUNION ALL ")
     s"""q AS (
        |  SELECT vec_id,

@@ -343,7 +343,12 @@ object Queries6 {
         size(col("comment_ids")).cast("long").as("n_comments"),
         array_join(col("comment_ids"), ",").as("comment_csv"))
   }
-  val q83Sql: String =
+  val q83Sql: String = q83SqlWith(Queries3.rpPlanes, Queries3.rpBits)
+
+  /** q83's oracle SQL at an arbitrary LSH resolution — the mirror of
+    * [[q83PipelineWith]] for scaled-fixture correctness runs
+    * (`tools/VerifyScaled`). */
+  def q83SqlWith(planes: Array[Array[Double]], bits: Int): String =
     s"""WITH RECURSIVE
        |rposts AS (
        |  SELECT 'reddit' AS platform, lang AS community, doc_id::VARCHAR AS id_post,
@@ -382,7 +387,7 @@ object Queries6 {
        |           FROM allkeep p LEFT JOIN agg a ON a.parent = p.id_post),
        |kept AS (SELECT e0.vec_id, e0.embedding
        |         FROM embeddings e0 JOIN allkeep ON allkeep.vid = e0.vec_id),
-       |${Queries3.rpPairsCte("kept", simThreshold = 0.3)},
+       |${Queries3.rpPairsCte("kept", simThreshold = 0.3, planes, bits)},
        |${ccLabCte("kept", 5)},
        |qq AS (SELECT embedding FROM embeddings WHERE vec_id = 26),
        |sc AS (SELECT l.vec_id AS vid, l.cluster,

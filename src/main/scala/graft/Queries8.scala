@@ -254,8 +254,13 @@ object Queries8 {
       .orderBy("vec_id")
   }
 
-  val q104Sql: String =
-    s"""WITH RECURSIVE ${Queries3.rpPairsCteBody},
+  val q104Sql: String = q104SqlWith(Queries3.rpPlanes, Queries3.rpBits)
+
+  /** q104's oracle SQL at an arbitrary LSH resolution — the mirror of
+    * [[q104CanonicalWith]] for scaled-fixture correctness runs
+    * (`tools/VerifyScaled`). */
+  def q104SqlWith(planes: Array[Array[Double]], bits: Int): String =
+    s"""WITH RECURSIVE ${Queries3.rpPairsCte("embeddings", 0.35, planes, bits)},
        |e AS (SELECT id_a AS s, id_b AS t FROM pairs
        |      UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
        |reach AS (

@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Similarity
+
+/** Scaled-fixture CORRECTNESS dump for the LSH-graph capstones at
+  * deployment-correct resolution — the hash-check counterpart of
+  * [[TimeScaled]] (which only times): proves the `lshBitsFor` resolution
+  * knob changes COST, not SEMANTICS, by dumping q83/q104 at the re-derived
+  * resolution together with oracle SQL generated at the SAME resolution
+  * (`Queries6.q83SqlWith` / `Queries8.q104SqlWith`), so
+  * `tools/check_oracle.py <sfDir> <outDir>` runs the DuckDB compare
+  * exactly like the driver's gate.
+  *
+  * `runMain graft.tools.VerifyScaled <sfDir> <outDir> [tables]` — build
+  * the scaled fixture first (`tools/GenScale <sf0.1> <dir> 8 perturb`).
+  *
+  * Semantics caveat carried over from [[TimeScaled]]: at 64 dims the
+  * fixture's cosine noise floor merges the threshold-0.3/0.35 graphs into
+  * giant components at k× scale. That is a property of the DATA both
+  * engines see — the comparison stays exact — but it makes the oracle's
+  * reach CTE quadratic in component size, so expect the DuckDB side to be
+  * the slow half of the check.
+  */
+object VerifyScaled {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val tables = if (args.length > 2) args(2).toInt else 12
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val n = graft.io.Tables.embeddings(spark, sfDir).count()
+    val bits = Similarity.lshBitsFor(n)
+    val planes = graft.expr.VectorExprs.rademacherPlanes(
+      numPlanes = tables * bits, dim = 64, seed = 42L)
+    System.err.println(s"[verifyscaled] n=$n bits=$bits tables=$tables")
+
+    val queries = Map(
+      "q83_pipeline_golden" ->
+        (() => graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits)),
+      "q104_canonical_dedup" ->
+        (() => graft.Queries8.q104CanonicalWith(spark, sfDir, planes, bits)))
+    queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      System.err.println(
+        f"[verifyscaled] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val oracle = Map(
+      "q83_pipeline_golden" -> graft.Queries6.q83SqlWith(planes, bits),
+      "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits))
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracle.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

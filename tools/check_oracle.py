@@ -41,7 +41,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (GenScale fixtures)
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
