@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.io.Tables
+import graft.ops.{Classify, Dedup, Mixture, Vocab}
+
+/** Ninth query wave: the remaining model/selection stages of a pretraining
+  * corpus pipeline — a distilled quality CLASSIFIER (the trained-filter
+  * stage, vs q21's hand rule), per-group probabilistic CAPPING (domain
+  * thinning), paragraph-level first-occurrence DEDUP (the CCNet mode, vs
+  * q96's every-occurrence boilerplate strip), and a Zipf-law fit (the
+  * corpus-health canary a datasheet carries). All integer-exact except the
+  * Zipf regression (a ≤200-point double OLS).
+  */
+object Queries9 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopsSqlList: String =
+    TextFns.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  // ------------------------------------------------ quality classifier
+  /** Distilled linear quality classifier over integer ppm features
+    * (stopword / punctuation / digit density + capped length): per-doc
+    * feature vector, logit in micro-units, keep verdict. See
+    * [[graft.ops.Classify]] — one explode + one doc-keyed aggregation, all
+    * integer, so the keep/drop frontier is bit-identical in any engine. */
+  val q108QualityClassifier: Q = (spark, dir) =>
+    Classify.qualityLogit(Tables.documents(spark, dir), "doc_id", "text",
+        carryCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val q108Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_chars,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, n_chars, punct_chars, digit_chars,
+       |    len(toks) AS n_words,
+       |    len(list_filter(toks, t -> list_contains([$stopsSqlList], t))) AS stop_hits
+       |  FROM t),
+       |g AS (SELECT doc_id, source, n_words,
+       |    stop_hits * 1000000 // n_words AS stop_ppm,
+       |    punct_chars * 1000000 // greatest(n_chars, 1) AS punct_ppm,
+       |    digit_chars * 1000000 // greatest(n_chars, 1) AS digit_ppm
+       |  FROM f),
+       |h AS (SELECT *,
+       |    -900000 + 2 * stop_ppm - 3 * punct_ppm - 4 * digit_ppm
+       |      + 1500 * least(n_words, 400) AS logit_e6
+       |  FROM g)
+       |SELECT doc_id, source, n_words::BIGINT AS n_words,
+       |  stop_ppm::BIGINT AS stop_ppm, punct_ppm::BIGINT AS punct_ppm,
+       |  digit_ppm::BIGINT AS digit_ppm, logit_e6::BIGINT AS logit_e6,
+       |  logit_e6 > 0 AS keep
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ per-group cap
+  /** Common-Crawl-style domain thinning rolled up per language: groups at
+    * or under the cap (100 docs) survive whole; over-cap groups keep each
+    * doc with deterministic-hash probability cap/n. At sf0.001/sf0.01 only
+    * `en` exceeds the cap (both branches exercised); at sf0.1 every group
+    * thins. See [[graft.ops.Mixture.groupCap]] — a stateless per-row
+    * predicate against one broadcast threshold row per group; no per-group
+    * sort or window anywhere, the shape that survives billion-row groups. */
+  val q109GroupCap: Q = (spark, dir) =>
+    Mixture.groupCap(Tables.documents(spark, dir), "lang", "doc_id", cap = 100L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+
+  val q109Sql: String =
+    """WITH c AS (SELECT lang, count(*) AS grp_n FROM documents GROUP BY lang),
+      |t AS (SELECT lang, grp_n,
+      |    CASE WHEN grp_n <= 100 THEN 16777216
+      |         ELSE 100 * 16777216 // grp_n END AS thr
+      |  FROM c),
+      |k AS (SELECT d.lang,
+      |    lpad(substring(md5(d.doc_id::VARCHAR), 1, 6), 7, '0')
+      |      < lpad(lower(to_hex(t.thr)), 7, '0') AS keep
+      |  FROM documents d JOIN t USING (lang))
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------ paragraph dedup
+  /** CCNet-mode paragraph dedup: every distinct non-empty line keeps only
+    * its first corpus occurrence (smallest (doc_id, position)); documents
+    * are reassembled from surviving lines with removal accounting. See
+    * [[graft.ops.Dedup.paragraphDedupFirst]] — first-occurrence per line is
+    * a min(struct) hash aggregate (no window over a viral line's
+    * occurrence list), reassembly a per-doc sort of that doc's own lines. */
+  val q110ParagraphDedup: Q = (spark, dir) =>
+    Dedup.paragraphDedupFirst(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q110Sql: String =
+    """WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      |l AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos FROM l0),
+      |ln AS (SELECT doc_id, pos, ls[pos] AS line FROM l),
+      |ne AS (SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM ln WHERE length(line) > 0),
+      |kept AS (SELECT doc_id, pos, line FROM ne WHERE rn = 1
+      |  UNION ALL SELECT doc_id, pos, line FROM ln WHERE length(line) = 0),
+      |r AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) AS new_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, len(string_split(d.text, chr(10)))::BIGINT AS n_lines,
+      |  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+      |  (len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+      |  coalesce(r.new_text, '') AS new_text
+      |FROM documents d LEFT JOIN r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------ zipf fit
+  /** Zipf-law fit over the top-200 token frequencies: OLS of ln(count) on
+    * ln(rank); slope ≈ −1 for healthy natural text. See
+    * [[graft.ops.Vocab.zipfFit]] — the vocabulary is never globally
+    * sorted (TakeOrderedAndProject), the regression runs over ≤200 rows. */
+  val q111ZipfFit: Q = (spark, dir) =>
+    Vocab.zipfFit(Tables.documents(spark, dir), "text", k = 200)
+
+  val q111Sql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |counts AS (SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY word),
+      |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+      |        FROM counts ORDER BY cnt DESC, word ASC LIMIT 200)
+      |SELECT count(*)::BIGINT AS n_ranks,
+      |  regr_slope(ln(cnt), ln(rank)) AS slope,
+      |  regr_intercept(ln(cnt), ln(rank)) AS intercept
+      |FROM top""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q108_quality_classifier" -> q108QualityClassifier,
+    "q109_group_cap" -> q109GroupCap,
+    "q110_paragraph_dedup" -> q110ParagraphDedup,
+    "q111_zipf_fit" -> q111ZipfFit)
+
+  val oracle: Map[String, String] = Map(
+    "q108_quality_classifier" -> q108Sql,
+    "q109_group_cap" -> q109Sql,
+    "q110_paragraph_dedup" -> q110Sql,
+    "q111_zipf_fit" -> q111Sql)
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Model-based document quality classification — the "trained filter" stage
+  * of a pretraining-data pipeline (the fasttext-style quality classifiers of
+  * GPT-3 §A / CCNet §4.3), distilled to a linear model over cheap lexical
+  * features so scoring is a pure map-side projection. Complements
+  * [[graft.functions.TextFns.qualityScoreMicro]] (a hand-tuned rule): here
+  * the shape is weights × feature vector, the thing you'd re-fit offline and
+  * redeploy without touching the plan.
+  *
+  * All features and the logit are exact integer micro-units (ppm ratios,
+  * integer division), so the score is bit-identical in any engine — no
+  * float-boundary ambiguity in the keep/drop decision.
+  *
+  * Scale shape: feature extraction is explode + one map-side-combined hash
+  * aggregation keyed by the document id (the q22 shape — conditional sums
+  * stay inside whole-stage codegen, where higher-order filter() would fall
+  * back to interpreted); the logit is a codegen'd projection over the
+  * aggregate. One shuffle total, carrying ~5 longs per document.
+  */
+object Classify {
+
+  /** Linear quality model: integer weights applied to ppm-scaled features.
+    * `bias` and the weighted sum are in logit micro-units (1e-6). */
+  final case class LinearModel(
+      bias: Long,
+      wStopPpm: Long,
+      wPunctPpm: Long,
+      wDigitPpm: Long,
+      wWordCap: Long,
+      wordCap: Int)
+
+  /** Default weights, distilled offline from the hand rule: reward stopword
+    * mass and length, penalize punctuation and digit density. */
+  val Distilled: LinearModel = LinearModel(
+    bias = -900000L, wStopPpm = 2L, wPunctPpm = -3L, wDigitPpm = -4L,
+    wWordCap = 1500L, wordCap = 400)
+
+  private def charsMatching(c: Column, charClass: String): Column =
+    (length(c) - length(regexp_replace(c, charClass, ""))).cast("long")
+
+  /** Per-document features + logit + keep verdict under `model`.
+    *
+    * Output: the id and carry columns, `n_words`, `stop_ppm`, `punct_ppm`,
+    * `digit_ppm`, `logit_e6`, `keep` (logit > 0).
+    */
+  def qualityLogit(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil,
+      model: LinearModel = Distilled): DataFrame = {
+    val stops = TextFns.Stopwords
+    val toks = df.select(
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
+        length(col(textCol)).cast("long").as("n_chars"),
+        charsMatching(col(textCol), "[\\p{Punct}]").as("punct_chars"),
+        charsMatching(col(textCol), "[0-9]").as("digit_chars"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok")): _*)
+    val agg = toks.groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(
+        first(col("n_chars")).as("n_chars"),
+        first(col("punct_chars")).as("punct_chars"),
+        first(col("digit_chars")).as("digit_chars"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("stop_hits"))
+    val feats = agg.select(
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
+        col("n_words"),
+        expr("stop_hits * 1000000 DIV n_words").as("stop_ppm"),
+        expr("punct_chars * 1000000 DIV greatest(n_chars, 1L)").as("punct_ppm"),
+        expr("digit_chars * 1000000 DIV greatest(n_chars, 1L)").as("digit_ppm")): _*)
+    feats.withColumn("logit_e6",
+        lit(model.bias)
+          + lit(model.wStopPpm) * col("stop_ppm")
+          + lit(model.wPunctPpm) * col("punct_ppm")
+          + lit(model.wDigitPpm) * col("digit_ppm")
+          + lit(model.wWordCap) * least(col("n_words"), lit(model.wordCap.toLong)))
+      .withColumn("keep", col("logit_e6") > 0L)
+  }
+}

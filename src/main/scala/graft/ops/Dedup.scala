@@ -114,4 +114,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
+
+  /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
+    * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
+    * corpus occurrence (smallest (id, position)); later occurrences —
+    * including repeats inside the same document — are cut, and each
+    * document is reassembled from its surviving lines in original order.
+    * Empty lines pass through untouched (they are structure, not content).
+    * Contrast [[Scrub.stripBoilerplateLines]]: that drops EVERY occurrence
+    * of lines frequent across documents; this keeps exactly one globally.
+    *
+    * Output per input row: the id, `n_lines`, `n_kept`, `n_removed`,
+    * `new_text` (empty string when nothing survives).
+    *
+    * Scale shape: one hash aggregation keyed by line computes each line's
+    * first occurrence as a min(struct) — O(1) buffer per distinct line, no
+    * window sort over the (possibly enormous) occurrence list of a viral
+    * line. Survivor filtering is an equi-join back on the line key, and
+    * reassembly is one per-document aggregation (array_sort over that
+    * document's own kept lines only). Shuffles carry lines once each.
+    */
+  def paragraphDedupFirst(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos0", "line")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("line"))
+    val firstOcc = lines.filter(length(col("line")) > 0)
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first_occ"))
+    // LEFT join keeps every line row (empty lines find no winner key and
+    // pass via the length=0 arm), so a single per-doc aggregation yields
+    // totals, survivor count, and the reassembled text — the corpus is
+    // scanned twice (winner agg + probe side), never four times.
+    val flagged = lines.join(firstOcc, Seq("line"), "left")
+      .withColumn("kept",
+        length(col("line")) === 0 ||
+          (col(idCol) === col(s"first_occ.$idCol")
+            && col("pos") === col("first_occ.pos")))
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the when() leaves for cut lines
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("new_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"), col("new_text"))
+  }
 }

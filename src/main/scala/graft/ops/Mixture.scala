@@ -205,4 +205,35 @@ object Mixture {
         Seq(col("epoch").asc, col("__ord").asc, col(idCol).asc), "position")
       .drop("__ord")
   }
+
+  /** Per-group probabilistic cap — Common-Crawl-style domain thinning: every
+    * row of a group with n ≤ `cap` members survives; a group with n > cap
+    * keeps each row independently with probability cap/n, decided by a
+    * deterministic hash draw (first 6 hex digits of md5(id), a uniform
+    * integer in [0, 16^6)). Expected survivors per over-cap group ≈ cap.
+    *
+    * This is the thinning complement of [[tokenBudgetSample]]: no per-group
+    * ORDER at all — where the budget sample walks each stratum in hash
+    * order (a sort), the cap is a stateless per-row predicate, so giant
+    * groups cost exactly one aggregate + one broadcast join, never a sort
+    * or window. That is the right shape when groups can be billions of rows.
+    *
+    * Output: input columns + `grp_n` (group size) + `keep`.
+    */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String,
+      cap: Long): DataFrame = {
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    val Hex6 = 16777216L // 16^6 draws: md5's first 6 hex digits
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("grp_n"))
+      // threshold in draw space; over-cap groups keep draws < cap*16^6/n
+      .withColumn("__thr",
+        when(col("grp_n") <= cap, lit(Hex6))
+          .otherwise(expr(s"CAST($cap AS BIGINT) * $Hex6 DIV grp_n")))
+      .withColumn("__thr_hex", lpad(lower(hex(col("__thr"))), 7, "0"))
+    val draw = lpad(substring(md5(col(idCol).cast("string")), 1, 6), 7, "0")
+    df.join(broadcast(counts), groupCol)
+      .withColumn("keep", draw < col("__thr_hex"))
+      .drop("__thr", "__thr_hex")
+  }
 }

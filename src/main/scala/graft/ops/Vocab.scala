@@ -191,4 +191,28 @@ object Vocab {
     df.withColumn("split",
       when(p < "f0", lit("train")).when(p < "f8", lit("val")).otherwise(lit("test")))
   }
+
+  /** Zipf-law fit over the top-`k` token frequencies: ordinary least
+    * squares of ln(count) against ln(rank) — a healthy natural-language
+    * corpus shows slope ≈ −1 (Zipf 1949); a slope far off is a canary for
+    * boilerplate floods or synthetic/spammy text, so the datasheet-grade
+    * health stat a corpus release carries.
+    *
+    * Output (one row): `n_ranks`, `slope`, `intercept` (doubles — a
+    * regression over ≤k points; Spark's regr_slope/regr_intercept
+    * aggregates, SPARK-37623).
+    *
+    * Scale shape: identical to [[topVocab]] — the full vocabulary is never
+    * globally sorted (orderBy+limit plans as TakeOrderedAndProject, k-row
+    * heaps merged at the driver); the rank window and the regression then
+    * run over ≤k rows, a bounded slice by construction. */
+  def zipfFit(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val top = wordCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_ranks"),
+        expr("regr_slope(ln(cnt), ln(rank))").as("slope"),
+        expr("regr_intercept(ln(cnt), ln(rank))").as("intercept"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classify, Dedup, Mixture}
+
+/** Ninth-wave semantics: linear quality classification, per-group
+  * probabilistic capping, and paragraph-level first-occurrence dedup. */
+class Wave9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ classifier
+  test("qualityLogit: features and logit match a hand computation") {
+    // "the cat! 42" → 3 tokens? no: "the", "cat!", "42" = 3 words, 1 stop hit
+    val df = Seq((1L, "src", "the cat! 42")).toDF("doc_id", "source", "text")
+    val r = Classify.qualityLogit(df, "doc_id", "text", Seq("source"))
+      .collect().head
+    val nChars = 11L; val punct = 1L; val digit = 2L
+    val stopPpm = 1L * 1000000L / 3L
+    val punctPpm = punct * 1000000L / nChars
+    val digitPpm = digit * 1000000L / nChars
+    val logit = -900000L + 2 * stopPpm - 3 * punctPpm - 4 * digitPpm + 1500L * 3L
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("stop_ppm") == stopPpm)
+    assert(r.getAs[Long]("punct_ppm") == punctPpm)
+    assert(r.getAs[Long]("digit_ppm") == digitPpm)
+    assert(r.getAs[Long]("logit_e6") == logit)
+    assert(r.getAs[Boolean]("keep") == (logit > 0))
+  }
+
+  test("qualityLogit: stopword-rich prose scores above digit/punct soup") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the cat to be here"),
+      (2L, "x9$!@ 77#% 123!! &&** 00-%% 4#2@1 9!9!9")).toDF("doc_id", "text")
+    val out = Classify.qualityLogit(df, "doc_id", "text")
+      .select($"doc_id", $"logit_e6").as[(Long, Long)].collect().toMap
+    assert(out(1L) > out(2L))
+    assert(out(1L) > 0L && out(2L) < 0L)
+  }
+
+  // ------------------------------------------------------------ group cap
+  test("groupCap: under-cap groups survive whole, over-cap groups thin to ~cap") {
+    val small = (1L to 50L).map(i => ("small", i))
+    val big = (1000L to 11000L).map(i => ("big", i))
+    val df = (small ++ big).toDF("grp", "id")
+    val out = Mixture.groupCap(df, "grp", "id", cap = 100L)
+      .groupBy($"grp").agg(
+        count(lit(1)).as("n"),
+        sum(when($"keep", 1L).otherwise(0L)).as("kept"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, c) => (k, (n, c)) }.toMap
+    assert(out("small") == ((50L, 50L)))            // n <= cap: all kept
+    val (bigN, bigKept) = out("big")
+    assert(bigN == 10001L)
+    // expected kept ≈ cap; binomial(10001, ~0.01) — allow wide slack
+    assert(bigKept > 50L && bigKept < 200L, s"kept $bigKept not near cap 100")
+  }
+
+  test("groupCap: keep decision is per-row deterministic (rerun-stable)") {
+    val df = (1L to 500L).map(i => ("g", i)).toDF("grp", "id")
+    def run() = Mixture.groupCap(df, "grp", "id", cap = 50L)
+      .filter($"keep").select($"id").as[Long].collect().sorted.toSeq
+    assert(run() == run())
+  }
+
+  // ------------------------------------------------------------ paragraph dedup
+  test("paragraphDedupFirst: keeps first corpus occurrence only, empty lines pass") {
+    val df = Seq(
+      (1L, "alpha\nbeta\n\ngamma"),
+      (2L, "beta\ndelta\nalpha"),
+      (3L, "beta\nbeta")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupFirst(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc1: all lines first occurrences (incl. the empty line) → unchanged
+    assert(out(0) == ((1L, 4L, 4L, 0L, "alpha\nbeta\n\ngamma")))
+    // doc2: beta and alpha already seen in doc1 → only delta survives
+    assert(out(1) == ((2L, 3L, 1L, 2L, "delta")))
+    // doc3: both betas are repeats (first occurrence was doc1:2) → empty
+    assert(out(2) == ((3L, 2L, 0L, 2L, "")))
+  }
+
+  test("paragraphDedupFirst: within-doc repeats keep only the earliest") {
+    val df = Seq((7L, "x\ny\nx\nx")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupFirst(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(out == ((7L, 4L, 2L, 2L, "x\ny")))
+  }
+
+  test("paragraphDedupFirst: total line mass is conserved") {
+    val df = Seq(
+      (1L, "a\nb\nc"), (2L, "b\nc\nd"), (3L, "\n\n"), (4L, "a")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupFirst(df, "doc_id", "text")
+    val sums = out.agg(sum($"n_lines"), sum($"n_kept") + sum($"n_removed"))
+      .as[(Long, Long)].collect().head
+    assert(sums._1 == sums._2)
+  }
+}
