@@ -136,15 +136,58 @@ object Queries9 {
       |  regr_intercept(ln(cnt), ln(rank)) AS intercept
       |FROM top""".stripMargin
 
+  // ------------------------------------------------ DSIR importance weights
+  /** DSIR data selection (Xie et al. 2023): per-doc log-likelihood ratio of
+    * a target-domain hashed-bigram model (target = `src0`'s documents, the
+    * curated-domain proxy) over the raw-domain model. See
+    * [[graft.ops.Dsir.importanceWeights]] — corpus mass shuffles only into
+    * (doc, bucket) / (bucket) hash aggregations; the 256-row model and the
+    * totals broadcast back; the per-doc double fold is value-sorted so the
+    * float sum is engine-exact. */
+  val q112DsirWeights: Q = (spark, dir) =>
+    graft.ops.Dsir.importanceWeights(Tables.documents(spark, dir),
+        "doc_id", "text", isTarget = col("source") === "src0",
+        carryCols = Seq("source"))
+      .orderBy("doc_id")
+
+  val q112Sql: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |bg AS (SELECT doc_id, source, array_to_string(toks[i : i + 1], ' ') AS bg
+      |  FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |bb AS (SELECT doc_id, source,
+      |    ('0x' || substring(md5(bg), 1, 4))::BIGINT % 256 AS bucket FROM bg),
+      |m AS (SELECT doc_id, bucket, count(*) AS m FROM bb GROUP BY doc_id, bucket),
+      |model AS (SELECT bucket,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+      |  FROM bb GROUP BY bucket),
+      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+      |contrib AS (SELECT m.doc_id, m.m,
+      |    m.m * ln((model.ct + 1.0) / (model.cr + 1.0)) AS c
+      |  FROM m JOIN model USING (bucket)),
+      |w AS (SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(c))),
+      |                (a, b) -> a + b) AS s
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  coalesce(w.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |  coalesce(w.s + w.n_bigrams * ln((tot.nr + 256.0) / (tot.nt + 256.0)), 0.0) AS weight
+      |FROM documents d LEFT JOIN w USING (doc_id), tot
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
     "q110_paragraph_dedup" -> q110ParagraphDedup,
-    "q111_zipf_fit" -> q111ZipfFit)
+    "q111_zipf_fit" -> q111ZipfFit,
+    "q112_dsir_weights" -> q112DsirWeights)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
     "q109_group_cap" -> q109Sql,
     "q110_paragraph_dedup" -> q110Sql,
-    "q111_zipf_fit" -> q111Sql)
+    "q111_zipf_fit" -> q111Sql,
+    "q112_dsir_weights" -> q112Sql)
 }

@@ -31,7 +31,9 @@ object PlanAudit {
       // into a ≤|strata|-row aggregate — bounded by construction; q98's
       // vocab section composes q90's topVocab and inherits the same shape
       "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix",
-      "q98_corpus_datasheet")
+      "q98_corpus_datasheet",
+      // q112 cross-joins the 1-row (nt, nr) grand-total broadcast
+      "q112_dsir_weights")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

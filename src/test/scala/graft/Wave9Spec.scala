@@ -87,6 +87,30 @@ class Wave9Spec extends SparkSpec {
     assert(out == ((7L, 4L, 2L, 2L, "x\ny")))
   }
 
+  // ------------------------------------------------------------ DSIR
+  test("importanceWeights: target-like docs outscore off-target docs") {
+    // target rows share bigram vocabulary; raw rows use disjoint tokens —
+    // a raw doc written in target language must outweigh one that isn't
+    val df = Seq(
+      (1L, true, "good clean prose flows here"),
+      (2L, true, "good clean prose reads well"),
+      (3L, false, "good clean prose flows here"), // target-like raw doc
+      (4L, false, "zzz qqq xxx vvv kkk"),
+      (5L, false, "zzz qqq xxx vvv kkk")).toDF("doc_id", "t", "text")
+    val w = graft.ops.Dsir.importanceWeights(df, "doc_id", "text", $"t")
+      .select($"doc_id", $"weight").as[(Long, Double)].collect().toMap
+    assert(w(3L) > w(4L))
+    assert(w(3L) > 0.0 && w(4L) < 0.0)
+  }
+
+  test("importanceWeights: short docs get weight 0 and survive the left join") {
+    val df = Seq((1L, true, "one two three"), (2L, false, "single")).toDF("doc_id", "t", "text")
+    val out = graft.ops.Dsir.importanceWeights(df, "doc_id", "text", $"t")
+    val r = out.filter($"doc_id" === 2L)
+      .select($"n_bigrams", $"weight").as[(Long, Double)].collect().head
+    assert(r == ((0L, 0.0)))
+  }
+
   test("paragraphDedupFirst: total line mass is conserved") {
     val df = Seq(
       (1L, "a\nb\nc"), (2L, "b\nc\nd"), (3L, "\n\n"), (4L, "a")).toDF("doc_id", "text")
