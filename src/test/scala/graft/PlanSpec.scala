@@ -205,4 +205,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("percentile"), s"per-group percentile buffer crept back:\n$p")
     assert(p.contains("partial_count"), s"expected partial histogram counts:\n$p")
   }
+
+  test("zipf fit: vocabulary head via TakeOrderedAndProject, never a global sort") {
+    val p = plan(SparkEntry.queries("q111_zipf_fit")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group cap: threshold side broadcasts, no window/sort over group members") {
+    val p = plan(graft.ops.Mixture.groupCap(
+      graft.io.Tables.documents(spark, sfDir), "lang", "doc_id", 100L))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains(") Window"),
+      s"per-group window crept into groupCap:\n$p")
+  }
+
+  test("paragraph dedup: first-occurrence winner is an aggregate, not a window") {
+    val p = plan(SparkEntry.queries("q110_paragraph_dedup")(spark, sfDir))
+    assert(!p.contains(") Window"),
+      s"window over line occurrences:\n$p")
+    assert(p.contains("partial_min"), s"expected partial min(struct) winners:\n$p")
+  }
 }
