@@ -22,6 +22,10 @@ object Queries9 {
   private val stopsSqlList: String =
     TextFns.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  // the classifier model constants, interpolated into the oracle SQL so the
+  // two spellings cannot drift
+  private val M = Classify.Distilled
+
   // ------------------------------------------------ quality classifier
   /** Distilled linear quality classifier over integer ppm features
     * (stopword / punctuation / digit density + capped length): per-doc
@@ -49,8 +53,9 @@ object Queries9 {
        |    digit_chars * 1000000 // greatest(n_chars, 1) AS digit_ppm
        |  FROM f),
        |h AS (SELECT *,
-       |    -900000 + 2 * stop_ppm - 3 * punct_ppm - 4 * digit_ppm
-       |      + 1500 * least(n_words, 400) AS logit_e6
+       |    ${M.bias} + ${M.wStopPpm} * stop_ppm + ${M.wPunctPpm} * punct_ppm
+       |      + ${M.wDigitPpm} * digit_ppm
+       |      + ${M.wWordCap} * least(n_words, ${M.wordCap}) AS logit_e6
        |  FROM g)
        |SELECT doc_id, source, n_words::BIGINT AS n_words,
        |  stop_ppm::BIGINT AS stop_ppm, punct_ppm::BIGINT AS punct_ppm,
@@ -177,17 +182,133 @@ object Queries9 {
       |FROM documents d LEFT JOIN w USING (doc_id), tot
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ selection capstone
+  /** Selection capstone: the full "choose the training corpus" decision as
+    * ONE plan — classifier keep (q108's linear model) ∧ repetition-gate
+    * pass (q102's Gopher thresholds) filters the pool, DSIR weight (q112's
+    * target-likelihood ratio) ranks the survivors, and the top-100 ship as
+    * the selection manifest (rank, source, quality logit, weight in
+    * micro-units). Mirrors q89 (mixing) and q106 (decontamination): the
+    * step that turns this wave's audits into an actionable corpus.
+    *
+    * Scale shape: three doc-keyed aggregates (features, signals, weights)
+    * co-partition on the id for their joins; the final rank is
+    * orderBy+limit (TakeOrderedAndProject — per-partition top-k heaps, no
+    * global sort) with the row_number window running over ≤100 rows.
+    * Ranking on `weight_e6` (floor(w·1e6 + 0.5), the oracle-canon
+    * rounding) with an id tiebreak keeps the cut engine-exact. */
+  val q113SelectionCapstone: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val cls = Classify.qualityLogit(docs, "doc_id", "text", Seq("source"))
+      .select(col("doc_id"), col("source"), col("logit_e6"), col("keep"))
+    val gate = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+        maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+        maxTopBigramPpm = 180000L)
+      .select(col("doc_id"), col("gate_pass"))
+    val dsir = graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("source") === "src0")
+      .select(col("doc_id"),
+        floor(col("weight") * 1000000.0 + 0.5).cast("long").as("weight_e6"))
+    val pool = cls.join(gate, "doc_id").join(dsir, "doc_id")
+      .filter(col("keep") && col("gate_pass"))
+    val top = pool.orderBy(col("weight_e6").desc, col("doc_id").asc).limit(100)
+    top.withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("weight_e6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("logit_e6"),
+        col("weight_e6"))
+  }
+
+  val q113Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_chars,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, n_chars, punct_chars, digit_chars,
+       |    len(toks) AS n_words,
+       |    len(list_filter(toks, t -> list_contains([$stopsSqlList], t))) AS stop_hits
+       |  FROM t),
+       |g AS (SELECT doc_id, source, n_words,
+       |    stop_hits * 1000000 // n_words AS stop_ppm,
+       |    punct_chars * 1000000 // greatest(n_chars, 1) AS punct_ppm,
+       |    digit_chars * 1000000 // greatest(n_chars, 1) AS digit_ppm
+       |  FROM f),
+       |cls AS (SELECT doc_id, source,
+       |    (${M.bias} + ${M.wStopPpm} * stop_ppm + ${M.wPunctPpm} * punct_ppm
+       |      + ${M.wDigitPpm} * digit_ppm
+       |      + ${M.wWordCap} * least(n_words, ${M.wordCap}))::BIGINT AS logit_e6
+       |  FROM g),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+       |ls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+       |  FROM l GROUP BY doc_id, line),
+       |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+       |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+       |  FROM ls GROUP BY doc_id),
+       |sp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2)),
+       |scnt AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+       |topb AS (SELECT doc_id, c, span FROM (
+       |    SELECT doc_id, c, span,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+       |    FROM scnt) WHERE rk = 1),
+       |base AS (SELECT doc_id, length(lower(trim(text))) AS n_norm FROM documents),
+       |sig AS (SELECT b.doc_id,
+       |    (la.dup_lines * 1000000 // la.n_lines)::BIGINT AS dup_line_ppm,
+       |    (CASE WHEN la.tot_chars = 0 THEN 0
+       |          ELSE la.dup_chars * 1000000 // la.tot_chars END)::BIGINT AS dup_line_char_ppm,
+       |    (CASE WHEN tb.c IS NULL OR b.n_norm = 0 THEN 0
+       |          ELSE tb.c * length(tb.span) * 1000000 // b.n_norm END)::BIGINT AS top_bigram_ppm
+       |  FROM base b JOIN la USING (doc_id) LEFT JOIN topb tb USING (doc_id)),
+       |gate AS (SELECT doc_id FROM sig
+       |  WHERE dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+       |    AND top_bigram_ppm <= 180000),
+       |bg AS (SELECT doc_id, source, array_to_string(toks[i : i + 1], ' ') AS bg
+       |  FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2)),
+       |bb AS (SELECT doc_id, source,
+       |    ('0x' || substring(md5(bg), 1, 4))::BIGINT % 256 AS bucket FROM bg),
+       |m AS (SELECT doc_id, bucket, count(*) AS m FROM bb GROUP BY doc_id, bucket),
+       |model AS (SELECT bucket,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+       |  FROM bb GROUP BY bucket),
+       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+       |contrib AS (SELECT m.doc_id, m.m,
+       |    m.m * ln((model.ct + 1.0) / (model.cr + 1.0)) AS c
+       |  FROM m JOIN model USING (bucket)),
+       |w AS (SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(c))),
+       |                (a, b) -> a + b) AS s
+       |  FROM contrib GROUP BY doc_id),
+       |dsir AS (SELECT d.doc_id,
+       |    floor(coalesce(w.s + w.n_bigrams * ln((tot.nr + 256.0) / (tot.nt + 256.0)), 0.0)
+       |          * 1000000.0 + 0.5)::BIGINT AS weight_e6
+       |  FROM documents d LEFT JOIN w USING (doc_id), tot),
+       |pool AS (SELECT cls.doc_id, cls.source, cls.logit_e6, dsir.weight_e6
+       |  FROM cls JOIN gate USING (doc_id) JOIN dsir USING (doc_id)
+       |  WHERE cls.logit_e6 > 0)
+       |SELECT rank, doc_id, source, logit_e6, weight_e6 FROM (
+       |  SELECT row_number() OVER (ORDER BY weight_e6 DESC, doc_id ASC)::BIGINT AS rank,
+       |    doc_id, source, logit_e6, weight_e6
+       |  FROM pool)
+       |WHERE rank <= 100""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
     "q110_paragraph_dedup" -> q110ParagraphDedup,
     "q111_zipf_fit" -> q111ZipfFit,
-    "q112_dsir_weights" -> q112DsirWeights)
+    "q112_dsir_weights" -> q112DsirWeights,
+    "q113_selection_capstone" -> q113SelectionCapstone)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
     "q109_group_cap" -> q109Sql,
     "q110_paragraph_dedup" -> q110Sql,
     "q111_zipf_fit" -> q111Sql,
-    "q112_dsir_weights" -> q112Sql)
+    "q112_dsir_weights" -> q112Sql,
+    "q113_selection_capstone" -> q113Sql)
 }

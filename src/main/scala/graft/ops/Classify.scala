@@ -36,9 +36,12 @@ object Classify {
       wordCap: Int)
 
   /** Default weights, distilled offline from the hand rule: reward stopword
-    * mass and length, penalize punctuation and digit density. */
+    * mass and length, penalize punctuation and digit density. The bias puts
+    * the keep frontier near the median of ordinary prose (≈50 words, ≈6%
+    * stopword mass scores just above zero), so both verdicts occur on real
+    * corpora rather than the model degenerating to keep-all/drop-all. */
   val Distilled: LinearModel = LinearModel(
-    bias = -900000L, wStopPpm = 2L, wPunctPpm = -3L, wDigitPpm = -4L,
+    bias = -200000L, wStopPpm = 2L, wPunctPpm = -3L, wDigitPpm = -4L,
     wWordCap = 1500L, wordCap = 400)
 
   private def charsMatching(c: Column, charClass: String): Column =

@@ -32,8 +32,8 @@ object PlanAudit {
       // vocab section composes q90's topVocab and inherits the same shape
       "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix",
       "q98_corpus_datasheet",
-      // q112 cross-joins the 1-row (nt, nr) grand-total broadcast
-      "q112_dsir_weights")
+      // q112/q113 cross-join the 1-row (nt, nr) grand-total broadcast
+      "q112_dsir_weights", "q113_selection_capstone")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

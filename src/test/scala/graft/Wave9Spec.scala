@@ -19,7 +19,9 @@ class Wave9Spec extends SparkSpec {
     val stopPpm = 1L * 1000000L / 3L
     val punctPpm = punct * 1000000L / nChars
     val digitPpm = digit * 1000000L / nChars
-    val logit = -900000L + 2 * stopPpm - 3 * punctPpm - 4 * digitPpm + 1500L * 3L
+    val M = Classify.Distilled
+    val logit = M.bias + M.wStopPpm * stopPpm + M.wPunctPpm * punctPpm +
+      M.wDigitPpm * digitPpm + M.wWordCap * 3L
     assert(r.getAs[Long]("n_words") == 3L)
     assert(r.getAs[Long]("stop_ppm") == stopPpm)
     assert(r.getAs[Long]("punct_ppm") == punctPpm)
