@@ -182,6 +182,36 @@ object Queries9 {
       |FROM documents d LEFT JOIN w USING (doc_id), tot
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ heaps fit
+  /** Heaps-law vocabulary-growth fit at 10 id-ordered checkpoints: OLS of
+    * ln V(N) on ln N; β ≈ 0.4–0.8 for natural text. [[q111ZipfFit]]'s
+    * companion health stat — see [[graft.ops.Vocab.heapsFit]]: first
+    * occurrences are one hash aggregate, both curves map-side-combined
+    * conditional counts against a broadcast 10-row checkpoint grid. */
+  val q114HeapsFit: Q = (spark, dir) =>
+    Vocab.heapsFit(Tables.documents(spark, dir), "doc_id", "text", points = 10)
+
+  val q114Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM documents),
+      |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |fo AS (SELECT word, min(doc_id) AS fo FROM tk GROUP BY word),
+      |mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |cps AS (SELECT i, i * mx.mx // 10 AS c
+      |  FROM (SELECT unnest(generate_series(1, 10)) AS i), mx),
+      |v AS (SELECT cps.i, cps.c,
+      |    sum(CASE WHEN fo.fo <= cps.c THEN 1 ELSE 0 END) AS vocab
+      |  FROM fo, cps GROUP BY cps.i, cps.c),
+      |dt AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+      |n AS (SELECT cps.i, cps.c,
+      |    sum(CASE WHEN dt.doc_id <= cps.c THEN dt.nt ELSE 0 END) AS toks
+      |  FROM dt, cps GROUP BY cps.i, cps.c)
+      |SELECT count(*)::BIGINT AS n_points,
+      |  regr_slope(ln(vocab), ln(toks)) AS slope,
+      |  regr_intercept(ln(vocab), ln(toks)) AS intercept
+      |FROM v JOIN n USING (i, c) WHERE toks > 0""".stripMargin
+
   // ------------------------------------------------ selection capstone
   /** Selection capstone: the full "choose the training corpus" decision as
     * ONE plan — classifier keep (q108's linear model) ∧ repetition-gate
@@ -302,7 +332,8 @@ object Queries9 {
     "q110_paragraph_dedup" -> q110ParagraphDedup,
     "q111_zipf_fit" -> q111ZipfFit,
     "q112_dsir_weights" -> q112DsirWeights,
-    "q113_selection_capstone" -> q113SelectionCapstone)
+    "q113_selection_capstone" -> q113SelectionCapstone,
+    "q114_heaps_fit" -> q114HeapsFit)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -310,5 +341,6 @@ object Queries9 {
     "q110_paragraph_dedup" -> q110Sql,
     "q111_zipf_fit" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
-    "q113_selection_capstone" -> q113Sql)
+    "q113_selection_capstone" -> q113Sql,
+    "q114_heaps_fit" -> q114Sql)
 }

@@ -215,4 +215,48 @@ object Vocab {
         expr("regr_slope(ln(cnt), ln(rank))").as("slope"),
         expr("regr_intercept(ln(cnt), ln(rank))").as("intercept"))
   }
+
+  /** Heaps-law fit: vocabulary growth V(N) ≈ K·N^β measured at `points`
+    * id-ordered corpus checkpoints and fit by OLS of ln V on ln N —
+    * β ≈ 0.4–0.8 for natural text (Heaps 1978); a β near 0 (vocabulary
+    * saturates) or near 1 (every token novel) flags template floods or
+    * id-like garbage. [[zipfFit]]'s companion curve in the datasheet.
+    *
+    * Checkpoints are `c_i = i·max_id/points`; V(c) counts words whose
+    * FIRST occurrence (min doc id — one hash aggregate over the token
+    * stream) is ≤ c, N(c) sums tokens of docs ≤ c. The checkpoint grid
+    * rides along as a broadcast `points`-row side, and both curves are
+    * map-side-combined conditional counts keyed by checkpoint — each
+    * partition emits ≤`points` partial rows, so the only post-explode
+    * shuffles carry checkpoint aggregates, never the vocabulary; the
+    * regression runs over `points` rows. All counter arithmetic is
+    * integer-exact; only the final ln/OLS is floating.
+    *
+    * Output (one row): `n_points`, `slope` (β), `intercept` (ln K). */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 2, s"points must be >= 2, got $points")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksDf = df.select(col(idCol).cast("long").as("__id"),
+      explode(toks(col(textCol))).as("word")).filter(col("word") =!= "")
+    val firstOcc = toksDf.groupBy(col("word")).agg(min(col("__id")).as("fo"))
+    val maxId = df.agg(max(col(idCol).cast("long")).as("mx"))
+    val cps = maxId.crossJoin(Seq.tabulate(points)(i => i + 1).toDF("i"))
+      .select(col("i"), expr("i * mx DIV " + points).as("c"))
+    // V_i: one pass over the first-occurrence table, `points` counters
+    val v = firstOcc.crossJoin(broadcast(cps))
+      .groupBy(col("i"), col("c"))
+      .agg(sum(when(col("fo") <= col("c"), 1L).otherwise(0L)).as("vocab"))
+    // N_i: per-doc token counts once, then the same conditional-sum shape
+    val docToks = toksDf.groupBy(col("__id")).agg(count(lit(1)).as("nt"))
+    val n = docToks.crossJoin(broadcast(cps))
+      .groupBy(col("i"), col("c"))
+      .agg(sum(when(col("__id") <= col("c"), col("nt")).otherwise(0L)).as("toks"))
+    v.join(n, Seq("i", "c"))
+      .filter(col("toks") > 0L)
+      .agg(count(lit(1)).as("n_points"),
+        expr("regr_slope(ln(vocab), ln(toks))").as("slope"),
+        expr("regr_intercept(ln(vocab), ln(toks))").as("intercept"))
+  }
 }

@@ -32,8 +32,9 @@ object PlanAudit {
       // vocab section composes q90's topVocab and inherits the same shape
       "q90_vocab_coverage", "q91_oov_quality", "q94_temperature_mix",
       "q98_corpus_datasheet",
-      // q112/q113 cross-join the 1-row (nt, nr) grand-total broadcast
-      "q112_dsir_weights", "q113_selection_capstone")
+      // q112/q113 cross-join the 1-row (nt, nr) grand-total broadcast;
+      // q114 cross-joins the broadcast `points`-row checkpoint grid
+      "q112_dsir_weights", "q113_selection_capstone", "q114_heaps_fit")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

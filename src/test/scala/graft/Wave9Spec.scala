@@ -65,6 +65,24 @@ class Wave9Spec extends SparkSpec {
     assert(run() == run())
   }
 
+  // ------------------------------------------------------------ heaps fit
+  test("heapsFit: growing vocabulary fits 0 < beta < 1; saturated vocab fits beta 0") {
+    // one fresh word per doc while doc length grows linearly: V(c) ~ c,
+    // N(c) ~ c² → beta ≈ 0.5, the classic sublinear regime
+    val grow = (1L to 20L).map { i =>
+      (i, (Seq.fill(i.toInt)("stem") :+ s"fresh$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = graft.ops.Vocab.heapsFit(grow, "doc_id", "text", points = 5)
+      .as[(Long, Double, Double)].collect().head
+    assert(g._1 == 5L)
+    assert(g._2 > 0.2 && g._2 < 0.9, s"beta ${g._2}")
+    // fixed template vocabulary → flat curve, beta ~ 0
+    val flat = (1L to 20L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val f = graft.ops.Vocab.heapsFit(flat, "doc_id", "text", points = 5)
+      .as[(Long, Double, Double)].collect().head
+    assert(math.abs(f._2) < 1e-9, s"beta ${f._2}")
+  }
+
   // ------------------------------------------------------------ paragraph dedup
   test("paragraphDedupFirst: keeps first corpus occurrence only, empty lines pass") {
     val df = Seq(
