@@ -137,8 +137,8 @@ object Queries9 {
       |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
       |        FROM counts ORDER BY cnt DESC, word ASC LIMIT 200)
       |SELECT count(*)::BIGINT AS n_ranks,
-      |  regr_slope(ln(cnt), ln(rank)) AS slope,
-      |  regr_intercept(ln(cnt), ln(rank)) AS intercept
+      |  round(regr_slope(ln(cnt), ln(rank)), 6) + 0 AS slope,
+      |  round(regr_intercept(ln(cnt), ln(rank)), 6) + 0 AS intercept
       |FROM top""".stripMargin
 
   // ------------------------------------------------ DSIR importance weights
@@ -208,8 +208,8 @@ object Queries9 {
       |    sum(CASE WHEN dt.doc_id <= cps.c THEN dt.nt ELSE 0 END) AS toks
       |  FROM dt, cps GROUP BY cps.i, cps.c)
       |SELECT count(*)::BIGINT AS n_points,
-      |  regr_slope(ln(vocab), ln(toks)) AS slope,
-      |  regr_intercept(ln(vocab), ln(toks)) AS intercept
+      |  round(regr_slope(ln(vocab), ln(toks)), 6) + 0 AS slope,
+      |  round(regr_intercept(ln(vocab), ln(toks)), 6) + 0 AS intercept
       |FROM v JOIN n USING (i, c) WHERE toks > 0""".stripMargin
 
   // ------------------------------------------------ selection capstone

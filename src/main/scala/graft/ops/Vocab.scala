@@ -212,8 +212,12 @@ object Vocab {
     val w = Window.orderBy(col("cnt").desc, col("word").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n_ranks"),
-        expr("regr_slope(ln(cnt), ln(rank))").as("slope"),
-        expr("regr_intercept(ln(cnt), ln(rank))").as("intercept"))
+        // round + 0.0: a degenerate (flat) input makes the OLS covariance a
+        // catastrophic cancellation of zero whose ±1e-17 residue — and its
+        // SIGN — depend on partial-aggregation order; rounding at the 6dp
+        // oracle canon and adding +0.0 collapses both ±noise and -0.0
+        expr("round(regr_slope(ln(cnt), ln(rank)), 6) + 0.0").as("slope"),
+        expr("round(regr_intercept(ln(cnt), ln(rank)), 6) + 0.0").as("intercept"))
   }
 
   /** Heaps-law fit: vocabulary growth V(N) ≈ K·N^β measured at `points`
@@ -256,7 +260,9 @@ object Vocab {
     v.join(n, Seq("i", "c"))
       .filter(col("toks") > 0L)
       .agg(count(lit(1)).as("n_points"),
-        expr("regr_slope(ln(vocab), ln(toks))").as("slope"),
-        expr("regr_intercept(ln(vocab), ln(toks))").as("intercept"))
+        // round + 0.0 for the same degenerate-cancellation reason as zipfFit:
+        // a saturated vocabulary makes the slope an order-dependent ±0
+        expr("round(regr_slope(ln(vocab), ln(toks)), 6) + 0.0").as("slope"),
+        expr("round(regr_intercept(ln(vocab), ln(toks)), 6) + 0.0").as("intercept"))
   }
 }
