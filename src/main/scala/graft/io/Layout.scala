@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Physical data layout for scan efficiency at scale.
@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions.col
   * a few hundred megabytes.
   */
 object Layout {
+
+  /** A unique scratch-artifact path under the session's WAREHOUSE directory
+    * (`spark.sql.warehouse.dir`) — the location every executor and the
+    * driver resolve to the same shared filesystem on a real cluster, unlike
+    * a `java.io.tmpdir` path, which names a different local disk on every
+    * machine. Materialize-then-broadcast intermediates (e.g. a persisted
+    * vocabulary head) must live here to be cluster-valid.
+    *
+    * The path is unique per call (reentrant under concurrent invocations)
+    * and registered with the Hadoop filesystem's `deleteOnExit`, which
+    * deletes RECURSIVELY when the JVM's filesystem cache closes — unlike
+    * `File.deleteOnExit`, which silently skips non-empty directories, so
+    * repeated invocations do not leak directories for the life of the
+    * machine. */
+  def scratchArtifact(spark: SparkSession, prefix: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_scratch")
+    val p = new org.apache.hadoop.fs.Path(root,
+      prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(p)
+    p.toString
+  }
 
   /** Write `df` range-partitioned into ~`numFiles` files, each sorted by
     * `sortCol`: file key ranges are disjoint (up to boundary duplicates of
