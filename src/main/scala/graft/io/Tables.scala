@@ -27,23 +27,47 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4's
-    * schema INFERENCE rejects by default (PARQUET_TYPE_ILLEGAL). Rather than
-    * flipping `spark.sql.legacy.parquet.nanosAsLong` — a session-wide conf a
-    * reader helper must not leak into a concurrent session — we declare the
-    * schema with `ts: LONG` up front: with a user-provided schema no
-    * inference runs, the vectorized reader loads the INT64 nanos column
-    * verbatim, and no conf is touched. The long is then converted to a
-    * microsecond TIMESTAMP with integer floor division, matching DuckDB's
-    * epoch_us() truncation exactly. */
+  /** The events fixture has shipped with two distinct `ts` physical types
+    * across fixture generations: TIMESTAMP(MICROS) (which Spark reads
+    * natively) and TIMESTAMP(NANOS) (which Spark 4's schema inference
+    * rejects by default — PARQUET_TYPE_ILLEGAL). A loader that bakes in
+    * either generation's quirk silently corrupts the other — a `div 1000`
+    * applied to micros compresses all event time 1000×. So: try plain
+    * inference first and branch on the ACTUAL footer type; only when
+    * inference itself rejects the file (the nanos generation) fall back to
+    * a declared `ts: LONG` schema — with a user-provided schema no
+    * inference runs, the vectorized reader loads the INT64 nanos verbatim,
+    * and no session-wide conf (`spark.sql.legacy.parquet.nanosAsLong`) is
+    * touched. The nanos long is floor-divided to microseconds, matching
+    * DuckDB's epoch_us() truncation exactly. */
   val eventsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    scala.util.Try(spark.read.parquet(path)) match {
+      case scala.util.Success(df) => df.schema("ts").dataType match {
+        case TimestampType => df
+        // tz-naive micros (isAdjustedToUTC=false); all graft sessions pin
+        // session.timeZone=UTC, so this cast is value-identity and keeps
+        // every downstream event-time op on one timestamp type
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        // int64 epoch column (no logical type annotation): treat as nanos,
+        // the only raw-long generation observed
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case other => throw new IllegalStateException(
+          s"events fixture at $path has unsupported ts type $other")
+      }
+      // inference rejected the footer: the TIMESTAMP(NANOS) generation
+      case scala.util.Failure(_) =>
+        spark.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
