@@ -193,12 +193,20 @@ object Queries3 {
     * from pure SQL (spark.sql.extensions=graft.ext.GraftExtensions). */
   val q41SqlCosine: Q = (spark, dir) => {
     graft.ext.GraftExtensions.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("emb")
-    spark.sql(
-      """SELECT vec_id, sim FROM (
-        |  SELECT e.vec_id, round(cosine_sim(e.embedding, q.embedding), 6) AS sim
-        |  FROM emb e CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 7) q)
-        |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+    // unique per-invocation view name, dropped once the statement is
+    // analyzed: a fixed-name createOrReplaceTempView is session-global
+    // catalog mutation, so two concurrent invocations (or a user's own
+    // view of the same name) would silently read each other's data.
+    // spark.sql analyzes eagerly, so the returned frame no longer needs
+    // the catalog entry.
+    val view = "graft_emb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.embeddings(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id, round(cosine_sim(e.embedding, q.embedding), 6) AS sim
+         |  FROM $view e CROSS JOIN (SELECT embedding FROM $view WHERE vec_id = 7) q)
+         |WHERE sim >= 0.0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
   val q41Sql: String =
     """SELECT vec_id, sim FROM (

@@ -451,12 +451,9 @@ object Queries7 {
     * construction, so it shares q91's oracle SQL. */
   val q107VocabMaterialized: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    val head = java.nio.file.Files.createTempDirectory("graft_vocab_head_")
-    head.toFile.deleteOnExit()
-    Vocab.topVocab(docs, "text", 16).write.mode("overwrite")
-      .parquet(head.toString)
-    Vocab.inVocabScore(docs, "doc_id", "text",
-        spark.read.parquet(head.toString))
+    val head = io.Layout.scratchArtifact(spark, "vocab_head")
+    Vocab.topVocab(docs, "text", 16).write.mode("overwrite").parquet(head)
+    Vocab.inVocabScore(docs, "doc_id", "text", spark.read.parquet(head))
       .orderBy("doc_id")
   }
 

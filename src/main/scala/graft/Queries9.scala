@@ -183,23 +183,30 @@ object Queries9 {
       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------ heaps fit
-  /** Heaps-law vocabulary-growth fit at 10 id-ordered checkpoints: OLS of
-    * ln V(N) on ln N; β ≈ 0.4–0.8 for natural text. [[q111ZipfFit]]'s
-    * companion health stat — see [[graft.ops.Vocab.heapsFit]]: first
-    * occurrences are one hash aggregate, both curves map-side-combined
-    * conditional counts against a broadcast 10-row checkpoint grid. */
+  /** Checkpoint count shared by the q114 query and its oracle SQL — ONE
+    * constant, so the Spark `points` argument and the SQL's checkpoint
+    * grid can never drift apart in spelling. */
+  private val HeapsPoints = 10
+
+  /** Heaps-law vocabulary-growth fit at [[HeapsPoints]] id-ordered
+    * checkpoints: OLS of ln V(N) on ln N; β ≈ 0.4–0.8 for natural text.
+    * [[q111ZipfFit]]'s companion health stat — see
+    * [[graft.ops.Vocab.heapsFit]]: first occurrences are one hash
+    * aggregate, both curves map-side-combined conditional counts against a
+    * broadcast checkpoint grid. */
   val q114HeapsFit: Q = (spark, dir) =>
-    Vocab.heapsFit(Tables.documents(spark, dir), "doc_id", "text", points = 10)
+    Vocab.heapsFit(Tables.documents(spark, dir), "doc_id", "text",
+      points = HeapsPoints)
 
   val q114Sql: String =
-    """WITH tok AS (SELECT doc_id,
-      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    s"""WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
       |  FROM documents),
       |tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
       |fo AS (SELECT word, min(doc_id) AS fo FROM tk GROUP BY word),
       |mx AS (SELECT max(doc_id) AS mx FROM documents),
-      |cps AS (SELECT i, i * mx.mx // 10 AS c
-      |  FROM (SELECT unnest(generate_series(1, 10)) AS i), mx),
+      |cps AS (SELECT i, i * mx.mx // $HeapsPoints AS c
+      |  FROM (SELECT unnest(generate_series(1, $HeapsPoints)) AS i), mx),
       |v AS (SELECT cps.i, cps.c,
       |    sum(CASE WHEN fo.fo <= cps.c THEN 1 ELSE 0 END) AS vocab
       |  FROM fo, cps GROUP BY cps.i, cps.c),
@@ -221,23 +228,36 @@ object Queries9 {
     * micro-units). Mirrors q89 (mixing) and q106 (decontamination): the
     * step that turns this wave's audits into an actionable corpus.
     *
-    * Scale shape: three doc-keyed aggregates (features, signals, weights)
-    * co-partition on the id for their joins; the final rank is
-    * orderBy+limit (TakeOrderedAndProject — per-partition top-k heaps, no
-    * global sort) with the row_number window running over ≤100 rows.
-    * Ranking on `weight_e6` (floor(w·1e6 + 0.5), the oracle-canon
-    * rounding) with an id tiebreak keeps the cut engine-exact. */
+    * Scale shape: ONE corpus scan and ONE tokenization pass. The corpus is
+    * projected to (id, source, text, toks, bigram spans) and materialized
+    * as a lazy local checkpoint; the classifier, the repetition gate, and
+    * the DSIR scorer all branch off that checkpointed frame instead of
+    * each re-scanning + re-tokenizing `documents` — at corpus scale the
+    * tokenize-explode is the dominant cost and common-subtree reuse across
+    * aggregation branches is NOT something Catalyst does for free (branch
+    * exchanges differ, so each branch would re-run the scan). Downstream,
+    * the three doc-keyed aggregates co-partition on the id for their
+    * joins; the final rank is orderBy+limit (TakeOrderedAndProject —
+    * per-partition top-k heaps, no global sort) with the row_number window
+    * running over ≤100 rows. Ranking on `weight_e6` (floor(w·1e6 + 0.5),
+    * the oracle-canon rounding) with an id tiebreak keeps the cut
+    * engine-exact. */
   val q113SelectionCapstone: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val cls = Classify.qualityLogit(docs, "doc_id", "text", Seq("source"))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"),
+        graft.expr.TextExprs.wordSpans(col("text"), 2).as("spans"))
+      .localCheckpoint(false)
+    val cls = Classify.qualityLogit(base, "doc_id", "text", Seq("source"),
+        toksCol = Some("toks"))
       .select(col("doc_id"), col("source"), col("logit_e6"), col("keep"))
-    val gate = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+    val gate = graft.ops.Repetition.gateVerdicts(base, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
-        maxTopBigramPpm = 180000L)
+        maxTopBigramPpm = 180000L, spansCol = Some("spans"))
       .select(col("doc_id"), col("gate_pass"))
-    val dsir = graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
-        isTarget = col("source") === "src0")
+    val dsir = graft.ops.Dsir.importanceWeights(base, "doc_id", "text",
+        isTarget = col("source") === "src0", spansCol = Some("spans"))
       .select(col("doc_id"),
         floor(col("weight") * 1000000.0 + 0.5).cast("long").as("weight_e6"))
     val pool = cls.join(gate, "doc_id").join(dsir, "doc_id")

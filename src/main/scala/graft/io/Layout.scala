@@ -17,25 +17,31 @@ import org.apache.spark.sql.functions.col
 object Layout {
 
   /** A unique scratch-artifact path under the session's WAREHOUSE directory
-    * (`spark.sql.warehouse.dir`) — the location every executor and the
-    * driver resolve to the same shared filesystem on a real cluster, unlike
-    * a `java.io.tmpdir` path, which names a different local disk on every
-    * machine. Materialize-then-broadcast intermediates (e.g. a persisted
-    * vocabulary head) must live here to be cluster-valid.
+    * (`spark.sql.warehouse.dir`) — the conventional shared-filesystem
+    * location on configured clusters (its DEFAULT is a driver-local
+    * `$PWD/spark-warehouse`, so cluster validity holds only when the
+    * deployment points the warehouse at shared storage), unlike a
+    * `java.io.tmpdir` path, which always names a different local disk on
+    * every machine. Materialize-then-broadcast intermediates (e.g. a
+    * persisted vocabulary head) belong here.
     *
     * The path is unique per call (reentrant under concurrent invocations)
     * and registered with the Hadoop filesystem's `deleteOnExit`, which
     * deletes RECURSIVELY when the JVM's filesystem cache closes — unlike
     * `File.deleteOnExit`, which silently skips non-empty directories, so
     * repeated invocations do not leak directories for the life of the
-    * machine. */
+    * machine. Hadoop's `deleteOnExit` registers nothing (returning false)
+    * when the path does not yet exist, so the directory is created first
+    * and both booleans are asserted — a silent registration failure would
+    * reintroduce the leak this helper exists to prevent. */
   def scratchArtifact(spark: SparkSession, prefix: String): String = {
     val root = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), "graft_scratch")
     val p = new org.apache.hadoop.fs.Path(root,
       prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.deleteOnExit(p)
+    require(fs.mkdirs(p), s"could not create scratch dir $p")
+    require(fs.deleteOnExit(p), s"could not register $p for delete-on-exit")
     p.toString
   }
 

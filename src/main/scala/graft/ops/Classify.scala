@@ -51,17 +51,24 @@ object Classify {
     *
     * Output: the id and carry columns, `n_words`, `stop_ppm`, `punct_ppm`,
     * `digit_ppm`, `logit_e6`, `keep` (logit > 0).
+    *
+    * `toksCol` optionally names a PRE-TOKENIZED array column (the exact
+    * `split(lower(trim(text)), "\s+")` spelling) so a multi-stage plan that
+    * shares one materialized tokenization (q113) doesn't re-tokenize here;
+    * when absent the tokens are derived from `textCol` in-plan.
     */
   def qualityLogit(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil,
-      model: LinearModel = Distilled): DataFrame = {
+      model: LinearModel = Distilled,
+      toksCol: Option[String] = None): DataFrame = {
     val stops = TextFns.Stopwords
+    val tokArr = toksCol.map(col).getOrElse(split(lower(trim(col(textCol))), "\\s+"))
     val toks = df.select(
       (col(idCol) +: carryCols.map(col)) ++ Seq(
         length(col(textCol)).cast("long").as("n_chars"),
         charsMatching(col(textCol), "[\\p{Punct}]").as("punct_chars"),
         charsMatching(col(textCol), "[0-9]").as("digit_chars"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok")): _*)
+        explode(tokArr).as("tok")): _*)
     val agg = toks.groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(
         first(col("n_chars")).as("n_chars"),

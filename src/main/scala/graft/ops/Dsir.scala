@@ -32,14 +32,20 @@ object Dsir {
     * (they are scored too — the ratio is still informative for them).
     * Output per input row: the id and carry columns, `n_bigrams`, `weight`
     * (0.0 for docs with fewer than two tokens).
+    *
+    * `spansCol` optionally names a PRE-COMPUTED word-bigram array column
+    * (the `wordSpans(text, 2)` spelling) so a plan sharing one
+    * materialized tokenization (q113) doesn't re-derive spans here.
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, carryCols: Seq[String] = Nil,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, spansCol: Option[String] = None): DataFrame = {
     require(buckets >= 2 && 65536 % buckets == 0,
       s"buckets must divide 16^4 for an unbiased md5-prefix draw, got $buckets")
+    val spanArr = spansCol.map(col)
+      .getOrElse(graft.expr.TextExprs.wordSpans(col(textCol), 2))
     val spans = df.select(col(idCol), isTarget.as("__t"),
-      explode(graft.expr.TextExprs.wordSpans(col(textCol), 2)).as("bg"))
+      explode(spanArr).as("bg"))
     val bucketed = spans.select(col(idCol), col("__t"),
       (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("long") % buckets)
         .as("bucket"))

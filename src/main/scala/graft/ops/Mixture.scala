@@ -219,6 +219,11 @@ object Mixture {
     * or window. That is the right shape when groups can be billions of rows.
     *
     * Output: input columns + `grp_n` (group size) + `keep`.
+    *
+    * A NULL group key is a group like any other (rows with no domain are a
+    * real stratum in scraped corpora): the join back to the per-group
+    * counts is NULL-SAFE equality, so NULL-group rows get their own count
+    * and draw instead of silently vanishing through an equi-join.
     */
   def groupCap(df: DataFrame, groupCol: String, idCol: String,
       cap: Long): DataFrame = {
@@ -231,8 +236,10 @@ object Mixture {
         when(col("grp_n") <= cap, lit(Hex6))
           .otherwise(expr(s"CAST($cap AS BIGINT) * $Hex6 DIV grp_n")))
       .withColumn("__thr_hex", lpad(lower(hex(col("__thr"))), 7, "0"))
+      .withColumnRenamed(groupCol, "__grp")
     val draw = lpad(substring(md5(col(idCol).cast("string")), 1, 6), 7, "0")
-    df.join(broadcast(counts), groupCol)
+    df.join(broadcast(counts), col(groupCol) <=> col("__grp"))
+      .drop("__grp")
       .withColumn("keep", draw < col("__thr_hex"))
       .drop("__thr", "__thr_hex")
   }

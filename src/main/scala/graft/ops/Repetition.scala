@@ -41,8 +41,12 @@ object Repetition {
     *    can exceed 1e6; thresholds compare, they don't normalize.
     *
     * Tokenization matches the span family ([[Vocab.repeatedSpans]], q93):
-    * lowercase, space-trim, split on `\s+`. */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * lowercase, space-trim, split on `\s+`. `spansCol` optionally names a
+    * PRE-COMPUTED word-bigram array column (the `wordSpans(text, 2)`
+    * spelling) so a plan sharing one materialized tokenization (q113)
+    * doesn't re-derive spans here. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      spansCol: Option[String] = None): DataFrame = {
     val id = col(idCol)
 
     // line repetition: (doc, line) counts, then per-doc fold
@@ -57,8 +61,8 @@ object Repetition {
         sum(col("__c") * length(col("__line"))).as("__tot_chars"))
 
     // top word-bigram: (doc, span) counts, argmax by (count desc, span asc)
-    val spans = df.select(id,
-      explode(TextExprs.wordSpans(col(textCol), 2)).as("__span"))
+    val spanArr = spansCol.map(col).getOrElse(TextExprs.wordSpans(col(textCol), 2))
+    val spans = df.select(id, explode(spanArr).as("__span"))
     val topBigram = spans.groupBy(id, col("__span"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(id)
@@ -87,8 +91,8 @@ object Repetition {
     * [[repetitionGate]] (q102) is its per-source rollup. */
   def gateVerdicts(df: DataFrame, idCol: String, textCol: String,
       maxDupLinePpm: Long, maxDupLineCharPpm: Long,
-      maxTopBigramPpm: Long): DataFrame =
-    repetitionSignals(df, idCol, textCol).withColumn("gate_pass",
+      maxTopBigramPpm: Long, spansCol: Option[String] = None): DataFrame =
+    repetitionSignals(df, idCol, textCol, spansCol).withColumn("gate_pass",
       col("dup_line_ppm") <= maxDupLinePpm &&
         col("dup_line_char_ppm") <= maxDupLineCharPpm &&
         col("top_bigram_ppm") <= maxTopBigramPpm)

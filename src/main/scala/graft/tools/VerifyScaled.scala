@@ -38,11 +38,17 @@ object VerifyScaled {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val n = graft.io.Tables.embeddings(spark, sfDir).count()
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
     val bits = Similarity.lshBitsFor(n)
+    // plane dim follows the fixture's actual embedding width (one head()
+    // over one row) — a hardcoded dim would silently mis-project any
+    // fixture generated at a different width
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
     val planes = graft.expr.VectorExprs.rademacherPlanes(
-      numPlanes = tables * bits, dim = 64, seed = 42L)
-    System.err.println(s"[verifyscaled] n=$n bits=$bits tables=$tables")
+      numPlanes = tables * bits, dim = dim, seed = 42L)
+    System.err.println(s"[verifyscaled] n=$n bits=$bits tables=$tables dim=$dim")
 
     val queries = Map(
       "q83_pipeline_golden" ->

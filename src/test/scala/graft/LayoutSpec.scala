@@ -70,6 +70,25 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").count() == li.count())
   }
 
+  test("scratchArtifact creates a unique, existing dir under the warehouse") {
+    val a = Layout.scratchArtifact(spark, "spec")
+    val b = Layout.scratchArtifact(spark, "spec")
+    assert(a != b, "scratch paths must be unique per call")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    assert(a.stripPrefix("file:").startsWith(warehouse),
+      s"$a not under warehouse $warehouse")
+    // the dir must EXIST at registration time: Hadoop deleteOnExit
+    // silently refuses to register a non-existent path, which would leak
+    // the artifact forever
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a)))
+    // and it is usable as a parquet sink right away
+    spark.range(3).write.mode("overwrite").parquet(a)
+    assert(spark.read.parquet(a).count() == 3)
+  }
+
   test("dynamic partition overwrite backfills one partition without touching the rest") {
     val dir = Files.createTempDirectory("graft_backfill").toString
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

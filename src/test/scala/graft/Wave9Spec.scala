@@ -65,6 +65,19 @@ class Wave9Spec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("groupCap: NULL group key is a real stratum, not silently dropped") {
+    // rows with no domain must survive as their own group — an equi-join
+    // back to the counts would drop every NULL-key row
+    val df = Seq((Some("g"), 1L), (None, 2L), (None, 3L))
+      .toDF("grp", "id")
+    val out = Mixture.groupCap(df, "grp", "id", cap = 100L)
+    assert(out.count() == 3L, "NULL-group rows vanished through the join")
+    val nullRows = out.filter($"grp".isNull)
+      .select($"grp_n", $"keep").as[(Long, Boolean)].collect()
+    assert(nullRows.length == 2 && nullRows.forall(_ == ((2L, true))),
+      nullRows.mkString(","))
+  }
+
   // ------------------------------------------------------------ heaps fit
   test("heapsFit: growing vocabulary fits 0 < beta < 1; saturated vocab fits beta 0") {
     // one fresh word per doc while doc length grows linearly: V(c) ~ c,
@@ -138,5 +151,40 @@ class Wave9Spec extends SparkSpec {
     val sums = out.agg(sum($"n_lines"), sum($"n_kept") + sum($"n_removed"))
       .as[(Long, Long)].collect().head
     assert(sums._1 == sums._2)
+  }
+
+  // --------------------------------------------------- selection capstone
+  test("q113: one documents scan (shared checkpoint) and pre-tokenized " +
+      "branches match the derive-from-text spelling") {
+    // the capstone materializes one tokenized projection and branches the
+    // classifier / gate / DSIR off it; its executed plan must contain NO
+    // parquet file scan (the single scan runs inside the checkpoint)
+    val out = Queries9.all("q113_selection_capstone")(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      "q113 plan re-scans parquet outside the shared checkpoint")
+
+    // pre-tokenized variants are value-identical to the in-op tokenization
+    val docs = graft.io.Tables.documents(spark, sfDir).limit(50)
+    val base = docs.select($"doc_id", $"source", $"text",
+      split(lower(trim($"text")), "\\s+").as("toks"),
+      graft.expr.TextExprs.wordSpans($"text", 2).as("spans"))
+    val clsA = Classify.qualityLogit(docs, "doc_id", "text")
+      .select($"doc_id", $"logit_e6")
+    val clsB = Classify.qualityLogit(base, "doc_id", "text",
+        toksCol = Some("toks"))
+      .select($"doc_id", $"logit_e6")
+    assert(clsA.exceptAll(clsB).isEmpty && clsB.exceptAll(clsA).isEmpty)
+    val sigA = graft.ops.Repetition.repetitionSignals(docs, "doc_id", "text")
+    val sigB = graft.ops.Repetition.repetitionSignals(base, "doc_id", "text",
+      spansCol = Some("spans"))
+    assert(sigA.exceptAll(sigB).isEmpty && sigB.exceptAll(sigA).isEmpty)
+    val wA = graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+        isTarget = $"source" === "src0")
+      .select($"doc_id", $"n_bigrams", round($"weight", 6))
+    val wB = graft.ops.Dsir.importanceWeights(base, "doc_id", "text",
+        isTarget = $"source" === "src0", spansCol = Some("spans"))
+      .select($"doc_id", $"n_bigrams", round($"weight", 6))
+    assert(wA.exceptAll(wB).isEmpty && wB.exceptAll(wA).isEmpty)
   }
 }
