@@ -45,29 +45,47 @@ object Tables {
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING")
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Normalize a loaded events frame's `ts` to TimestampType, whatever the
+    * footer declared. TimestampNTZ (tz-naive micros, isAdjustedToUTC=false)
+    * casts value-identically because every graft session pins
+    * session.timeZone=UTC; a raw INT64 column (no logical annotation) is
+    * treated as nanos, the only raw-long generation observed. */
+  private def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events fixture has unsupported ts type $other")
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     scala.util.Try(spark.read.parquet(path)) match {
-      case scala.util.Success(df) => df.schema("ts").dataType match {
-        case TimestampType => df
-        // tz-naive micros (isAdjustedToUTC=false); all graft sessions pin
-        // session.timeZone=UTC, so this cast is value-identity and keeps
-        // every downstream event-time op on one timestamp type
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        // int64 epoch column (no logical type annotation): treat as nanos,
-        // the only raw-long generation observed
-        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case other => throw new IllegalStateException(
-          s"events fixture at $path has unsupported ts type $other")
-      }
+      case scala.util.Success(df) => normalizeEventsTs(df)
       // inference rejected the footer: the TIMESTAMP(NANOS) generation
       case scala.util.Failure(_) =>
         spark.read.schema(eventsSchema).parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
   }
+
+  /** Streaming variant of [[events]] over a DIRECTORY of events parquet:
+    * `readStream` demands a user-supplied schema, so the footer is probed
+    * with a one-off batch read (driver-side metadata only), then the same
+    * type-branching as the batch loader applies — the streaming path must
+    * never re-hardcode one fixture generation's timestamp unit. */
+  def eventsStream(spark: SparkSession, path: String): DataFrame =
+    scala.util.Try(spark.read.parquet(path).schema) match {
+      case scala.util.Success(sch) =>
+        normalizeEventsTs(spark.readStream.schema(sch).parquet(path))
+      case scala.util.Failure(_) =>
+        spark.readStream.schema(eventsSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

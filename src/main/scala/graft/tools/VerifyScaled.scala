@@ -50,11 +50,17 @@ object VerifyScaled {
       numPlanes = tables * bits, dim = dim, seed = 42L)
     System.err.println(s"[verifyscaled] n=$n bits=$bits tables=$tables dim=$dim")
 
+    // q106/q113 need no resolution retune — they are the standard
+    // SparkEntry plans + oracle SQL, hash-checked here at 8x deploy scale
     val queries = Map(
       "q83_pipeline_golden" ->
         (() => graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits)),
       "q104_canonical_dedup" ->
-        (() => graft.Queries8.q104CanonicalWith(spark, sfDir, planes, bits)))
+        (() => graft.Queries8.q104CanonicalWith(spark, sfDir, planes, bits)),
+      "q106_decon_apply" ->
+        (() => graft.SparkEntry.queries("q106_decon_apply")(spark, sfDir)),
+      "q113_selection_capstone" ->
+        (() => graft.SparkEntry.queries("q113_selection_capstone")(spark, sfDir)))
     queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -63,7 +69,10 @@ object VerifyScaled {
     }
     val oracle = Map(
       "q83_pipeline_golden" -> graft.Queries6.q83SqlWith(planes, bits),
-      "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits))
+      "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits),
+      "q106_decon_apply" -> graft.SparkEntry.oracleSql("q106_decon_apply"),
+      "q113_selection_capstone" ->
+        graft.SparkEntry.oracleSql("q113_selection_capstone"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -283,6 +283,65 @@ class ConnectorStreamSpec extends SparkSpec {
     assert(want.nonEmpty && out.iterator().asScala.toSeq.sorted == want)
   }
 
+  test("streaming sessionization parity: session_window over the micro-batch source equals the batch spelling (q28/q34)") {
+    // the STATEFUL analog of the ingest-parity test below: the fixture's
+    // events replayed as time-ordered micro-batches through
+    // PagedStreamSource, sessionized by the native session_window op with
+    // a watermark, AvailableNow-drained — and the finalized sessions must
+    // equal (a) the SAME op run as one batch and (b) the q28 lag+cumsum
+    // batch spelling. A far-future sentinel event in the last page pushes
+    // the watermark past every real session so append mode can finalize
+    // them during the drain.
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val ev = graft.io.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts"), col("event_id")) // in-order arrival: no late drops
+      .collect().toIndexedSeq
+    val maxTsMs = ev.map(_.getTimestamp(1).getTime).max
+    val sentinel = Row(-1L,
+      new java.sql.Timestamp(maxTsMs + 365L * 24 * 3600 * 1000), -1L, 0.0)
+    val pages = ev :+ sentinel
+    val cfg = PagedConfig(pageSize = 100, maxPages = 500, limit = 100000,
+      requestDelayMillis = 0L)
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        pages.slice(page * 100, (page + 1) * 100)
+    }
+    PagedStreamSource.register("fx_sessions", evSchema, client, cfg,
+      sleep = _ => ())
+    val stream = spark.readStream
+      .format(classOf[PagedStreamProvider].getName)
+      .option("client", "fx_sessions").load()
+    val q = graft.streaming.Stream.sessionWindowStats(stream,
+        "user_id", "ts", "value", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val got = spark.table("sess_out").filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    val batchDf = spark.createDataFrame(
+      java.util.Arrays.asList(ev: _*), evSchema)
+    val want = graft.streaming.Stream.sessionWindowStats(batchDf,
+        "user_id", "ts", "value", gap = "30 minutes")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got == want,
+      s"streamed ${got.size} sessions vs batch ${want.size}")
+    // and both agree with the q28 batch formulation (lag + running sum) on
+    // (user, session start, event count, exact value sum); session_window's
+    // end = last event + gap, so end is compared structurally via start
+    val q28 = graft.ops.Sessionize.sessionStats(batchDf,
+        "user_id", "ts", "event_id", "value", 30)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("value_e4"))
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    val viaWindow = spark.table("sess_out").filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("value_e4"))
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(viaWindow == q28)
+  }
+
   test("streaming ingest parity: clean→join→topN over the micro-batch source equals the batch connector path") {
     // the q79-shaped ingest composition, run BOTH ways over the same paged
     // client: (a) PagedStreamSource micro-batches with the viability clean

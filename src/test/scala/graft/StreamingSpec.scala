@@ -85,9 +85,11 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Path.of(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
     val path = dir.toString
-    // explicit ts:LONG schema — same no-conf nanos strategy as Tables.events
-    val stream = spark.readStream.schema(io.Tables.eventsSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Tables.eventsStream probes the footer and branches on the actual ts
+    // type — hand-rolling the read here once embedded the nanos-era div
+    // 1000 and silently diverged from the batch loader when the fixture
+    // regenerated as micros
+    val stream = io.Tables.eventsStream(spark, path)
     val q = Stream.windowedTypeCounts(stream, "ts", "event_type", "value")
       .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
     try {
