@@ -43,6 +43,61 @@ class FixtureSpec extends SparkSpec {
       s"min event year $loYear is outside [2000, 2100] — epoch unit bug")
   }
 
+  test("Tables.events loads every observed fixture generation identically") {
+    // three committed micro-fixtures carry the SAME 20 events in the three
+    // physical ts encodings the fixture has shipped with: timestamp[us]
+    // (current), TIMESTAMP(NANOS) (rounds <= 7 — Spark 4 inference rejects
+    // it, exercising the declared-schema fallback), and raw INT64 nanos
+    // (no logical annotation). The loader must produce identical
+    // TimestampType rows from all three.
+    def loadVariant(name: String): Seq[(Long, Long)] = {
+      val res = getClass.getResource(s"/$name.parquet")
+      assume(res != null, s"$name fixture missing from test resources")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ts_gen")
+      java.nio.file.Files.copy(java.nio.file.Path.of(res.toURI),
+        dir.resolve("events.parquet"))
+      val ev = Tables.events(spark, dir.toString)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$name loaded ts as ${ev.schema("ts").dataType}")
+      ev.select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val micros = loadVariant("events_micros")
+    assert(micros.size == 20)
+    assert(loadVariant("events_nanos") == micros,
+      "nanos-generation fixture diverged from the micros generation")
+    assert(loadVariant("events_int64") == micros,
+      "raw-int64 fixture diverged from the micros generation")
+  }
+
+  test("documents and embeddings fixtures hold the loader contract") {
+    // the same drift-guard idea for the other fixture-path loaders: pin
+    // the physical invariants every query in the suite assumes
+    assume(new java.io.File(s"$sfDir/documents.parquet").isFile)
+    val docs = Tables.documents(spark, sfDir)
+    val d = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("ids"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_src")).head()
+    assert(d.getLong(0) > 0 && d.getLong(0) == d.getLong(1),
+      "doc_id is not unique")
+    assert(d.getLong(2) == 0 && d.getLong(3) == 0,
+      "documents fixture grew NULL text/source — loader assumptions break")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val e = emb.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("ids"),
+      countDistinct(size(col("embedding"))).as("widths"),
+      min(size(col("embedding"))).as("dim")).head()
+    assert(e.getLong(0) > 0 && e.getLong(0) == e.getLong(1),
+      "vec_id is not unique")
+    assert(e.getLong(2) == 1L,
+      "embedding width is not uniform across the fixture")
+    assert(e.getInt(3) > 0)
+  }
+
   test("fixture events sessionize into multiple sessions for some user") {
     assume(fixtureExists, s"events fixture missing under $sfDir")
     val ev = Tables.events(spark, sfDir)
