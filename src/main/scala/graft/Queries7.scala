@@ -287,13 +287,19 @@ object Queries7 {
     * round's operator families in ONE hash-checked plan (q89's mix
     * capstone's governance sibling).
     *
-    * Scale shape: six corpus passes, each a map-side-combined aggregation
-    * (split×lang rollup; md5-fingerprint distinct; token explode for the
-    * vocabulary; span explode for the leak audit; n_chars value histogram;
-    * doc-keyed line/bigram aggs for repetition) — every pass's shuffle
-    * carries aggregates, never documents, and all derived sections run on
-    * the tiny rollups. Quantile micro-units use floor(x·1e6+0.5), the
-    * §7.4 rounding convention; everything else is plain integers. */
+    * Scale shape: the corpus-text passes are fused to the minimum the
+    * section semantics allow — volume's token-count rollup; ONE
+    * dedup+quality global aggregate (two metrics, one scan); ONE
+    * materialized wordCounts (|vocab| rows, localCheckpoint) serving both
+    * vocab sections, where the in-plan spelling would tokenize the corpus
+    * three times (Catalyst does not reuse common subtrees across union
+    * branches); the span explode for the leak audit; and the doc-keyed
+    * line/bigram aggs for repetition. Every pass's shuffle carries
+    * aggregates, never documents; the n_chars histogram prunes to a
+    * single slim column; all derived sections run on the tiny rollups.
+    * PlanSpec pins the text-reading scan count. Quantile micro-units use
+    * floor(x·1e6+0.5), the §7.4 rounding convention; everything else is
+    * plain integers. */
   val q98CorpusDatasheet: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
     val tokCount = graft.functions.TextFns.tokenCount(col("text"))
@@ -308,16 +314,23 @@ object Queries7 {
     val splits = base.groupBy(col("split")).agg(sum(col("docs")).as("value"))
       .select(lit("split").as("section"),
         concat(lit("docs_"), col("split")).as("metric"), col("value"))
-    val dedup = d
-      .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("value"))
-      .select(lit("dedup").as("section"), lit("exact_dup_docs").as("metric"), col("value"))
-    val quality = d
-      .agg(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("value"))
-      .select(lit("quality").as("section"), lit("empty_docs").as("metric"), col("value"))
-    val vocabSize = Vocab.wordCounts(d, "text")
+    // dedup + quality fused into ONE text pass (two global aggregates over
+    // the same scan — separately they'd each re-read the corpus, since
+    // Catalyst does not reuse common subtrees across union branches)
+    val dedupQuality = d
+      .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("dups"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("empties"))
+      .selectExpr("stack(2, 'dedup','exact_dup_docs',dups," +
+        " 'quality','empty_docs',empties) AS (section, metric, value)")
+    // ONE tokenize-explode pass for all vocab sections: wordCounts is
+    // materialized (|vocab| rows — tiny next to the corpus) and both the
+    // size metric and the coverage head read it back; the in-plan
+    // spelling would tokenize the corpus three times (size + head + total)
+    val wc = Vocab.wordCounts(d, "text").localCheckpoint(false)
+    val vocabSize = wc
       .agg(count(lit(1)).as("value"))
       .select(lit("vocab").as("section"), lit("vocab_size").as("metric"), col("value"))
-    val headCov = Vocab.topVocab(d, "text", 16)
+    val headCov = Vocab.topVocabFromCounts(wc, 16)
       .agg(max(col("coverage_ppm")).as("value"))
       .select(lit("vocab").as("section"), lit("top16_coverage_ppm").as("metric"), col("value"))
     val leaks = Vocab.crossSplitLeaks(d, "doc_id", "text", n = 5)
@@ -346,7 +359,7 @@ object Queries7 {
         " 'repetition','fail_dup_line_char',fdlc," +
         " 'repetition','fail_top_bigram',ftb," +
         " 'repetition','gate_fail_docs',fany) AS (section, metric, value)")
-    volume.unionByName(splits).unionByName(dedup).unionByName(quality)
+    volume.unionByName(splits).unionByName(dedupQuality)
       .unionByName(vocabSize).unionByName(headCov).unionByName(leaks)
       .unionByName(lengths).unionByName(repetition)
       .withColumn("value", col("value").cast("long"))

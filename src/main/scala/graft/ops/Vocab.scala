@@ -59,8 +59,17 @@ object Vocab {
     * arithmetic holds to ~9·10^12 total tokens (cum·1e6 < 2^63); past
     * that, widen the two operands to decimal(38,0) — same plan shape.
     */
-  def topVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val counts = wordCounts(df, textCol)
+  def topVocab(df: DataFrame, textCol: String, k: Int): DataFrame =
+    topVocabFromCounts(wordCounts(df, textCol), k)
+
+  /** [[topVocab]] over a PRE-COMPUTED `(word, cnt)` table. The head and the
+    * grand total are two branches over the counts, and Catalyst does not
+    * reuse common subtrees across branches — so a caller composing several
+    * vocab sections (q98's datasheet) should materialize [[wordCounts]]
+    * once (a |vocab|-row frame, tiny next to the corpus) and feed it here,
+    * turning repeated corpus tokenize-explode passes into reads of the
+    * counts artifact. */
+  def topVocabFromCounts(counts: DataFrame, k: Int): DataFrame = {
     val total = counts.agg(sum(col("cnt")).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("word").asc).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("word").asc)
