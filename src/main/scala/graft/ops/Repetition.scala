@@ -49,16 +49,24 @@ object Repetition {
       spansCol: Option[String] = None): DataFrame = {
     val id = col(idCol)
 
-    // line repetition: (doc, line) counts, then per-doc fold
-    val lines = df.select(id, explode(split(col(textCol), "\n")).as("__line"))
+    // line repetition: (doc, line) counts, then per-doc fold. The
+    // normalized doc length rides along through both aggregates (it is
+    // constant per doc — 8 bytes per shuffle row) so the final projection
+    // needs NO third scan of the corpus text: split("\n") emits >= 1 line
+    // for every document (even empty text), so starting from this agg
+    // keeps the operator total.
+    val normLen = length(lower(trim(col(textCol)))).cast("long")
+    val lines = df.select(id, normLen.as("__nl"),
+      explode(split(col(textCol), "\n")).as("__line"))
     val lineAgg = lines.groupBy(id, col("__line"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"), first(col("__nl")).as("__nl"))
       .groupBy(id)
       .agg(
         sum(col("__c")).as("__n_lines"),
         sum(col("__c") - 1).as("__dup_lines"),
         sum((col("__c") - 1) * length(col("__line"))).as("__dup_chars"),
-        sum(col("__c") * length(col("__line"))).as("__tot_chars"))
+        sum(col("__c") * length(col("__line"))).as("__tot_chars"),
+        first(col("__nl")).as("__norm_len"))
 
     // top word-bigram: (doc, span) counts, argmax by (count desc, span asc)
     val spanArr = spansCol.map(col).getOrElse(TextExprs.wordSpans(col(textCol), 2))
@@ -70,9 +78,7 @@ object Repetition {
       .select(id, (-col("__top.n")).as("__top_c"),
         length(col("__top.s")).cast("long").as("__top_len"))
 
-    val normLen = length(lower(trim(col(textCol)))).cast("long")
-    df.select(id, normLen.as("__norm_len"))
-      .join(lineAgg, Seq(idCol))
+    lineAgg
       .join(topBigram, Seq(idCol), "left")
       .select(id,
         expr("__dup_lines * 1000000 DIV __n_lines").as("dup_line_ppm"),

@@ -20,10 +20,11 @@ object ExecutedPlan {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      // materialize THIS dataframe's own query execution (count() would
-      // plan a different query and leave this one unexecuted): the noop
-      // sink runs the full plan so AQE finalizes every stage
-      df.write.mode("overwrite").format("noop").save()
+      // materialize THIS dataframe's own query execution: an RDD-level
+      // action on its executedPlan drives the AdaptiveSparkPlanExec root
+      // itself to final stages (count()/noop-write would plan a DIFFERENT
+      // query execution and leave this one un-finalized)
+      df.queryExecution.executedPlan.execute().count()
       println(s"========== $name (executed) ==========")
       // toString on the adaptive root prints the FINAL plan once executed
       println(df.queryExecution.executedPlan.toString)

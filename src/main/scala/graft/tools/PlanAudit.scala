@@ -45,8 +45,12 @@ object PlanAudit {
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN!")
         if (bnlj > 0 && !allowNestedLoop(name)) flags.append(" NESTEDLOOP!")
+        // text-reading scans: each one is a pass over the corpus' fat
+        // column — the dominant cost at 100 TB when a multi-section plan
+        // fans out over union branches (Catalyst shares no subtrees)
+        val textScans = """ReadSchema: [^\n]*\btext\b""".r.findAllIn(p).size
         println(f"$name%-26s ex=${n("Exchange")}%d sort=${n("Sort")}%d " +
-          f"win=${n("Window")}%d scan=${n("Scan parquet")}%d" +
+          f"win=${n("Window")}%d scan=${n("Scan parquet")}%d tscan=$textScans%d" +
           f"${flags.toString}")
       } catch { case e: Throwable =>
         println(s"$name AUDIT-ERROR ${e.getClass.getSimpleName}")
