@@ -33,13 +33,22 @@ object Dedup {
     * → candidates = pairs sharing any band bucket → exact Jaccard verify at
     * `threshold`. The band join is the scale path: candidate generation is
     * an equi-join on (band, signature), so only near-dup pairs are ever
-    * materialized — never the full cross product. */
+    * materialized — never the full cross product.
+    *
+    * The shingle table is materialized once (lazy local checkpoint) and
+    * read four times — both sides of the band self-join and both sides of
+    * the verify join. In-plan, each of those branches would re-scan the
+    * corpus and re-run the shingle kernel (Catalyst shares no subtrees
+    * across join branches, and AQE's exchange reuse does not fire across
+    * the differently-keyed shuffles), quadrupling the dominant
+    * tokenization cost. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
       graft.expr.TextExprs.wordShingles(col(textCol), 2).as("sh"))
+      .localCheckpoint(false)
     // fused kernel: md5 + k permutations + band keys in one pass per row
     // (the pure-builtin spelling, kept in HashFns, pays ~25 interpreted
     // HOF calls per shingle — see graft.expr.MinHashBandKeys)
