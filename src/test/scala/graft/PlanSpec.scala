@@ -226,6 +226,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"expected partial min(struct) winners:\n$p")
   }
 
+  test("minhash: shingle table materializes once — no in-plan corpus rescans") {
+    // all four consumers (band self-join sides, verify-join sides) must
+    // read the checkpointed shingle RDD; a FileScan of text in this plan
+    // means a branch decomposed back into its own scan + kernel run
+    val p = plan(SparkEntry.queries("q14_minhash_lsh")(spark, sfDir))
+    assert(!"""ReadSchema: [^\n]*\btext\b""".r.findAllIn(p).hasNext,
+      s"q14 re-scans corpus text outside the shingle checkpoint:\n$p")
+  }
+
   test("datasheet: corpus-text scans stay fused to the section minimum") {
     // q98's sections each re-scan `documents` (union branches share no
     // subtrees), so the text-reading scan count IS the corpus cost at
