@@ -15,8 +15,11 @@ import graft.ops.Similarity
   * `tools/check_oracle.py <sfDir> <outDir>` runs the DuckDB compare
   * exactly like the driver's gate.
   *
-  * `runMain graft.tools.VerifyScaled <sfDir> <outDir> [tables]` — build
-  * the scaled fixture first (`tools/GenScale <sf0.1> <dir> 8 perturb`).
+  * `runMain graft.tools.VerifyScaled <sfDir> <outDir> [tables] [only]` —
+  * build the scaled fixture first (`tools/GenScale <sf0.1> <dir> 8
+  * perturb`). `only` is a comma-separated name-prefix filter (e.g.
+  * `q106,q113` at 64×, where the LSH capstones' reach-CTE oracles are
+  * DuckDB-quadratic and not worth the wait).
   *
   * Semantics caveat carried over from [[TimeScaled]]: at 64 dims the
   * fixture's cosine noise floor merges the threshold-0.3/0.35 graphs into
@@ -29,6 +32,9 @@ object VerifyScaled {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val tables = if (args.length > 2) args(2).toInt else 12
+    val only: Option[Seq[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSeq) else None
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -61,7 +67,7 @@ object VerifyScaled {
         (() => graft.SparkEntry.queries("q106_decon_apply")(spark, sfDir)),
       "q113_selection_capstone" ->
         (() => graft.SparkEntry.queries("q113_selection_capstone")(spark, sfDir)))
-    queries.foreach { case (name, fn) =>
+    queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       System.err.println(
@@ -82,7 +88,8 @@ object VerifyScaled {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = oracle.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+    val json = oracle.filter(q => selected(q._1))
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
