@@ -53,12 +53,17 @@ object Queries7 {
     * fall inside the corpus top-16 vocabulary — the engine-portable
     * stand-in for CCNet LM filtering (a doc mostly outside the corpus head
     * is noise/boilerplate/another register). Vocab derives from the corpus
-    * itself in the same plan; it lands as a broadcast hash join against
-    * the exploded token stream, and the only shuffle is the per-doc
-    * aggregation. */
+    * itself in the same plan — as the bare top-16 head (wordCounts +
+    * TakeOrdered), NOT the full topVocab: the coverage curve's grand-total
+    * branch would cost a second corpus tokenize that the scorer then
+    * discards (Catalyst cannot prune a 1-row cross join it can't prove is
+    * 1-row). The head lands as a broadcast hash join against the exploded
+    * token stream, and the only shuffle is the per-doc aggregation. */
   val q91OovQuality: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    Vocab.inVocabScore(docs, "doc_id", "text", Vocab.topVocab(docs, "text", 16))
+    val head = Vocab.wordCounts(docs, "text")
+      .orderBy(col("cnt").desc, col("word").asc).limit(16)
+    Vocab.inVocabScore(docs, "doc_id", "text", head)
       .orderBy("doc_id")
   }
 
