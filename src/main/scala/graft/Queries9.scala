@@ -346,6 +346,53 @@ object Queries9 {
        |  FROM pool)
        |WHERE rank <= 100""".stripMargin
 
+  // ------------------------------------------------ semantic dedup
+  /** One sign-RP table of 8 bits = 256 deterministic "clusters" — the
+    * engine-exact stand-in for SemDeDup's k-means partition; shared
+    * between the query and its oracle as inlined ±1 literals (the q47
+    * convention, same seed/dim). */
+  private val SemBits = 8
+  private val semPlanes: Array[Array[Double]] =
+    graft.expr.VectorExprs.rademacherPlanes(numPlanes = SemBits, dim = 64, seed = 42L)
+
+  /** SemDeDup-style semantic thinning over the embedding table: LSH-bucket
+    * the space, keep the centroid-nearest member per bucket, flag the rest
+    * as semantic duplicates — see [[graft.ops.Similarity.semanticDedup]]
+    * for the integer-exact distance contract and the no-pairwise-join
+    * scale shape. */
+  val q115SemanticDedup: Q = (spark, dir) =>
+    graft.ops.Similarity.semanticDedup(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", semPlanes, SemBits)
+      .orderBy("vec_id")
+
+  val q115Sql: String = {
+    val keyExpr = (0 until SemBits).map { b =>
+      val plane = semPlanes(b).map(_.toInt).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q0 AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |  FROM embeddings),
+       |k AS (SELECT vec_id, embedding, ($keyExpr)::BIGINT AS bucket FROM q0),
+       |e AS (SELECT vec_id, bucket, d,
+       |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS qd
+       |  FROM k, unnest(generate_series(1, len(embedding))) AS g(d)),
+       |nb AS (SELECT bucket, count(*)::BIGINT AS n_members FROM k GROUP BY bucket),
+       |s AS (SELECT bucket, d, sum(qd)::BIGINT AS sd FROM e GROUP BY bucket, d),
+       |dist AS (SELECT e.vec_id, e.bucket, nb.n_members,
+       |    sum((nb.n_members * e.qd - s.sd) * (nb.n_members * e.qd - s.sd))::BIGINT AS dist2
+       |  FROM e JOIN s USING (bucket, d) JOIN nb USING (bucket)
+       |  GROUP BY 1, 2, 3),
+       |keep AS (SELECT bucket, vec_id AS keep_id FROM (
+       |    SELECT bucket, vec_id,
+       |      row_number() OVER (PARTITION BY bucket ORDER BY dist2, vec_id) AS rk
+       |    FROM dist) WHERE rk = 1)
+       |SELECT d.vec_id, d.bucket, d.n_members, d.dist2,
+       |  d.vec_id = k2.keep_id AS keep
+       |FROM dist d JOIN keep k2 USING (bucket)
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
@@ -353,7 +400,8 @@ object Queries9 {
     "q111_zipf_fit" -> q111ZipfFit,
     "q112_dsir_weights" -> q112DsirWeights,
     "q113_selection_capstone" -> q113SelectionCapstone,
-    "q114_heaps_fit" -> q114HeapsFit)
+    "q114_heaps_fit" -> q114HeapsFit,
+    "q115_semantic_dedup" -> q115SemanticDedup)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -362,5 +410,6 @@ object Queries9 {
     "q111_zipf_fit" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
     "q113_selection_capstone" -> q113Sql,
-    "q114_heaps_fit" -> q114Sql)
+    "q114_heaps_fit" -> q114Sql,
+    "q115_semantic_dedup" -> q115Sql)
 }

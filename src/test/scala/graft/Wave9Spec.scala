@@ -153,6 +153,41 @@ class Wave9Spec extends SparkSpec {
     assert(sums._1 == sums._2)
   }
 
+  // --------------------------------------------------- semantic dedup
+  test("semanticDedup: exactly one centroid-nearest keeper per bucket, rerun-stable") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val planes = graft.expr.VectorExprs.rademacherPlanes(8, 64, 42L)
+    def run() = graft.ops.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", planes, 8)
+    val out = run().collect()
+    assert(out.length == emb.count(), "every vector must get a verdict")
+    // exactly one keeper per bucket, and it attains the bucket-min distance
+    val byBucket = out.groupBy(_.getAs[Long]("bucket"))
+    byBucket.foreach { case (b, rows) =>
+      val keepers = rows.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"bucket $b has ${keepers.length} keepers")
+      val minD = rows.map(_.getAs[Long]("dist2")).min
+      assert(keepers.head.getAs[Long]("dist2") == minD,
+        s"bucket $b keeper is not centroid-nearest")
+      assert(rows.forall(_.getAs[Long]("n_members") == rows.length.toLong))
+    }
+    // hash-partition determinism: a rerun reproduces the identical verdict
+    val again = run().collect().map(r => (r.getLong(0), r.getAs[Boolean]("keep"))).toMap
+    assert(out.forall(r => again(r.getLong(0)) == r.getAs[Boolean]("keep")))
+  }
+
+  test("semanticDedup plan: no pairwise join — only broadcast joins of bucket aggregates") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val planes = graft.expr.VectorExprs.rademacherPlanes(8, 64, 42L)
+    val p = graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding", planes, 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"semantic dedup must never build a pairwise or shuffled join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket aggregates must come back as broadcasts:\n$p")
+  }
+
   // --------------------------------------------------- selection capstone
   test("q113: one documents scan (shared checkpoint) and pre-tokenized " +
       "branches match the derive-from-text spelling") {
