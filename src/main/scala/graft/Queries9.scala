@@ -393,6 +393,33 @@ object Queries9 {
        |ORDER BY d.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------ embedding dispersion
+  /** Per-label embedding dispersion (mean pairwise squared distance in
+    * closed form — the diversity stat a semantic-dedup run reports before
+    * and after; see [[graft.ops.Similarity.embeddingDispersion]] for the
+    * no-pairwise-join identity and integer-exactness contract). */
+  val q116EmbeddingDispersion: Q = (spark, dir) =>
+    graft.ops.Similarity.embeddingDispersion(
+        Tables.embeddings(spark, dir), "label", "embedding")
+      .orderBy("label")
+
+  val q116Sql: String =
+    """WITH e AS (SELECT label, vec_id, d,
+      |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)),
+      |byd AS (SELECT label, d, sum(q * q)::BIGINT AS sq, sum(q)::BIGINT AS s,
+      |    count(*)::BIGINT AS n
+      |  FROM e GROUP BY label, d),
+      |g AS (SELECT label, any_value(n) AS n, sum(sq)::BIGINT AS a,
+      |    sum(s * s)::BIGINT AS b
+      |  FROM byd GROUP BY label)
+      |SELECT label, n,
+      |  (2 * n * a - 2 * b)::BIGINT AS pair_dist2_sum,
+      |  CASE WHEN n <= 1 THEN 0
+      |       ELSE (((2 * n * a - 2 * b)::HUGEINT * 1000000)
+      |             // (n * (n - 1)))::BIGINT END AS mean_dist2_e6
+      |FROM g ORDER BY label""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
@@ -401,7 +428,8 @@ object Queries9 {
     "q112_dsir_weights" -> q112DsirWeights,
     "q113_selection_capstone" -> q113SelectionCapstone,
     "q114_heaps_fit" -> q114HeapsFit,
-    "q115_semantic_dedup" -> q115SemanticDedup)
+    "q115_semantic_dedup" -> q115SemanticDedup,
+    "q116_embedding_dispersion" -> q116EmbeddingDispersion)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -411,5 +439,6 @@ object Queries9 {
     "q112_dsir_weights" -> q112Sql,
     "q113_selection_capstone" -> q113Sql,
     "q114_heaps_fit" -> q114Sql,
-    "q115_semantic_dedup" -> q115Sql)
+    "q115_semantic_dedup" -> q115Sql,
+    "q116_embedding_dispersion" -> q116Sql)
 }

@@ -261,6 +261,48 @@ object Similarity {
       .select(col(idCol), col("bucket"), col("n_members"), col("dist2"), col("keep"))
   }
 
+  /** Embedding dispersion — the diversity metric semantic dedup exists to
+    * raise: per group, the SUM of squared L2 distances over all ordered
+    * pairs, in closed form from one-pass sums (no pairwise join):
+    *
+    *   Σ_{i≠j} ||x_i − x_j||² = 2n·Σ_i ||x_i||² − 2·Σ_d (Σ_i x_id)²
+    *
+    * computed over `floor(x·quantScale + 0.5)` quantized longs, so the
+    * statistic is integer-exact and engine-portable. Output per group:
+    * `n`, `pair_dist2_sum` (the closed form above), and `mean_dist2_e6` =
+    * floor(sum · 1e6 / (n·(n−1))) (0 for singleton groups). Magnitude
+    * bound: sum ≤ 2n²·dim·quantScale²·max|x|² — longs hold to n ≈ 10⁵ per
+    * group at the default scale; shard groups or coarsen quantScale past
+    * that (same plan shape).
+    *
+    * Scale shape: one explode of n·dim components into a
+    * (group, dim)-keyed aggregation (map-side combined; |groups|·dim
+    * output rows), then a |groups|-row projection. Linear in n·dim;
+    * the pairwise semantics cost literally nothing extra. */
+  def embeddingDispersion(df: DataFrame, groupCol: String, vecCol: String,
+      quantScale: Double = 1000.0): DataFrame = {
+    val e = df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .withColumn("q", floor(col("v") * quantScale + 0.5).cast("long"))
+    val byDim = e.groupBy(col(groupCol), col("d"))
+      .agg(sum(col("q") * col("q")).as("__sq"), sum(col("q")).as("__s"),
+        count(lit(1)).as("__n"))
+    byDim.groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n"),
+        sum(col("__sq")).as("__a"), sum(col("__s") * col("__s")).as("__b"))
+      .select(col(groupCol), col("n"),
+        (lit(2L) * col("n") * col("__a") - lit(2L) * col("__b"))
+          .as("pair_dist2_sum"))
+      .withColumn("mean_dist2_e6",
+        // widen to decimal before the 1e6 scaling: sum·1e6 can pass 2^63
+        // while the MEAN is small; integral DIV of positives truncates
+        // identically in any engine (DuckDB mirrors via HUGEINT)
+        when(col("n") <= 1L, 0L)
+          .otherwise(expr(
+            "CAST(CAST(pair_dist2_sum AS DECIMAL(38,0)) * 1000000" +
+              " DIV (n * (n - 1)) AS BIGINT)")))
+  }
+
   /** IVF-style top-k search: route the query to its `nprobe` nearest coarse
     * centroids, then brute-force only those buckets — the 100 TB search
     * path (the corpus join is an equi-join on the bucket label; only

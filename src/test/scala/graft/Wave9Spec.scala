@@ -188,6 +188,29 @@ class Wave9Spec extends SparkSpec {
       s"bucket aggregates must come back as broadcasts:\n$p")
   }
 
+  test("embeddingDispersion: closed form equals the brute-force pairwise sum") {
+    // Σ_{i≠j} ||x_i − x_j||² = 2nΣ||x||² − 2||Σx||² — verify the identity
+    // against an actual O(n²) pairwise computation on a small slice
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 100).select($"label", $"vec_id", $"embedding")
+    val out = graft.ops.Similarity.embeddingDispersion(emb, "label", "embedding")
+      .collect().map(r => r.get(0).toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pair_dist2_sum"))).toMap
+    val rows = emb.collect().map(r => (r.get(0).toString,
+      r.getSeq[Float](2).map(x => math.floor(x * 1000.0 + 0.5).toLong).toArray))
+    rows.groupBy(_._1).foreach { case (label, vs) =>
+      val brute = (for {
+        (_, a) <- vs; (_, b) <- vs
+      } yield a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).sum
+      assert(out(label) == ((vs.length.toLong, brute)),
+        s"label $label: closed form ${out(label)} vs brute ($brute)")
+    }
+    // and singleton groups report zero mean without dividing by zero
+    val single = graft.ops.Similarity.embeddingDispersion(
+      emb.limit(1), "label", "embedding").head()
+    assert(single.getAs[Long]("n") == 1L && single.getAs[Long]("mean_dist2_e6") == 0L)
+  }
+
   // --------------------------------------------------- selection capstone
   test("q113: one documents scan (shared checkpoint) and pre-tokenized " +
       "branches match the derive-from-text spelling") {
