@@ -420,6 +420,71 @@ object Queries9 {
       |             // (n * (n - 1)))::BIGINT END AS mean_dist2_e6
       |FROM g ORDER BY label""".stripMargin
 
+  // ----------------------------------------- semantic thinning capstone
+  /** The SemDeDup before/after report as ONE plan: corpus-level embedding
+    * dispersion of the full table vs. the q115 survivors — the published
+    * method's claim (semantic dedup raises diversity) as a two-row,
+    * hash-checked artifact. The survivor side reuses the q115 verdict via
+    * a semi-join on the kept ids; both sides share the q116 closed form,
+    * so the whole report is integer-exact and pairwise-join-free. */
+  val q117SemanticThinningReport: Q = (spark, dir) => {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        semPlanes, SemBits)
+      .filter(col("keep")).select(col("vec_id"))
+    def phase(df: org.apache.spark.sql.DataFrame, name: String) =
+      Similarity.embeddingDispersion(
+          df.select(lit(name).as("phase"), col("embedding")),
+          "phase", "embedding")
+    phase(emb, "before").unionByName(
+        phase(emb.join(kept, Seq("vec_id"), "left_semi"), "after"))
+      .orderBy("phase")
+  }
+
+  val q117Sql: String = {
+    val keyExpr = (0 until SemBits).map { b =>
+      val plane = semPlanes(b).map(_.toInt).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q0 AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |  FROM embeddings),
+       |k AS (SELECT vec_id, embedding, ($keyExpr)::BIGINT AS bucket FROM q0),
+       |ed AS (SELECT vec_id, bucket, d,
+       |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS qd
+       |  FROM k, unnest(generate_series(1, len(embedding))) AS g(d)),
+       |nb AS (SELECT bucket, count(*)::BIGINT AS n_members FROM k GROUP BY bucket),
+       |sb AS (SELECT bucket, d, sum(qd)::BIGINT AS sd FROM ed GROUP BY bucket, d),
+       |dist AS (SELECT ed.vec_id, ed.bucket,
+       |    sum((nb.n_members * ed.qd - sb.sd) * (nb.n_members * ed.qd - sb.sd))::BIGINT AS dist2
+       |  FROM ed JOIN sb USING (bucket, d) JOIN nb USING (bucket)
+       |  GROUP BY 1, 2),
+       |kept AS (SELECT vec_id FROM (
+       |    SELECT bucket, vec_id,
+       |      row_number() OVER (PARTITION BY bucket ORDER BY dist2, vec_id) AS rk
+       |    FROM dist) WHERE rk = 1),
+       |ph AS (SELECT 'before' AS phase, vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT 'after' AS phase, e.vec_id, e.embedding FROM embeddings e
+       |  JOIN kept USING (vec_id)),
+       |pe AS (SELECT phase, vec_id, d,
+       |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS q
+       |  FROM ph, unnest(generate_series(1, len(embedding))) AS g(d)),
+       |byd AS (SELECT phase, d, sum(q * q)::BIGINT AS sq, sum(q)::BIGINT AS s,
+       |    count(*)::BIGINT AS n
+       |  FROM pe GROUP BY phase, d),
+       |gg AS (SELECT phase, any_value(n) AS n, sum(sq)::BIGINT AS a,
+       |    sum(s * s)::BIGINT AS b
+       |  FROM byd GROUP BY phase)
+       |SELECT phase, n,
+       |  (2 * n * a - 2 * b)::BIGINT AS pair_dist2_sum,
+       |  CASE WHEN n <= 1 THEN 0
+       |       ELSE (((2 * n * a - 2 * b)::HUGEINT * 1000000)
+       |             // (n * (n - 1)))::BIGINT END AS mean_dist2_e6
+       |FROM gg ORDER BY phase""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
@@ -429,7 +494,8 @@ object Queries9 {
     "q113_selection_capstone" -> q113SelectionCapstone,
     "q114_heaps_fit" -> q114HeapsFit,
     "q115_semantic_dedup" -> q115SemanticDedup,
-    "q116_embedding_dispersion" -> q116EmbeddingDispersion)
+    "q116_embedding_dispersion" -> q116EmbeddingDispersion,
+    "q117_semantic_thinning_report" -> q117SemanticThinningReport)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -440,5 +506,6 @@ object Queries9 {
     "q113_selection_capstone" -> q113Sql,
     "q114_heaps_fit" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,
-    "q116_embedding_dispersion" -> q116Sql)
+    "q116_embedding_dispersion" -> q116Sql,
+    "q117_semantic_thinning_report" -> q117Sql)
 }

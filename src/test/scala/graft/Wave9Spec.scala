@@ -211,6 +211,26 @@ class Wave9Spec extends SparkSpec {
     assert(single.getAs[Long]("n") == 1L && single.getAs[Long]("mean_dist2_e6") == 0L)
   }
 
+  test("q117 report composes q115 and q116 exactly; survivors = one per bucket") {
+    val rep = Queries9.all("q117_semantic_thinning_report")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pair_dist2_sum"))).toMap
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val verdict = Queries9.all("q115_semantic_dedup")(spark, sfDir)
+    val nBuckets = verdict.select($"bucket").distinct().count()
+    assert(rep("before")._1 == emb.count())
+    assert(rep("after")._1 == nBuckets, "one survivor per bucket")
+    // the 'after' numbers must equal running dispersion over the q115
+    // survivors independently
+    val keptIds = verdict.filter($"keep").select($"vec_id")
+    val after = graft.ops.Similarity.embeddingDispersion(
+        emb.join(keptIds, Seq("vec_id"), "left_semi")
+          .select(lit("after").as("phase"), $"embedding"),
+        "phase", "embedding").head()
+    assert((after.getAs[Long]("n"), after.getAs[Long]("pair_dist2_sum")) ==
+      rep("after"))
+  }
+
   // --------------------------------------------------- selection capstone
   test("q113: one documents scan (shared checkpoint) and pre-tokenized " +
       "branches match the derive-from-text spelling") {
