@@ -66,7 +66,11 @@ object VerifyScaled {
       "q106_decon_apply" ->
         (() => graft.SparkEntry.queries("q106_decon_apply")(spark, sfDir)),
       "q113_selection_capstone" ->
-        (() => graft.SparkEntry.queries("q113_selection_capstone")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q113_selection_capstone")(spark, sfDir)),
+      "q115_semantic_dedup" ->
+        (() => graft.SparkEntry.queries("q115_semantic_dedup")(spark, sfDir)),
+      "q117_semantic_thinning_report" ->
+        (() => graft.SparkEntry.queries("q117_semantic_thinning_report")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -78,7 +82,10 @@ object VerifyScaled {
       "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits),
       "q106_decon_apply" -> graft.SparkEntry.oracleSql("q106_decon_apply"),
       "q113_selection_capstone" ->
-        graft.SparkEntry.oracleSql("q113_selection_capstone"))
+        graft.SparkEntry.oracleSql("q113_selection_capstone"),
+      "q115_semantic_dedup" -> graft.SparkEntry.oracleSql("q115_semantic_dedup"),
+      "q117_semantic_thinning_report" ->
+        graft.SparkEntry.oracleSql("q117_semantic_thinning_report"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
