@@ -346,6 +346,87 @@ object Queries9 {
        |  FROM pool)
        |WHERE rank <= 100""".stripMargin
 
+  // ------------------------------------------------ filter agreement
+  /** Filter-agreement audit — the governance table a filtering run ships
+    * alongside its thresholds: per source, the 2×2 confusion cells between
+    * the model-based classifier (q108) and the rule-based repetition gate
+    * (q102). High `both_drop` agreement validates either filter alone;
+    * mass in the off-diagonal cells is exactly the data each filter
+    * catches that the other misses — the evidence for keeping both in the
+    * q113 conjunction. One doc-keyed join of two per-doc verdict
+    * aggregates; the output is |sources| rows. */
+  val q118FilterAgreement: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val cls = Classify.qualityLogit(docs, "doc_id", "text", Seq("source"))
+      .select(col("doc_id"), col("source"), col("keep"))
+    val gate = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+        maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
+        maxTopBigramPpm = 180000L)
+      .select(col("doc_id"), col("gate_pass"))
+    cls.join(gate, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep") && col("gate_pass"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("keep") && !col("gate_pass"), 1L).otherwise(0L)).as("cls_only"),
+        sum(when(!col("keep") && col("gate_pass"), 1L).otherwise(0L)).as("gate_only"),
+        sum(when(!col("keep") && !col("gate_pass"), 1L).otherwise(0L)).as("both_drop"))
+      .orderBy("source")
+  }
+
+  val q118Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_chars,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, source, n_chars, punct_chars, digit_chars,
+       |    len(toks) AS n_words,
+       |    len(list_filter(toks, t -> list_contains([$stopsSqlList], t))) AS stop_hits
+       |  FROM t),
+       |g AS (SELECT doc_id, source, n_words,
+       |    stop_hits * 1000000 // n_words AS stop_ppm,
+       |    punct_chars * 1000000 // greatest(n_chars, 1) AS punct_ppm,
+       |    digit_chars * 1000000 // greatest(n_chars, 1) AS digit_ppm
+       |  FROM f),
+       |cls AS (SELECT doc_id, source,
+       |    (${M.bias} + ${M.wStopPpm} * stop_ppm + ${M.wPunctPpm} * punct_ppm
+       |      + ${M.wDigitPpm} * digit_ppm
+       |      + ${M.wWordCap} * least(n_words, ${M.wordCap}))::BIGINT > 0 AS ckeep
+       |  FROM g),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+       |ls AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+       |  FROM l GROUP BY doc_id, line),
+       |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+       |    sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+       |  FROM ls GROUP BY doc_id),
+       |sp AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS span
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2)),
+       |scnt AS (SELECT doc_id, span, count(*) AS c FROM sp GROUP BY doc_id, span),
+       |topb AS (SELECT doc_id, c, span FROM (
+       |    SELECT doc_id, c, span,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, span ASC) AS rk
+       |    FROM scnt) WHERE rk = 1),
+       |base AS (SELECT doc_id, length(lower(trim(text))) AS n_norm FROM documents),
+       |sig AS (SELECT b.doc_id,
+       |    (la.dup_lines * 1000000 // la.n_lines)::BIGINT AS dup_line_ppm,
+       |    (CASE WHEN la.tot_chars = 0 THEN 0
+       |          ELSE la.dup_chars * 1000000 // la.tot_chars END)::BIGINT AS dup_line_char_ppm,
+       |    (CASE WHEN tb.c IS NULL OR b.n_norm = 0 THEN 0
+       |          ELSE tb.c * length(tb.span) * 1000000 // b.n_norm END)::BIGINT AS top_bigram_ppm
+       |  FROM base b JOIN la USING (doc_id) LEFT JOIN topb tb USING (doc_id)),
+       |gv AS (SELECT doc_id,
+       |    (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+       |     AND top_bigram_ppm <= 180000) AS gpass
+       |  FROM sig)
+       |SELECT cls.source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN ckeep AND gpass THEN 1 ELSE 0 END)::BIGINT AS both_keep,
+       |  sum(CASE WHEN ckeep AND NOT gpass THEN 1 ELSE 0 END)::BIGINT AS cls_only,
+       |  sum(CASE WHEN NOT ckeep AND gpass THEN 1 ELSE 0 END)::BIGINT AS gate_only,
+       |  sum(CASE WHEN NOT ckeep AND NOT gpass THEN 1 ELSE 0 END)::BIGINT AS both_drop
+       |FROM cls JOIN gv USING (doc_id)
+       |GROUP BY cls.source ORDER BY cls.source""".stripMargin
+
   // ------------------------------------------------ semantic dedup
   /** One sign-RP table of 8 bits = 256 deterministic "clusters" — the
     * engine-exact stand-in for SemDeDup's k-means partition; shared
@@ -495,7 +576,8 @@ object Queries9 {
     "q114_heaps_fit" -> q114HeapsFit,
     "q115_semantic_dedup" -> q115SemanticDedup,
     "q116_embedding_dispersion" -> q116EmbeddingDispersion,
-    "q117_semantic_thinning_report" -> q117SemanticThinningReport)
+    "q117_semantic_thinning_report" -> q117SemanticThinningReport,
+    "q118_filter_agreement" -> q118FilterAgreement)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -507,5 +589,6 @@ object Queries9 {
     "q114_heaps_fit" -> q114Sql,
     "q115_semantic_dedup" -> q115Sql,
     "q116_embedding_dispersion" -> q116Sql,
-    "q117_semantic_thinning_report" -> q117Sql)
+    "q117_semantic_thinning_report" -> q117Sql,
+    "q118_filter_agreement" -> q118Sql)
 }

@@ -231,6 +231,18 @@ class Wave9Spec extends SparkSpec {
       rep("after"))
   }
 
+  test("q118 agreement cells partition each source's documents") {
+    val rows = Queries9.all("q118_filter_agreement")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cells = Seq("both_keep", "cls_only", "gate_only", "both_drop")
+        .map(r.getAs[Long])
+      assert(cells.sum == r.getAs[Long]("n_docs"),
+        s"cells ${cells} do not partition n_docs=${r.getAs[Long]("n_docs")}")
+      assert(cells.forall(_ >= 0L))
+    }
+  }
+
   // --------------------------------------------------- selection capstone
   test("q113: one documents scan (shared checkpoint) and pre-tokenized " +
       "branches match the derive-from-text spelling") {
