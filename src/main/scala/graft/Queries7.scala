@@ -351,7 +351,7 @@ object Queries7 {
         " 'length','p99_chars_e6', floor(quantiles[2]*1000000+0.5)," +
         " 'length','min_chars', vmin," +
         " 'length','max_chars', vmax) AS (section, metric, value)")
-    val repetition = graft.ops.Repetition.gateVerdicts(d, "doc_id", "text",
+    val repetition = graft.ops.Repetition.gateVerdictsFused(d, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
         maxTopBigramPpm = 180000L)
       .agg(

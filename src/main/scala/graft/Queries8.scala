@@ -115,7 +115,7 @@ object Queries8 {
     * character mass, and most-frequent-bigram coverage, all integer ppm.
     * The self-repetition complement of q93's cross-doc span signal. */
   val q101GopherRepetition: Q = (spark, dir) =>
-    graft.ops.Repetition.repetitionSignals(
+    graft.ops.Repetition.repetitionSignalsFused(
       Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
@@ -315,7 +315,7 @@ object Queries8 {
   val q106DeconApply: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
     val drop = graft.ops.Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
-    val gateFail = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
+    val gateFail = graft.ops.Repetition.gateVerdictsFused(docs, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
         maxTopBigramPpm = 180000L)
       .filter(!col("gate_pass")).select("doc_id")

@@ -276,10 +276,107 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-loop body of the repetition-signal kernel ([[RepetitionStats]]). */
+object RepetitionKernels {
+
+  /** All three Gopher within-document repetition signals in ONE pass over
+    * the row — the fused form of graft.ops.Repetition.repetitionSignals'
+    * explode+aggregate spelling, value-identical by construction:
+    *
+    *  - lines via `split("\n", -1)` (the regex the batch spelling uses,
+    *    trailing empties kept), line length in CODE POINTS (Spark
+    *    `length`);
+    *  - the top bigram from the SAME [[ShingleKernels.wordSpans]] kernel
+    *    the batch spelling explodes, ties broken by UTF8String BINARY
+    *    order (Spark's string comparison — java.lang.String compareTo
+    *    would order astral-plane text differently);
+    *  - `norm_len` as numChars(lower(trim(text))) on UTF8String, matching
+    *    Spark's space-only `trim` and `lower` exactly.
+    *
+    * Returns [dup_line_ppm, dup_line_char_ppm, top_bigram_ppm] as longs
+    * (floor division of non-negatives ≡ the batch `DIV`).
+    *
+    * The point at scale: the signals are DOC-LOCAL, so this projection
+    * needs no shuffle at all, where the aggregate spelling moves every
+    * distinct (doc, line) and (doc, span) pair through an exchange. */
+  def signals(input: UTF8String): ArrayData = {
+    val lines = input.toString.split("\n", -1)
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < lines.length) {
+      val c = lineCounts.get(lines(i))
+      if (c == null) lineCounts.put(lines(i), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    var nLines = 0L; var dupLines = 0L; var dupChars = 0L; var totChars = 0L
+    val it = lineCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      val len = e.getKey.codePointCount(0, e.getKey.length).toLong
+      nLines += c; dupLines += c - 1
+      dupChars += (c - 1) * len; totChars += c * len
+    }
+    val dupLinePpm = dupLines * 1000000L / nLines
+    val dupLineCharPpm = if (totChars == 0L) 0L else dupChars * 1000000L / totChars
+
+    val spans = ShingleKernels.wordSpans(input, 2)
+    var topC = 0L
+    var topSpan: UTF8String = null
+    if (spans.numElements() > 0) {
+      val spanCounts = new java.util.HashMap[UTF8String, Array[Long]]()
+      var j = 0
+      while (j < spans.numElements()) {
+        val s = spans.getUTF8String(j)
+        val c = spanCounts.get(s)
+        if (c == null) spanCounts.put(s, Array(1L)) else c(0) += 1L
+        j += 1
+      }
+      val sit = spanCounts.entrySet().iterator()
+      while (sit.hasNext) {
+        val e = sit.next()
+        val c = e.getValue()(0)
+        if (c > topC || (c == topC && (topSpan == null || e.getKey.compareTo(topSpan) < 0))) {
+          topC = c; topSpan = e.getKey
+        }
+      }
+    }
+    val normLen = input.trim().toLowerCase.numChars().toLong
+    val topPpm =
+      if (topSpan == null || normLen == 0L) 0L
+      else topC * topSpan.numChars().toLong * 1000000L / normLen
+    new GenericArrayData(Array(dupLinePpm, dupLineCharPpm, topPpm))
+  }
+}
+
+/** The repetition-signal kernel as a codegen'd expression (see
+  * [[RepetitionKernels.signals]]): one static call per row, stage stays
+  * whole-stage-codegen. Output: array<long> of
+  * [dup_line_ppm, dup_line_char_ppm, top_bigram_ppm]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionKernels.signals(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.RepetitionKernels.signals($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
 
   /** Column wrapper for [[SortedJaccard]]. */
   def sortedJaccard(a: Column, b: Column): Column =

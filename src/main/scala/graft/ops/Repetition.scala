@@ -90,6 +90,36 @@ object Repetition {
           .as("top_bigram_ppm"))
   }
 
+  /** [[repetitionSignals]] as a MAP-SIDE projection — one fused kernel
+    * call per document ([[graft.expr.RepetitionKernels.signals]]),
+    * value-identical to the aggregate spelling (RepetitionSpec pins the
+    * row identity on the fixture corpus) with ZERO shuffles: the signals
+    * are doc-local, so the aggregate spelling's two exchanges (distinct
+    * (doc, line) and (doc, span) pairs, carrying line/span TEXT) buy
+    * nothing but codegen'd combining that the kernel does in-row. This is
+    * the production spelling; the aggregate form remains the
+    * oracle-reference and the spelling for callers that already hold a
+    * materialized span column (q113's shared checkpoint). Being pure
+    * projection it also composes into Structured Streaming pipelines
+    * with no watermark or output-mode constraints. */
+  def repetitionSignalsFused(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expr.TextExprs.repetitionStats(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r").getItem(0).as("dup_line_ppm"),
+        col("__r").getItem(1).as("dup_line_char_ppm"),
+        col("__r").getItem(2).as("top_bigram_ppm"))
+
+  /** [[gateVerdicts]] over the fused kernel — the map-side production
+    * gate. */
+  def gateVerdictsFused(df: DataFrame, idCol: String, textCol: String,
+      maxDupLinePpm: Long, maxDupLineCharPpm: Long,
+      maxTopBigramPpm: Long): DataFrame =
+    repetitionSignalsFused(df, idCol, textCol).withColumn("gate_pass",
+      col("dup_line_ppm") <= maxDupLinePpm &&
+        col("dup_line_char_ppm") <= maxDupLineCharPpm &&
+        col("top_bigram_ppm") <= maxTopBigramPpm)
+
   /** Per-document gate verdict: [[repetitionSignals]] plus a `gate_pass`
     * boolean (the published rule is a conjunction of acceptances — a doc
     * fails if ANY signal exceeds its threshold). The per-doc form the
@@ -111,7 +141,7 @@ object Repetition {
   def repetitionGate(df: DataFrame, idCol: String, textCol: String,
       byCol: String, maxDupLinePpm: Long, maxDupLineCharPpm: Long,
       maxTopBigramPpm: Long): DataFrame = {
-    val sig = repetitionSignals(df, idCol, textCol)
+    val sig = repetitionSignalsFused(df, idCol, textCol)
     df.select(col(idCol), col(byCol))
       .join(sig, Seq(idCol))
       .groupBy(col(byCol))

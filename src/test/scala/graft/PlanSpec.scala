@@ -238,15 +238,15 @@ class PlanSpec extends SparkSpec {
   test("datasheet: corpus-text scans stay fused to the section minimum") {
     // q98's sections each re-scan `documents` (union branches share no
     // subtrees), so the text-reading scan count IS the corpus cost at
-    // 100 TB. The fused spelling pays exactly 5 in-plan text scans
-    // (volume, dedup+quality, leak audit, 2 repetition legs — norm_len
-    // rides the line aggregate) — the vocab sections read a materialized
-    // wordCounts instead of tokenizing the corpus three more times, and
-    // the n_chars histogram prunes text away entirely. A 6th text scan
-    // means a section decomposed back into per-metric passes.
+    // 100 TB. The fused spelling pays exactly 4 in-plan text scans
+    // (volume, dedup+quality, leak audit, and the repetition section as
+    // ONE map-side kernel projection) — the vocab sections read a
+    // materialized wordCounts instead of tokenizing the corpus three more
+    // times, and the n_chars histogram prunes text away entirely. A 5th
+    // text scan means a section decomposed back into per-metric passes.
     val p = plan(SparkEntry.queries("q98_corpus_datasheet")(spark, sfDir))
     val n = """ReadSchema: [^\n]*\btext\b""".r.findAllIn(p).size
-    assert(n == 5, s"expected 5 text-reading scans, got $n:\n$p")
+    assert(n == 4, s"expected 4 text-reading scans, got $n:\n$p")
     assert("""ReadSchema: struct<n_chars:bigint>""".r.findAllIn(p).size == 1,
       s"length section must prune to n_chars only:\n$p")
   }

@@ -60,4 +60,29 @@ class RepetitionSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"joins on doc_id must broadcast/hash at this size:\n$plan")
   }
+
+  test("fused kernel is row-identical to the aggregate spelling on the fixture corpus") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val agg = Repetition.repetitionSignals(docs, "doc_id", "text")
+    val fused = Repetition.repetitionSignalsFused(docs, "doc_id", "text")
+    assert(agg.exceptAll(fused).isEmpty && fused.exceptAll(agg).isEmpty,
+      "kernel diverged from the aggregate reference")
+    // and on the edge cases the fixture may not cover
+    val edge = Seq(
+      (1L, ""), (2L, "\n\n"), (3L, "a\na\na"), (4L, "x y x y x y"),
+      (5L, "  word  "), (6L, "émoji 😀 émoji 😀 émoji 😀")).toDF("doc_id", "text")
+    val ea = Repetition.repetitionSignals(edge, "doc_id", "text")
+    val ef = Repetition.repetitionSignalsFused(edge, "doc_id", "text")
+    assert(ea.exceptAll(ef).isEmpty && ef.exceptAll(ea).isEmpty)
+  }
+
+  test("fused kernel plan: pure projection, zero exchanges") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = Repetition.repetitionSignalsFused(docs, "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"doc-local signals must not shuffle:\n$plan")
+    assert(plan.contains("[codegen id :"), s"kernel fell out of codegen:\n$plan")
+  }
 }
