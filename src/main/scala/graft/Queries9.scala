@@ -30,10 +30,11 @@ object Queries9 {
   /** Distilled linear quality classifier over integer ppm features
     * (stopword / punctuation / digit density + capped length): per-doc
     * feature vector, logit in micro-units, keep verdict. See
-    * [[graft.ops.Classify]] — one explode + one doc-keyed aggregation, all
-    * integer, so the keep/drop frontier is bit-identical in any engine. */
+    * [[graft.ops.Classify]] — the fused-kernel spelling: one map-side
+    * feature pass per document, zero shuffles, all integer, so the
+    * keep/drop frontier is bit-identical in any engine. */
   val q108QualityClassifier: Q = (spark, dir) =>
-    Classify.qualityLogit(Tables.documents(spark, dir), "doc_id", "text",
+    Classify.qualityLogitFused(Tables.documents(spark, dir), "doc_id", "text",
         carryCols = Seq("source"))
       .orderBy("doc_id")
 
@@ -228,14 +229,15 @@ object Queries9 {
     * micro-units). Mirrors q89 (mixing) and q106 (decontamination): the
     * step that turns this wave's audits into an actionable corpus.
     *
-    * Scale shape: ONE corpus scan and ONE tokenization pass. The corpus is
-    * projected to (id, source, text, toks, bigram spans) and materialized
-    * as a lazy local checkpoint; the classifier, the repetition gate, and
-    * the DSIR scorer all branch off that checkpointed frame instead of
-    * each re-scanning + re-tokenizing `documents` — at corpus scale the
-    * tokenize-explode is the dominant cost and common-subtree reuse across
-    * aggregation branches is NOT something Catalyst does for free (branch
-    * exchanges differ, so each branch would re-run the scan). Downstream,
+    * Scale shape: ONE corpus scan and ONE span-tokenization pass. The
+    * corpus is projected to (id, source, text, bigram spans) and
+    * materialized as a lazy local checkpoint; the classifier (fused
+    * feature kernel, map-side), the repetition gate, and the DSIR scorer
+    * all branch off that checkpointed frame instead of each re-scanning +
+    * re-tokenizing `documents` — at corpus scale the tokenize-explode is
+    * the dominant cost and common-subtree reuse across aggregation
+    * branches is NOT something Catalyst does for free (branch exchanges
+    * differ, so each branch would re-run the scan). Downstream,
     * the three doc-keyed aggregates co-partition on the id for their
     * joins; the final rank is orderBy+limit (TakeOrderedAndProject —
     * per-partition top-k heaps, no global sort) with the row_number window
@@ -246,11 +248,9 @@ object Queries9 {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val base = docs.select(col("doc_id"), col("source"), col("text"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"),
         graft.expr.TextExprs.wordSpans(col("text"), 2).as("spans"))
       .localCheckpoint(false)
-    val cls = Classify.qualityLogit(base, "doc_id", "text", Seq("source"),
-        toksCol = Some("toks"))
+    val cls = Classify.qualityLogitFused(base, "doc_id", "text", Seq("source"))
       .select(col("doc_id"), col("source"), col("logit_e6"), col("keep"))
     val gate = graft.ops.Repetition.gateVerdicts(base, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
@@ -357,7 +357,7 @@ object Queries9 {
     * aggregates; the output is |sources| rows. */
   val q118FilterAgreement: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    val cls = Classify.qualityLogit(docs, "doc_id", "text", Seq("source"))
+    val cls = Classify.qualityLogitFused(docs, "doc_id", "text", Seq("source"))
       .select(col("doc_id"), col("source"), col("keep"))
     val gate = graft.ops.Repetition.gateVerdicts(docs, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,

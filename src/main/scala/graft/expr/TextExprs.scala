@@ -349,6 +349,78 @@ object RepetitionKernels {
   }
 }
 
+/** Row-loop body of the classifier-feature kernel ([[ClassifyFeatures]]). */
+object ClassifyKernels {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** The five lexical features of graft.ops.Classify.qualityLogit in ONE
+    * pass — value-identical to the explode+aggregate spelling:
+    *
+    *  - `n_chars` = numChars (code points, Spark `length`);
+    *  - `punct_chars` / `digit_chars` count code points matching Java
+    *    regex `[\p{Punct}]` / `[0-9]` — both ASCII-only classes, so the
+    *    scan tests plain ranges;
+    *  - `n_words` = |split(lower(trim(text)), "\s+")| (empty-token
+    *    conventions of Spark `split` preserved: empty text yields one ""
+    *    token, so the ppm divisions never see zero);
+    *  - `stop_hits` counts tokens in `stopwords`.
+    *
+    * Returns [n_chars, punct_chars, digit_chars, n_words, stop_hits]. The
+    * features are DOC-LOCAL, so this projection removes the explode and
+    * the per-doc aggregation exchange entirely. */
+  def features(input: UTF8String, stopwords: java.util.HashSet[String]): ArrayData = {
+    val s = input.toString
+    var nChars = 0L; var punct = 0L; var digit = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (cp >= '0' && cp <= '9') digit += 1
+      // java [\p{Punct}] = the four ASCII punctuation runs
+      else if ((cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+               (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')) punct += 1
+      i += Character.charCount(cp)
+    }
+    val toks = ws.split(input.trim().toLowerCase.toString, -1)
+    var stopHits = 0L
+    var j = 0
+    while (j < toks.length) {
+      if (stopwords.contains(toks(j))) stopHits += 1
+      j += 1
+    }
+    new GenericArrayData(Array(nChars, punct, digit, toks.length.toLong, stopHits))
+  }
+}
+
+/** The classifier-feature kernel as a codegen'd expression (see
+  * [[ClassifyKernels.features]]). Output: array<long> of
+  * [n_chars, punct_chars, digit_chars, n_words, stop_hits]. */
+case class ClassifyFeatures(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  private val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ClassifyKernels.features(input.asInstanceOf[UTF8String], stopSet)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ClassifyKernels.features($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The repetition-signal kernel as a codegen'd expression (see
   * [[RepetitionKernels.signals]]): one static call per row, stage stays
   * whole-stage-codegen. Output: array<long> of
@@ -377,6 +449,11 @@ object TextExprs {
   /** Column wrapper for [[RepetitionStats]]. */
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
+  /** Column wrapper for [[ClassifyFeatures]]. */
+  def classifyFeatures(text: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(
+      ClassifyFeatures(ExpressionUtils.expression(text), stopwords))
 
   /** Column wrapper for [[SortedJaccard]]. */
   def sortedJaccard(a: Column, b: Column): Column =

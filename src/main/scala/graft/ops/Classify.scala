@@ -47,6 +47,34 @@ object Classify {
   private def charsMatching(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("long")
 
+  /** [[qualityLogit]] as a MAP-SIDE projection — the five lexical features
+    * from ONE fused kernel pass per document
+    * ([[graft.expr.ClassifyKernels.features]]), value-identical to the
+    * explode+aggregate spelling (Wave9Spec pins row identity) with ZERO
+    * shuffles: the features are doc-local, so the aggregate spelling's
+    * exchange and per-token explode buy nothing. The production spelling;
+    * the aggregate form remains the oracle-reference. Pure projection, so
+    * it also composes into streaming with no watermark constraints. */
+  def qualityLogitFused(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil,
+      model: LinearModel = Distilled): DataFrame = {
+    val f = graft.expr.TextExprs.classifyFeatures(col(textCol), TextFns.Stopwords)
+    df.select((col(idCol) +: carryCols.map(col)) :+ f.as("__f"): _*)
+      .select(
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          col("__f").getItem(3).as("n_words"),
+          expr("__f[4] * 1000000 DIV __f[3]").as("stop_ppm"),
+          expr("__f[1] * 1000000 DIV greatest(__f[0], 1L)").as("punct_ppm"),
+          expr("__f[2] * 1000000 DIV greatest(__f[0], 1L)").as("digit_ppm")): _*)
+      .withColumn("logit_e6",
+        lit(model.bias)
+          + lit(model.wStopPpm) * col("stop_ppm")
+          + lit(model.wPunctPpm) * col("punct_ppm")
+          + lit(model.wDigitPpm) * col("digit_ppm")
+          + lit(model.wWordCap) * least(col("n_words"), lit(model.wordCap.toLong)))
+      .withColumn("keep", col("logit_e6") > 0L)
+  }
+
   /** Per-document features + logit + keep verdict under `model`.
     *
     * Output: the id and carry columns, `n_words`, `stop_ppm`, `punct_ppm`,

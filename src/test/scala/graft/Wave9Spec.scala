@@ -231,6 +231,24 @@ class Wave9Spec extends SparkSpec {
       rep("after"))
   }
 
+  test("qualityLogitFused is row-identical to the aggregate spelling") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val agg = Classify.qualityLogit(docs, "doc_id", "text", Seq("source"))
+    val fused = Classify.qualityLogitFused(docs, "doc_id", "text", Seq("source"))
+    assert(agg.exceptAll(fused).isEmpty && fused.exceptAll(agg).isEmpty,
+      "classifier kernel diverged from the aggregate reference")
+    // edge cases: empty text (one '' token), punct/digit-only, astral
+    val edge = Seq((1L, ""), (2L, "!!! 123"), (3L, "the 😀 the"),
+      (4L, "  the  a  ")).toDF("doc_id", "text")
+    val ea = Classify.qualityLogit(edge, "doc_id", "text")
+    val ef = Classify.qualityLogitFused(edge, "doc_id", "text")
+    assert(ea.exceptAll(ef).isEmpty && ef.exceptAll(ea).isEmpty)
+    // and the fused plan is a pure projection
+    val p = fused.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"doc-local features must not shuffle:\n$p")
+  }
+
   test("q118 agreement cells partition each source's documents") {
     val rows = Queries9.all("q118_filter_agreement")(spark, sfDir).collect()
     assert(rows.nonEmpty)
