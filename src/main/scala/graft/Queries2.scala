@@ -212,15 +212,17 @@ object Queries2 {
     * whole-stage codegen — and the same shape scales out (map-side partial
     * aggregation, shuffle keyed on doc_id). */
   val q22LangGuess: Q = (spark, dir) => {
-    val toks = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
-      explode_outer(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-    val aggs = TextFns.LangMarkers.map { case (l, ms) =>
-      sum(when(col("tok").isin(ms: _*), 1L).otherwise(0L)).as(s"h_$l")
-    }
-    toks.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+    // marker-hit counting is doc-local: the fused TokenSetHits kernel
+    // counts every language's markers in one tokenization pass per row,
+    // so the explode + per-doc aggregation exchange vanish entirely
+    // (kernel ≡ aggregate identity pinned in TextExprSpec)
+    val markers = TextFns.LangMarkers
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        TextFns.langPick(TextFns.LangMarkers.map { case (l, _) => l -> col(s"h_$l") })
-          .as("lang_guess"))
+        graft.expr.TextExprs.tokenSetHits(col("text"), markers.map(_._2)).as("__h"))
+      .select(col("doc_id"), col("lang"),
+        TextFns.langPick(markers.zipWithIndex.map { case ((l, _), i) =>
+          l -> col("__h").getItem(i) }).as("lang_guess"))
   }
   val q22Sql: String = {
     val hitCols = TextFns.LangMarkers.map { case (l, ms) =>

@@ -421,6 +421,61 @@ case class ClassifyFeatures(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** Row-loop body of the token-set-hit kernel ([[TokenSetHits]]). */
+object TokenSetKernels {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Per-set token hit counts in ONE tokenization pass: tokens are
+    * `split(lower(trim(text)), "\s+")` (Spark conventions, empty tokens
+    * kept and simply missing from the sets), and `sets(i)` yields
+    * `out(i)` = number of tokens contained in it. The fused form of k
+    * parallel `sum(when(tok.isin(...)))` aggregates over an explode —
+    * doc-local, so the explode and its exchange vanish. */
+  def hits(input: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = ws.split(input.trim().toLowerCase.toString, -1)
+    val out = new Array[Long](sets.length)
+    var j = 0
+    while (j < toks.length) {
+      var i = 0
+      while (i < sets.length) {
+        if (sets(i).contains(toks(j))) out(i) += 1L
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The token-set-hit kernel as a codegen'd expression (see
+  * [[TokenSetKernels.hits]]). Output: array<long>, one counter per set. */
+case class TokenSetHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  private val setArr: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val h = new java.util.HashSet[String]()
+      s.foreach(h.add)
+      h
+    }.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSetKernels.hits(input.asInstanceOf[UTF8String], setArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sets", setArr, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TokenSetKernels.hits($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The repetition-signal kernel as a codegen'd expression (see
   * [[RepetitionKernels.signals]]): one static call per row, stage stays
   * whole-stage-codegen. Output: array<long> of
@@ -454,6 +509,10 @@ object TextExprs {
   def classifyFeatures(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(
       ClassifyFeatures(ExpressionUtils.expression(text), stopwords))
+
+  /** Column wrapper for [[TokenSetHits]]. */
+  def tokenSetHits(text: Column, sets: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(TokenSetHits(ExpressionUtils.expression(text), sets))
 
   /** Column wrapper for [[SortedJaccard]]. */
   def sortedJaccard(a: Column, b: Column): Column =

@@ -80,4 +80,23 @@ class TextExprSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
     assert(rows(3).getDouble(0) == 1.0)
   }
+
+  test("tokenSetHits kernel equals the explode+isin aggregate spelling") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .unionByName(Seq((-1L, ""), (-2L, "the le der el 的"),
+        (-3L, "  THE  Le  "), (-4L, "😀 the 😀")).toDF("doc_id", "text"))
+    val sets = TextFns.LangMarkers.map(_._2)
+    val fused = docs.select($"doc_id",
+      TextExprs.tokenSetHits($"text", sets).as("__h"))
+      .select($"doc_id" +: sets.indices.map(i => $"__h" (i).as(s"h_$i")): _*)
+    val toks = docs.select($"doc_id",
+      explode_outer(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val aggCols = sets.zipWithIndex.map { case (ms, i) =>
+      sum(when($"tok".isin(ms: _*), 1L).otherwise(0L)).as(s"h_$i")
+    }
+    val agg = toks.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    assert(fused.exceptAll(agg).isEmpty && agg.exceptAll(fused).isEmpty,
+      "token-set kernel diverged from the aggregate spelling")
+  }
 }
