@@ -431,7 +431,10 @@ object Queries9 {
   /** One sign-RP table of 8 bits = 256 deterministic "clusters" — the
     * engine-exact stand-in for SemDeDup's k-means partition; shared
     * between the query and its oracle as inlined ±1 literals (the q47
-    * convention, same seed/dim). */
+    * convention, same seed/dim). The `dim = 64` here is pinned against the
+    * live fixture by FixtureSpec ("documents and embeddings fixtures hold
+    * the loader contract") — a regenerated wider fixture fails there
+    * loudly instead of silently bucketing on a 64-dim prefix. */
   private val SemBits = 8
   private val semPlanes: Array[Array[Double]] =
     graft.expr.VectorExprs.rademacherPlanes(numPlanes = SemBits, dim = 64, seed = 42L)

@@ -227,17 +227,34 @@ object Similarity {
     *
     * Scale shape — the reason SemDeDup beats pairwise dedup at 100 TB:
     * there is NO pairwise join anywhere. One explode of n·dim quantized
-    * components, one (bucket, dim)-keyed aggregation (|buckets|·dim rows —
-    * broadcast back), one map-side-combined per-vector distance
-    * aggregation, and a |buckets|-row min(struct) argmin. Work is linear
-    * in n·dim at any duplication rate, where every candidate-pair method
-    * degrades with bucket occupancy².
+    * components, one (bucket, dim)-keyed aggregation (|buckets|·dim rows),
+    * one map-side-combined per-vector distance aggregation, and a
+    * |buckets|-row min(struct) argmin. Work is linear in n·dim at any
+    * duplication rate, where every candidate-pair method degrades with
+    * bucket occupancy².
+    *
+    * The bucket aggregates (`s`: ≤ 2^bits·dim rows; `nb`/`keep`: ≤ 2^bits
+    * rows) are broadcast ONLY when that static bound is provably small
+    * (`2^bits·dim ≤ smallAggRowCap`). Under `lshBitsFor` the bucket count —
+    * and hence `bits` — grows with the corpus, so at 10⁹ vectors × 768 dims
+    * the sums table is ~10¹⁰ rows: a forced broadcast there is a guaranteed
+    * driver OOM, because Spark honors explicit hints regardless of size.
+    * Past the cap we leave the joins unhinted: `e` and `s` derive from the
+    * SAME exploded frame keyed by (bucket, d), so they co-partition through
+    * one hash exchange each, and AQE may still pick a broadcast at runtime
+    * if the actual aggregate turns out tiny — graceful in both directions.
     *
     * Output per input row: the id, `bucket`, `n_members`, `dist2`
     * (scaled integer distance), `keep`. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], bits: Int,
       quantScale: Double = 1000.0): DataFrame = {
+    val dim = planes.head.length
+    // ~1M rows ≈ tens of MB serialized — the conventional broadcast comfort
+    // zone; anything bigger shuffles (the bound is static: no count job).
+    val hinted: DataFrame => DataFrame =
+      if ((1L << math.min(bits, 62)) * dim <= smallAggRowCap) broadcast _
+      else identity _
     val keyed = df.select(col(idCol), col(vecCol),
       element_at(graft.expr.VectorExprs.signRpBuckets(
         col(vecCol), planes, bits, quantScale), 1).as("bucket"))
@@ -249,17 +266,21 @@ object Similarity {
     val s = e.groupBy(col("bucket"), col("d")).agg(sum(col("q")).as("__sd"))
     val diff = col("n_members") * col("q") - col("__sd")
     val dist = e
-      .join(broadcast(s), Seq("bucket", "d"))
-      .join(broadcast(nb), Seq("bucket"))
+      .join(hinted(s), Seq("bucket", "d"))
+      .join(hinted(nb), Seq("bucket"))
       .groupBy(col(idCol), col("bucket"), col("n_members"))
       .agg(sum(diff * diff).as("dist2"))
     val keep = dist.groupBy(col("bucket"))
       .agg(min(struct(col("dist2"), col(idCol))).as("__k"))
       .select(col("bucket"), col("__k")(idCol).as("__keep_id"))
-    dist.join(broadcast(keep), Seq("bucket"))
+    dist.join(hinted(keep), Seq("bucket"))
       .withColumn("keep", col(idCol) === col("__keep_id"))
       .select(col(idCol), col("bucket"), col("n_members"), col("dist2"), col("keep"))
   }
+
+  /** Bucket-aggregate row bound below which `semanticDedup` pins broadcast
+    * joins; above it the (bucket, d)-keyed joins co-partition instead. */
+  val smallAggRowCap: Long = 1L << 20
 
   /** Embedding dispersion — the diversity metric semantic dedup exists to
     * raise: per group, the SUM of squared L2 distances over all ordered
@@ -288,8 +309,17 @@ object Similarity {
       .agg(sum(col("q") * col("q")).as("__sq"), sum(col("q")).as("__s"),
         count(lit(1)).as("__n"))
     byDim.groupBy(col(groupCol))
-      .agg(first(col("__n")).as("n"),
+      // the closed form assumes every vector in a group has the same width:
+      // each (group, dim) cell must then hold exactly n entries. A ragged
+      // group breaks the identity silently, so fail loudly instead of
+      // returning a wrong statistic (min==max over the per-dim counts is
+      // the uniformity proof, computed in the same pass — no extra job).
+      .agg(min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
         sum(col("__sq")).as("__a"), sum(col("__s") * col("__s")).as("__b"))
+      .withColumn("n", when(col("__nmin") === col("__nmax"), col("__nmin"))
+        .otherwise(raise_error(concat(
+          lit("embeddingDispersion: ragged vector widths in group "),
+          col(groupCol).cast("string")))))
       .select(col(groupCol), col("n"),
         (lit(2L) * col("n") * col("__a") - lit(2L) * col("__b"))
           .as("pair_dist2_sum"))

@@ -95,7 +95,14 @@ class FixtureSpec extends SparkSpec {
       "vec_id is not unique")
     assert(e.getLong(2) == 1L,
       "embedding width is not uniform across the fixture")
-    assert(e.getInt(3) > 0)
+    // q115's sign-RP planes are inlined as ±1 literals into its DuckDB
+    // oracle SQL (the q47 convention), which hardcodes dim = 64 in
+    // Queries9. If the driver ever regenerates embeddings at a different
+    // width, fail HERE loudly instead of silently bucketing on a 64-dim
+    // prefix — the same drift class the events loader got burned by.
+    assert(e.getInt(3) == 64,
+      s"embedding width ${e.getInt(3)} != 64 — q115/q47's inlined-plane " +
+        "oracle convention (Queries9/Queries4) must be re-derived")
   }
 
   test("fixture events sessionize into multiple sessions for some user") {

@@ -176,7 +176,7 @@ class Wave9Spec extends SparkSpec {
     assert(out.forall(r => again(r.getLong(0)) == r.getAs[Boolean]("keep")))
   }
 
-  test("semanticDedup plan: no pairwise join — only broadcast joins of bucket aggregates") {
+  test("semanticDedup plan: no pairwise join; broadcast pinned only under the static small bound") {
     val emb = graft.io.Tables.embeddings(spark, sfDir)
     val planes = graft.expr.VectorExprs.rademacherPlanes(8, 64, 42L)
     val p = graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding", planes, 8)
@@ -184,8 +184,23 @@ class Wave9Spec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"semantic dedup must never build a pairwise or shuffled join:\n$p")
+    // 2^8 buckets · 64 dims = 16k rows ≤ smallAggRowCap ⇒ hints pinned
     assert(p.contains("BroadcastHashJoin"),
-      s"bucket aggregates must come back as broadcasts:\n$p")
+      s"small bucket aggregates must come back as broadcasts:\n$p")
+    // past the cap (2^26 · 64 ≫ smallAggRowCap) the hints must vanish: a
+    // forced broadcast of a linear-in-n aggregate is a guaranteed driver
+    // OOM at deploy scale. The (bucket, d)-keyed joins co-partition
+    // instead (e and s derive from the same exploded frame), and AQE may
+    // still choose a runtime broadcast if the aggregate is actually tiny.
+    val planes26 = graft.expr.VectorExprs.rademacherPlanes(26, 64, 42L)
+    val big = graft.ops.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", planes26, 26)
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "bucket aggregates past the small bound must not carry broadcast hints")
+    val pb = big.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pb.contains("CartesianProduct"),
+      s"unhinted semantic dedup must still never go pairwise:\n$pb")
   }
 
   test("embeddingDispersion: closed form equals the brute-force pairwise sum") {
@@ -209,6 +224,22 @@ class Wave9Spec extends SparkSpec {
     val single = graft.ops.Similarity.embeddingDispersion(
       emb.limit(1), "label", "embedding").head()
     assert(single.getAs[Long]("n") == 1L && single.getAs[Long]("mean_dist2_e6") == 0L)
+  }
+
+  test("embeddingDispersion fails loudly on ragged vector widths") {
+    // the closed-form identity silently breaks if vectors in a group have
+    // different widths — the op must raise, not return a wrong statistic
+    val ragged = Seq(("g", Seq(1.0f, 2.0f)), ("g", Seq(1.0f)))
+      .toDF("label", "embedding")
+    val ex = intercept[Exception] {
+      graft.ops.Similarity.embeddingDispersion(ragged, "label", "embedding")
+        .collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("ragged vector widths"))),
+      s"expected the ragged-width raise, got: $ex")
   }
 
   test("q117 report composes q115 and q116 exactly; survivors = one per bucket") {
