@@ -232,14 +232,15 @@ object Queries9 {
     * Scale shape: ONE corpus scan and ONE span-tokenization pass. The
     * corpus is projected to (id, source, text, bigram spans) and
     * materialized as a lazy local checkpoint; the classifier (fused
-    * feature kernel, map-side), the repetition gate, and the DSIR scorer
-    * all branch off that checkpointed frame instead of each re-scanning +
-    * re-tokenizing `documents` — at corpus scale the tokenize-explode is
-    * the dominant cost and common-subtree reuse across aggregation
-    * branches is NOT something Catalyst does for free (branch exchanges
-    * differ, so each branch would re-run the scan). Downstream,
-    * the three doc-keyed aggregates co-partition on the id for their
-    * joins; the final rank is orderBy+limit (TakeOrderedAndProject —
+    * feature kernel, map-side), the repetition gate (fused
+    * RepetitionStats kernel — doc-local pure projection, zero exchanges),
+    * and the DSIR scorer all branch off that checkpointed frame instead
+    * of each re-scanning + re-tokenizing `documents` — at corpus scale
+    * the tokenize-explode is the dominant cost and common-subtree reuse
+    * across aggregation branches is NOT something Catalyst does for free
+    * (branch exchanges differ, so each branch would re-run the scan).
+    * Only DSIR consumes the span column. Downstream, the doc-keyed
+    * branches co-partition on the id for their joins; the final rank is orderBy+limit (TakeOrderedAndProject —
     * per-partition top-k heaps, no global sort) with the row_number window
     * running over ≤100 rows. Ranking on `weight_e6` (floor(w·1e6 + 0.5),
     * the oracle-canon rounding) with an id tiebreak keeps the cut
@@ -252,9 +253,12 @@ object Queries9 {
       .localCheckpoint(false)
     val cls = Classify.qualityLogitFused(base, "doc_id", "text", Seq("source"))
       .select(col("doc_id"), col("source"), col("logit_e6"), col("keep"))
-    val gate = graft.ops.Repetition.gateVerdicts(base, "doc_id", "text",
+    // the fused RepetitionStats kernel is doc-local (pure projection, no
+    // exchanges) and needs no spans — only DSIR actually consumes the
+    // span checkpoint; the aggregate spelling remains the oracle reference
+    val gate = graft.ops.Repetition.gateVerdictsFused(base, "doc_id", "text",
         maxDupLinePpm = 300000L, maxDupLineCharPpm = 200000L,
-        maxTopBigramPpm = 180000L, spansCol = Some("spans"))
+        maxTopBigramPpm = 180000L)
       .select(col("doc_id"), col("gate_pass"))
     val dsir = graft.ops.Dsir.importanceWeights(base, "doc_id", "text",
         isTarget = col("source") === "src0", spansCol = Some("spans"))
