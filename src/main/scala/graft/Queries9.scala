@@ -573,6 +573,58 @@ object Queries9 {
        |FROM gg ORDER BY phase""".stripMargin
   }
 
+  // ------------------------------------------------ cross-doc span dedup
+  /** Cross-document repeated-span dedup (Lee et al. 2022 suffix-array
+    * dedup, span-hash approximation): 8-token spans occurring in more than
+    * one document keep only their first corpus occurrence; covered tokens
+    * are cut and documents reassembled. See
+    * [[graft.ops.Dedup.crossDocSpanDedup]] — the span shuffle carries md5
+    * fingerprints, never span text. */
+  val q119CrossDocSpans: Q = (spark, dir) =>
+    Dedup.crossDocSpanDedup(Tables.documents(spark, dir), "doc_id", "text",
+        k = SpanK)
+      .orderBy("doc_id")
+
+  private val SpanK = 8
+
+  val q119Sql: String = {
+    val k = SpanK
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sp AS (SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i : i + ${k - 1}], ' ')) AS fp
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+       |        FROM t WHERE len(toks) >= $k)),
+       |ne AS (SELECT doc_id, pos, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+       |  FROM sp),
+       |nd AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY fp),
+       |cut AS (SELECT ne.doc_id, ne.pos FROM ne JOIN nd USING (fp)
+       |  WHERE nd.ndocs > 1 AND ne.rn > 1),
+       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, pos + unnest(generate_series(0, ${k - 1})) AS p
+       |    FROM cut)),
+       |tk0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+       |  FROM t),
+       |tk AS (SELECT doc_id, p, toks[p] AS tok FROM tk0),
+       |kept AS (SELECT tk.doc_id, tk.p, tk.tok
+       |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+       |  WHERE cov.doc_id IS NULL),
+       |ra AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS new_text
+       |  FROM kept GROUP BY doc_id),
+       |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT coalesce(ra.doc_id, rem.doc_id) AS doc_id,
+       |  (coalesce(ra.n_kept, 0) + coalesce(rem.n_removed, 0))::BIGINT AS n_tokens,
+       |  coalesce(ra.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(rem.n_removed, 0)::BIGINT AS n_removed,
+       |  coalesce(ra.new_text, '') AS new_text
+       |FROM ra FULL OUTER JOIN rem ON ra.doc_id = rem.doc_id
+       |ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q108_quality_classifier" -> q108QualityClassifier,
     "q109_group_cap" -> q109GroupCap,
@@ -584,7 +636,8 @@ object Queries9 {
     "q115_semantic_dedup" -> q115SemanticDedup,
     "q116_embedding_dispersion" -> q116EmbeddingDispersion,
     "q117_semantic_thinning_report" -> q117SemanticThinningReport,
-    "q118_filter_agreement" -> q118FilterAgreement)
+    "q118_filter_agreement" -> q118FilterAgreement,
+    "q119_crossdoc_span_dedup" -> q119CrossDocSpans)
 
   val oracle: Map[String, String] = Map(
     "q108_quality_classifier" -> q108Sql,
@@ -597,5 +650,6 @@ object Queries9 {
     "q115_semantic_dedup" -> q115Sql,
     "q116_embedding_dispersion" -> q116Sql,
     "q117_semantic_thinning_report" -> q117Sql,
-    "q118_filter_agreement" -> q118Sql)
+    "q118_filter_agreement" -> q118Sql,
+    "q119_crossdoc_span_dedup" -> q119Sql)
 }

@@ -173,4 +173,89 @@ object Dedup {
       .select(col(idCol), col("n_lines"), col("n_kept"),
         (col("n_lines") - col("n_kept")).as("n_removed"), col("new_text"))
   }
+
+  /** Cross-document repeated-span dedup — the suffix-array dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models Better":
+    * remove long token spans that repeat verbatim across documents),
+    * approximated scale-safe by span-HASH bucketing instead of a global
+    * suffix array: a k-token span (word n-gram, the
+    * [[graft.expr.TextExprs.wordSpans]] tokenization — split of
+    * lower(trim(text)) on `\s+`) is DUPLICATED when it occurs in more than
+    * one distinct document. Its first corpus occurrence — smallest
+    * (id, position), the [[paragraphDedupFirst]] min(struct) rule — is
+    * kept; every OTHER occurrence is cut, and a token is removed when ANY
+    * cut span occurrence covers its position. Documents are reassembled
+    * from surviving tokens in original order, space-joined (the output is
+    * the normalized token stream — tokenization-level dedup returns
+    * tokens, not original whitespace).
+    *
+    * Output per input row: the id, `n_tokens`, `n_kept`, `n_removed`,
+    * `new_text` ('' when nothing survives; sub-k documents pass through
+    * whole).
+    *
+    * Scale shape: spans collapse to md5 fingerprints BEFORE the first
+    * exchange, so the span-keyed shuffle carries 32-hex keys + positions —
+    * never k-token span text (at k = 50 that is a ~20× shuffle-width cut,
+    * and the reason the hash approximation beats a distributed suffix
+    * array at 100 TB). First occurrence + cross-doc test is one
+    * fingerprint-keyed hash aggregation (min(struct) + count(distinct id),
+    * O(1) buffer per distinct span — no window over a viral span's
+    * occurrence list); flagging is the probe side co-partitioned on the
+    * same fingerprint; coverage expands cut spans to ≤ k positions and
+    * distincts on (id, position); reassembly joins tokens once on
+    * (id, position) and aggregates per document — the only shuffle that
+    * carries token text, exactly once, same as [[paragraphDedupFirst]]'s
+    * line shuffle. The corpus is scanned twice (span side + token side);
+    * the span kernel runs twice (winner agg + probe), a CPU-for-IO trade
+    * consistent with paragraphDedupFirst — at 100 TB both scans prune to
+    * (id, text) and the fingerprint aggregation dominates. */
+  def crossDocSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "a span of fewer than 2 tokens is token-level dedup")
+    val toks = df.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    // span occurrences, fingerprinted in the same projection — span TEXT
+    // never reaches an exchange
+    val spans = df.select(col(idCol),
+        posexplode(graft.expr.TextExprs.wordSpans(col(textCol), k))
+          .as(Seq("pos0", "span")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        HashFns.md5Hex(col("span")).as("fp"))
+    val firstOcc = spans.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol), col("pos"))).as("first_occ"))
+      .filter(col("__nd") > 1L)
+      .select(col("fp"), col("first_occ"))
+    val cut = spans.join(firstOcc, Seq("fp"))
+      .filter(!(col(idCol) === col(s"first_occ.$idCol")
+        && col("pos") === col("first_occ.pos")))
+    val covered = cut
+      .select(col(idCol), explode(sequence(col("pos"),
+        col("pos") + lit(k.toLong - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered,
+      toks(idCol) === covered(idCol) && toks("pos") === covered("p"),
+      "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("new_text"))
+    // every covered position is exactly one removed token, so the token
+    // total reconstructs as n_kept + n_removed — no third corpus scan.
+    // full_outer: a fully-cut document appears only on the covered side,
+    // an untouched one only on the reassembled side; no document has zero
+    // tokens (split yields [''] at minimum), so no id is absent from both.
+    val removedCnt = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+    reassembled.join(removedCnt, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("n_kept"), lit(0L)) + coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
 }

@@ -70,7 +70,9 @@ object VerifyScaled {
       "q115_semantic_dedup" ->
         (() => graft.SparkEntry.queries("q115_semantic_dedup")(spark, sfDir)),
       "q117_semantic_thinning_report" ->
-        (() => graft.SparkEntry.queries("q117_semantic_thinning_report")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q117_semantic_thinning_report")(spark, sfDir)),
+      "q119_crossdoc_span_dedup" ->
+        (() => graft.SparkEntry.queries("q119_crossdoc_span_dedup")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -85,7 +87,9 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q113_selection_capstone"),
       "q115_semantic_dedup" -> graft.SparkEntry.oracleSql("q115_semantic_dedup"),
       "q117_semantic_thinning_report" ->
-        graft.SparkEntry.oracleSql("q117_semantic_thinning_report"))
+        graft.SparkEntry.oracleSql("q117_semantic_thinning_report"),
+      "q119_crossdoc_span_dedup" ->
+        graft.SparkEntry.oracleSql("q119_crossdoc_span_dedup"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
