@@ -12,9 +12,9 @@ import graft.streaming.Stream
   * chunking, sessionization, event windows, RAG composition, multimodal
   * plumbing, clustering. Same determinism rules as [[Queries]].
   *
-  * Queries without an oracle entry (KMeans — an MLlib fit is not
-  * expressible in DuckDB) get the driver's weaker rows-only check and are
-  * covered by invariant specs instead.
+  * Every query carries a DuckDB oracle — including q31, whose k-means is
+  * the integer-exact Lloyd's spelling (the MLlib estimator surface stays
+  * in graft.ops.Embed.kmeansLabels, invariant-tested).
   */
 object Queries2 {
 
@@ -373,11 +373,49 @@ object Queries2 {
       |FROM documents""".stripMargin
 
   // --------------------------------------------------------- O11 KMeans
-  /** Seeded KMeans cluster labels (MLlib — no SQL oracle; rows-only check
-    * plus invariant spec). */
+  /** Seeded k-means labels as an engine-exact integer Lloyd's iteration
+    * (k = 10, 4 assignment rounds, clusters initialized from the 10
+    * smallest vec_ids) — see [[graft.ops.Embed.lloydQuantized]]. The
+    * MLlib surface ([[graft.ops.Embed.kmeansLabels]]) remains the
+    * estimator form (invariant-tested in InvariantSpec); this spelling is
+    * the one a SQL oracle can mirror round for round, which gives the
+    * clustering family full hash coverage instead of a rows-only check. */
   val q31KMeans: Q = (spark, dir) =>
-    Embed.kmeansLabels(Tables.embeddings(spark, dir), "embedding", 10, 42L)
-      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"))
+    Embed.lloydQuantized(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 10, rounds = 4)
+      .orderBy("vec_id")
+
+  val q31Sql: String = {
+    val k = 10; val rounds = 4
+    // unrolled Lloyd's: one (assign, recenter) CTE pair per round, final
+    // assignment against the last centroids — byte-exact with the Spark
+    // plan because every quantity is integer arithmetic
+    def assignSql(cents: String): String =
+      s"""SELECT id, j, dist2 FROM (
+         |    SELECT id, j, dist2,
+         |      row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rk
+         |    FROM (SELECT p.id, c.j,
+         |            sum((p.q - c.c) * (p.q - c.c))::BIGINT AS dist2
+         |          FROM pts p JOIN $cents c USING (d) GROUP BY p.id, c.j))
+         |  WHERE rk = 1""".stripMargin
+    val roundsSql = (1 until rounds).map { r =>
+      s"""a$r AS (${assignSql(s"c${r - 1}")}),
+         |c$r AS (SELECT j, d, ((s - ((s % n) + n) % n) // n)::BIGINT AS c
+         |  FROM (SELECT a.j, p.d, sum(p.q)::BIGINT AS s, count(*)::BIGINT AS n
+         |        FROM pts p JOIN a$r a USING (id) GROUP BY a.j, p.d)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH pts AS (SELECT vec_id AS id, d,
+       |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS q
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)),
+       |c0 AS (SELECT s.j, p.d, p.q AS c
+       |  FROM (SELECT id, (row_number() OVER (ORDER BY id) - 1)::BIGINT AS j
+       |        FROM (SELECT vec_id AS id FROM embeddings
+       |              ORDER BY vec_id LIMIT $k)) s
+       |  JOIN pts p USING (id)),
+       |$roundsSql
+       |fin AS (${assignSql(s"c${rounds - 1}")})
+       |SELECT id AS vec_id, j AS cluster, dist2 FROM fin ORDER BY vec_id""".stripMargin
+  }
 
   /** Per-label centroids (IVF training step), fixed-format CSV. */
   val q32Centroids: Q = (spark, dir) =>
@@ -443,5 +481,6 @@ object Queries2 {
     "q28_sessionize" -> q28Sql,
     "q29_rag_context" -> q29Sql,
     "q30_multimodal" -> q30Sql,
+    "q31_kmeans" -> q31Sql,
     "q32_centroids" -> q32Sql)
 }

@@ -78,4 +78,67 @@ object Embed {
       .setFeaturesCol("__features").setPredictionCol(outCol)
     model.fit(featured).transform(featured).drop("__features")
   }
+
+  /** O11 centroid form, engine-exact: Lloyd's iteration (the k-means
+    * algorithm) over `floor(x·quantScale + 0.5)`-quantized integer
+    * components, a FIXED number of rounds, deterministic farthest-thing
+    * -free init (cluster j = the vector with the (j+1)-th smallest id).
+    * Every quantity is integer arithmetic — distances are Σ(q−c)² longs,
+    * new centroids are FLOOR-divided component means via the
+    * division-free positive-mod identity `(s − ((s mod n)+n) mod n) / n`
+    * (plain integer division truncates toward zero in Spark but floors in
+    * other engines; the identity makes the numerator exactly divisible so
+    * every engine agrees) — so labels and distances hash-check against any
+    * SQL engine, which MLlib's FP kmeans ([[kmeansLabels]]) never can.
+    * Argmin ties break toward the smaller cluster id.
+    *
+    * Scale shape per round: the k·dim centroid table broadcasts (k is
+    * user-fixed and small); assignment is a map-side join + one
+    * (id)-keyed aggregation; re-centering one (cluster, dim)-keyed
+    * aggregation. Work is n·dim·k per round — Lloyd's own cost — with
+    * nothing driver-side. The exploded points frame is localCheckpointed
+    * once so the `rounds + 1` passes re-read a materialized (id, d, q)
+    * table instead of re-running the scan + explode each round.
+    *
+    * A cluster that captures no points in a round drops out (standard
+    * empty-cluster behavior, mirrored identically by the oracle).
+    * Output: (id, `cluster`, `dist2`). */
+  def lloydQuantized(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int, quantScale: Double = 1000.0): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .withColumn("q", floor(col("v") * quantScale + 0.5).cast("long"))
+      .drop("v")
+      .localCheckpoint(false)
+    // init: clusters 0..k-1 from the k smallest ids (TakeOrderedAndProject
+    // + a window over exactly k rows)
+    val init = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .orderBy(col("__id")).limit(k)
+      .withColumn("j", (row_number().over(Window.orderBy(col("__id"))) - 1)
+        .cast("long"))
+      .select(col("j"), posexplode(col("__vec")).as(Seq("d", "v")))
+      .withColumn("c", floor(col("v") * quantScale + 0.5).cast("long"))
+      .drop("v")
+    def assign(cents: DataFrame): DataFrame = pts
+      .join(broadcast(cents), Seq("d"))
+      .groupBy(col("__id"), col("j"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("dist2"), col("j"))).as("__a"))
+      .select(col("__id"), col("__a.j").as("j"), col("__a.dist2").as("dist2"))
+    val lastCents = (1 until rounds).foldLeft(init) { (cents, _) =>
+      pts.join(assign(cents).drop("dist2"), Seq("__id"))
+        .groupBy(col("j"), col("d"))
+        .agg(sum(col("q")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("j"), col("d"),
+          // pmod is already the positive modulus; the subtraction makes
+          // the numerator exactly divisible, so the FP division is exact
+          ((col("__s") - pmod(col("__s"), col("__n"))) / col("__n"))
+            .cast("long").as("c"))
+    }
+    assign(lastCents).select(col("__id").as(idCol), col("j").as("cluster"),
+      col("dist2"))
+  }
 }

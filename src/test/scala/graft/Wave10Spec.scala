@@ -87,6 +87,33 @@ class Wave10Spec extends SparkSpec {
       "verdict must be rerun-stable")
   }
 
+  test("lloydQuantized: valid labels, non-trivial split, rerun-stable, hand-checkable") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    def run() = graft.ops.Embed
+      .lloydQuantized(emb, "vec_id", "embedding", k = 10, rounds = 4)
+    val out = run().collect()
+    assert(out.length == emb.count(), "every vector must get a label")
+    val clusters = out.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until 10L).toSet), s"labels out of range: $clusters")
+    assert(clusters.size >= 2, "degenerate clustering")
+    assert(out.forall(_.getLong(2) >= 0L), "squared distance cannot be negative")
+    val again = run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => again(r.getLong(0)) == r.getLong(1)),
+      "fixed-round integer Lloyd's must be rerun-stable")
+    // 1-round degenerate case on a hand corpus: two well-separated pairs,
+    // init = ids 1 and 2 (the two smallest), so 3 joins 1's cluster and 4
+    // joins 2's on the first assignment
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.1f, 0.0f)), (4L, Seq(10.0f, 9.9f))).toDF("vec_id", "embedding")
+    val t = graft.ops.Embed.lloydQuantized(tiny, "vec_id", "embedding",
+        k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t(1L) == ((0L, 0L)) && t(2L) == ((1L, 0L)))
+    assert(t(3L) == ((0L, 100L * 100L)), "0.1 quantizes to 100; dist2 = 100^2")
+    assert(t(4L) == ((1L, 100L * 100L)))
+  }
+
   test("crossDocSpanDedup plan: span shuffle carries fingerprints, never span text") {
     val docs = graft.io.Tables.documents(spark, sfDir)
     val p = Dedup.crossDocSpanDedup(docs, "doc_id", "text", k = 8)
