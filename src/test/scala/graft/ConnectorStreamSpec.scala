@@ -342,6 +342,70 @@ class ConnectorStreamSpec extends SparkSpec {
     assert(viaWindow == q28)
   }
 
+  test("streaming windowed-aggregate parity: tumbling (q27) and sliding (q35) over the micro-batch source equal their batch spellings") {
+    // completes the round-9 sessionization parity for the other two
+    // stateful shapes: the fixture's events replayed time-ordered through
+    // PagedStreamSource, aggregated by the SAME Stream.windowedTypeCounts /
+    // Stream.slidingTypeCounts code (withWatermark is a no-op in batch),
+    // AvailableNow-drained in append mode. A far-future sentinel in the
+    // last page pushes the watermark past every real window so append mode
+    // finalizes them during the drain.
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val ev = graft.io.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")) // in-order arrival: no late drops
+      .collect().toIndexedSeq
+    val maxTsMs = ev.map(_.getTimestamp(1).getTime).max
+    val sentinel = Row(-1L,
+      new java.sql.Timestamp(maxTsMs + 365L * 24 * 3600 * 1000), "__sentinel", 0.0)
+    val pages = ev :+ sentinel
+    val cfg = PagedConfig(pageSize = 500, maxPages = 500, limit = 100000,
+      requestDelayMillis = 0L)
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        pages.slice(page * 500, (page + 1) * 500)
+    }
+    val batchDf = spark.createDataFrame(
+      java.util.Arrays.asList(ev: _*), evSchema)
+    def drained(name: String,
+        agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[Seq[Any]] = {
+      PagedStreamSource.register(name, evSchema, client, cfg, sleep = _ => ())
+      val q = agg(spark.readStream
+          .format(classOf[PagedStreamProvider].getName)
+          .option("client", name).load())
+        .writeStream.format("memory").queryName(s"${name}_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      spark.table(s"${name}_out").filter(col("event_type") =!= "__sentinel")
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    }
+    // q27 shape: tumbling 1-hour per-type counts + exact value sums
+    val gotTumbling = drained("fx_win_tumbling",
+      graft.streaming.Stream.windowedTypeCounts(_, "ts", "event_type", "value"))
+    val wantTumbling = graft.streaming.Stream
+      .windowedTypeCounts(batchDf, "ts", "event_type", "value")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(wantTumbling.nonEmpty && gotTumbling == wantTumbling,
+      s"tumbling: streamed ${gotTumbling.size} rows vs batch ${wantTumbling.size}")
+    // q35 shape: sliding 1-hour/15-minute per-type counts (each event in 4
+    // windows — overlapping-state eviction is the thing tumbling can't test)
+    val gotSliding = drained("fx_win_sliding",
+      graft.streaming.Stream.slidingTypeCounts(_, "ts", "event_type",
+        "1 hour", "15 minutes"))
+    val wantSliding = graft.streaming.Stream
+      .slidingTypeCounts(batchDf, "ts", "event_type", "1 hour", "15 minutes")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(wantSliding.nonEmpty && gotSliding == wantSliding,
+      s"sliding: streamed ${gotSliding.size} rows vs batch ${wantSliding.size}")
+    assert(gotSliding.map(_(3).asInstanceOf[Long]).sum ==
+      4L * ev.size, "every event must land in exactly win/slide = 4 windows")
+  }
+
   test("streaming ingest parity: clean→join→topN over the micro-batch source equals the batch connector path") {
     // the q79-shaped ingest composition, run BOTH ways over the same paged
     // client: (a) PagedStreamSource micro-batches with the viability clean
