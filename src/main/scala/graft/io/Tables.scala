@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{concat, expr, lit, raise_error, timestamp_micros, when}
 
 /** Fixture/warehouse table loaders.
   *
@@ -49,27 +49,51 @@ object Tables {
     * footer declared. TimestampNTZ (tz-naive micros, isAdjustedToUTC=false)
     * casts value-identically because every graft session pins
     * session.timeZone=UTC; a raw INT64 column (no logical annotation) is
-    * treated as nanos, the only raw-long generation observed. */
+    * interpreted by MAGNITUDE, not assumption — nanos is the only raw-long
+    * generation observed, but a future raw micros/millis generation
+    * silently scaled 1000× wrong is exactly the failure class this loader
+    * exists to prevent, so anything below the epoch-nanos range fails
+    * loudly per row instead of guessing a divisor. */
   private def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case TimestampType    => df
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => df.withColumn("ts", rawLongTsToMicros)
       case other => throw new IllegalStateException(
         s"events fixture has unsupported ts type $other")
     }
   }
 
+  /** Raw INT64 → timestamp, with the magnitude plausibility gate: epoch
+    * NANOS for any plausible event date is ≥ ~1.5e18 while epoch micros
+    * tops out ~7e15 for this century — three orders of magnitude apart, so
+    * 1e17 separates them unambiguously. The branch is a codegen'd integer
+    * compare (no extra probe job); an implausible value raises with the
+    * offending long in the message. */
+  private def rawLongTsToMicros: org.apache.spark.sql.Column =
+    when(expr("ts") >= 100000000000000000L,
+      timestamp_micros(expr("ts div 1000")))
+      .otherwise(timestamp_micros(raise_error(concat(
+        lit("events.ts raw INT64 value "), expr("CAST(ts AS STRING)"),
+        lit(" is below the epoch-nanos range — a micros/millis raw " +
+          "generation needs an explicit divisor, refusing to guess")))
+        .cast(org.apache.spark.sql.types.LongType)))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    scala.util.Try(spark.read.parquet(path)) match {
-      case scala.util.Success(df) => normalizeEventsTs(df)
-      // inference rejected the footer: the TIMESTAMP(NANOS) generation
-      case scala.util.Failure(_) =>
+    // catch ONLY the schema-inference rejection (the TIMESTAMP(NANOS)
+    // generation, Spark 4's PARQUET_TYPE_ILLEGAL AnalysisException) — a
+    // missing file, corrupt footer, or I/O error must surface as itself,
+    // not be masked by a declared-schema reread with a nanos divisor
+    try normalizeEventsTs(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+            || e.getMessage.contains("Illegal Parquet type") =>
         spark.read.schema(eventsSchema).parquet(path)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", rawLongTsToMicros)
     }
   }
 
@@ -79,12 +103,16 @@ object Tables {
     * type-branching as the batch loader applies — the streaming path must
     * never re-hardcode one fixture generation's timestamp unit. */
   def eventsStream(spark: SparkSession, path: String): DataFrame =
-    scala.util.Try(spark.read.parquet(path).schema) match {
-      case scala.util.Success(sch) =>
-        normalizeEventsTs(spark.readStream.schema(sch).parquet(path))
-      case scala.util.Failure(_) =>
+    try normalizeEventsTs(
+      spark.readStream.schema(spark.read.parquet(path).schema).parquet(path))
+    catch {
+      // same narrow catch as the batch loader: only the nanos-generation
+      // inference rejection falls back to the declared INT64 schema
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+            || e.getMessage.contains("Illegal Parquet type") =>
         spark.readStream.schema(eventsSchema).parquet(path)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", rawLongTsToMicros)
     }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -41,7 +41,19 @@ object Dedup {
     * corpus and re-run the shingle kernel (Catalyst shares no subtrees
     * across join branches, and AQE's exchange reuse does not fire across
     * the differently-keyed shuffles), quadrupling the dominant
-    * tokenization cost. */
+    * tokenization cost.
+    *
+    * Checkpoint lifetime (applies to every lazy-localCheckpoint operator
+    * in this codebase — topVocab's counts, q98's wordCounts, q113's span
+    * base, lloydQuantized's points): the returned frame is LAZY, so the
+    * operator cannot unpersist after "the" consuming action — it never
+    * runs one, and the caller may run several. The blocks are freed when
+    * the plan's RDD is garbage-collected (Spark's ContextCleaner) or the
+    * session ends; a long-lived session hammering one operator in a loop
+    * can bound storage sooner by calling
+    * `df.queryExecution.toRdd` → action → `unpersist` itself. Per-query
+    * drivers (Verify/Bench, one session per run) never accumulate enough
+    * for this to matter. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")

@@ -70,6 +70,35 @@ class FixtureSpec extends SparkSpec {
       "raw-int64 fixture diverged from the micros generation")
   }
 
+  test("events loader surfaces a missing file as itself, not via the nanos fallback") {
+    // the declared-schema fallback must catch ONLY the TIMESTAMP(NANOS)
+    // inference rejection; a missing path has to raise its own error
+    // instead of being rethrown from a masked schema-probe reread
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.events(spark, "/nonexistent/graft_no_such_dir")
+    }
+    assert(!ex.getMessage.contains("Illegal Parquet type"))
+  }
+
+  test("raw INT64 ts below the nanos range fails loudly instead of guessing a divisor") {
+    // a future raw-int64 MICROS generation silently div-1000'd is the
+    // exact failure class the loader guards against — epoch micros
+    // (~1.7e15) sits three orders of magnitude under epoch nanos (~1.7e18)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_amb")
+    spark.range(1).selectExpr("id AS event_id",
+        "CAST(1700000000000000 AS BIGINT) AS ts", "id AS user_id",
+        "'t' AS event_type", "0.0 AS value", "'' AS props")
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val ex = intercept[Exception] {
+      Tables.events(spark, dir.toString).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("refusing to guess"))),
+      s"expected the magnitude-gate raise, got: $ex")
+  }
+
   test("documents and embeddings fixtures hold the loader contract") {
     // the same drift-guard idea for the other fixture-path loaders: pin
     // the physical invariants every query in the suite assumes
