@@ -380,7 +380,8 @@ object Queries2 {
   // --------------------------------------------------------- O11 KMeans
   /** Seeded k-means labels as an engine-exact integer Lloyd's iteration
     * (k = 10, 4 assignment rounds, clusters initialized from the 10
-    * smallest vec_ids) — see [[graft.ops.Embed.lloydQuantized]]. The
+    * vec_ids first in md5-hash order — a portable hash scatter both
+    * engines spell identically) — see [[graft.ops.Embed.lloydQuantized]]. The
     * MLlib surface ([[graft.ops.Embed.kmeansLabels]]) remains the
     * estimator form (invariant-tested in InvariantSpec); this spelling is
     * the one a SQL oracle can mirror round for round, which gives the
@@ -413,9 +414,10 @@ object Queries2 {
        |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS q
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)),
        |c0 AS (SELECT s.j, p.d, p.q AS c
-       |  FROM (SELECT id, (row_number() OVER (ORDER BY id) - 1)::BIGINT AS j
+       |  FROM (SELECT id,
+       |          (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)::BIGINT AS j
        |        FROM (SELECT vec_id AS id FROM embeddings
-       |              ORDER BY vec_id LIMIT $k)) s
+       |              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k)) s
        |  JOIN pts p USING (id)),
        |$roundsSql
        |fin AS (${assignSql(s"c${rounds - 1}")})

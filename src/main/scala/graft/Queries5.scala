@@ -194,8 +194,17 @@ object Queries5 {
     * 16-byte fingerprints shuffle — never document bodies — and the
     * anti-join is the streaming-friendly shape: history grows, the batch
     * side stays one increment. */
-  val q65IncrementalDedup: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir).withColumn("fp", md5(col("text")))
+  val q65IncrementalDedup: Q = (spark, dir) =>
+    incrementalDedupShape(
+      Tables.documents(spark, dir).withColumn("fp", md5(col("text"))))
+
+  /** The q65 dedup shape over a pre-fingerprinted `(doc_id, fp, lang,
+    * n_chars, …)` frame — factored out so the streaming parity test
+    * (ConnectorStreamSpec) can run the SAME batch code over an augmented
+    * corpus and compare it to the `Stream.dedupKeyed` replay: first
+    * arrival (history before increment, then ascending doc_id) wins in
+    * both spellings. */
+  private[graft] def incrementalDedupShape(d: DataFrame): DataFrame = {
     val hist = d.filter(col("doc_id") % 5 =!= 0).select(col("fp")).distinct()
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
     d.filter(col("doc_id") % 5 === 0)

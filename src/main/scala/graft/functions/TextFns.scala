@@ -64,13 +64,34 @@ object TextFns {
     when(length(c) === 0, lit(0.0)).otherwise(punct.cast("double") / length(c).cast("double"))
   }
 
+  /** THE corpus word-tokenization contract — every word-unit operator in
+    * the engine speaks this one dialect:
+    *
+    *   `split(lower(trim(text)), "\s+")`
+    *
+    * Semantics pinned by the spelling: `trim` is SPACE-only (tab/newline at
+    * the edges become a leading/trailing empty token, matching Java regex
+    * split), interior whitespace runs collapse to one boundary, and a blank
+    * document yields `[""]` — exactly one empty token. Callers that want
+    * "no tokens" filter it out ([[graft.ops.Vocab]]) or size-guard; others
+    * RELY on the `[""]` floor (e.g.
+    * [[graft.ops.Dedup.crossDocSpanDedup]]'s full_outer reassembly assumes
+    * no document has zero tokens). The fused span kernel
+    * ([[graft.expr.ShingleKernels.wordSpans]]) implements the same contract
+    * imperatively — its n=1 output IS this token stream, cross-checked in
+    * VocabSpec. DuckDB oracles mirror it as
+    * `string_split_regex(lower(trim(text)), '\s+')`. Consumers:
+    * [[stopwordRatio]], [[langHits]], Vocab/DSIR, Classify features,
+    * crossDocSpanDedup. */
+  def wordTokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
   /** English stopword ratio over whitespace tokens — quality-scoring signal. */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "this", "by", "at", "be", "are")
 
   def stopwordRatio(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+    val toks = wordTokens(c)
     val stops = filter(toks, t => t.isin(Stopwords: _*))
     when(length(trim(c)) === 0, lit(0.0))
       .otherwise(size(stops).cast("double") / size(toks).cast("double"))
@@ -138,7 +159,7 @@ object TextFns {
     * then pick with [[langPick]]: inlining them into the pick chain would
     * evaluate each count ~(n_langs − 1) times per row. */
   def langHits(c: Column): Seq[(String, Column)] = {
-    val toks = split(lower(trim(c)), "\\s+")
+    val toks = wordTokens(c)
     LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }

@@ -81,16 +81,16 @@ object Classify {
     * `digit_ppm`, `logit_e6`, `keep` (logit > 0).
     *
     * `toksCol` optionally names a PRE-TOKENIZED array column (the exact
-    * `split(lower(trim(text)), "\s+")` spelling) so a multi-stage plan that
-    * shares one materialized tokenization (q113) doesn't re-tokenize here;
-    * when absent the tokens are derived from `textCol` in-plan.
+    * [[graft.functions.TextFns.wordTokens]] spelling) so a multi-stage plan
+    * that shares one materialized tokenization (q113) doesn't re-tokenize
+    * here; when absent the tokens are derived from `textCol` in-plan.
     */
   def qualityLogit(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil,
       model: LinearModel = Distilled,
       toksCol: Option[String] = None): DataFrame = {
     val stops = TextFns.Stopwords
-    val tokArr = toksCol.map(col).getOrElse(split(lower(trim(col(textCol))), "\\s+"))
+    val tokArr = toksCol.map(col).getOrElse(TextFns.wordTokens(col(textCol)))
     val toks = df.select(
       (col(idCol) +: carryCols.map(col)) ++ Seq(
         length(col(textCol)).cast("long").as("n_chars"),

@@ -224,8 +224,11 @@ object Dedup {
   def crossDocSpanDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, "a span of fewer than 2 tokens is token-level dedup")
+    // token stream and span stream speak the SAME tokenization contract
+    // (TextFns.wordTokens == wordSpans at n=1, cross-checked in
+    // VocabSpec), so covered positions line up with span positions
     val toks = df.select(col(idCol),
-        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+        posexplode(graft.functions.TextFns.wordTokens(col(textCol)))
           .as(Seq("pos0", "tok")))
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
     // span occurrences, fingerprinted in the same projection — span TEXT

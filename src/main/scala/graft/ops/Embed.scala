@@ -81,8 +81,9 @@ object Embed {
 
   /** O11 centroid form, engine-exact: Lloyd's iteration (the k-means
     * algorithm) over `floor(x·quantScale + 0.5)`-quantized integer
-    * components, a FIXED number of rounds, deterministic farthest-thing
-    * -free init (cluster j = the vector with the (j+1)-th smallest id).
+    * components, a FIXED number of rounds, deterministic hash-scattered
+    * init (cluster j = the vector whose id sorts (j+1)-th by md5 of the
+    * id string — portable to any SQL engine, uncorrelated with id order).
     * Every quantity is integer arithmetic — distances are Σ(q−c)² longs,
     * new centroids are FLOOR-divided component means via the
     * division-free positive-mod identity `(s − ((s mod n)+n) mod n) / n`
@@ -112,11 +113,19 @@ object Embed {
       .withColumn("q", floor(col("v") * quantScale + 0.5).cast("long"))
       .drop("v")
       .localCheckpoint(false)
-    // init: clusters 0..k-1 from the k smallest ids (TakeOrderedAndProject
-    // + a window over exactly k rows)
+    // init: k seeds in portable-hash order of the id — md5 hex, which the
+    // DuckDB oracle mirrors verbatim (xxhash64 has no DuckDB equivalent).
+    // Hash-scatter keeps the determinism and oracle property of the former
+    // k-smallest-ids init while decorrelating seed choice from id
+    // assignment: low ids often cluster spatially (time-ordered ingest,
+    // per-source id blocks), and seeding all k centroids inside one such
+    // block degrades a fixed-round Lloyd's. Still TakeOrderedAndProject
+    // (per-partition top-k heaps on the hash key) + a window over k rows.
+    val seedOrd = Seq(md5(col("__id").cast("string").cast("binary")),
+      col("__id"))
     val init = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .orderBy(col("__id")).limit(k)
-      .withColumn("j", (row_number().over(Window.orderBy(col("__id"))) - 1)
+      .orderBy(seedOrd: _*).limit(k)
+      .withColumn("j", (row_number().over(Window.orderBy(seedOrd: _*)) - 1)
         .cast("long"))
       .select(col("j"), posexplode(col("__vec")).as(Seq("d", "v")))
       .withColumn("c", floor(col("v") * quantScale + 0.5).cast("long"))

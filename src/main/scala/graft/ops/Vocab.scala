@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
-  /** Lowercased whitespace tokens — the corpus-wide convention
-    * ([[graft.functions.TextFns.tokenCount]] counts the same units). */
-  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** Lowercased whitespace tokens — the corpus-wide convention, delegated
+    * to the single tokenization contract
+    * ([[graft.functions.TextFns.wordTokens]]). */
+  private def toks(c: Column): Column = graft.functions.TextFns.wordTokens(c)
 
   /** Positional n-gram spans, HOF reference spelling — the form the DuckDB
     * oracles mirror; the operators run the fused codegen kernel

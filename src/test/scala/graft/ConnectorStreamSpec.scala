@@ -406,6 +406,124 @@ class ConnectorStreamSpec extends SparkSpec {
       4L * ev.size, "every event must land in exactly win/slide = 4 windows")
   }
 
+  test("streaming dedup parity: q65's incremental dedup replayed as dropDuplicatesWithinWatermark state equals the batch spelling") {
+    // the last stateful shape parity didn't cover: DEDUP state (keys, not
+    // windows). The q65 corpus — history (doc_id % 5 != 0) then the
+    // increment (% 5 == 0), ascending doc_id — replays through
+    // PagedStreamSource under the DEFAULT trigger (one page per trigger,
+    // so cross-page ordering is real micro-batch ordering; AvailableNow
+    // would pre-drain everything into one batch and erase arrival order).
+    // Stream.dedupKeyed keeps the first arrival per fingerprint, which is
+    // exactly the batch spelling's winner (history fps shadow the
+    // increment; min doc_id wins inside the increment). Within ONE
+    // micro-batch dropDuplicates keeps an arbitrary group member, so the
+    // paginator defers same-fp rows to later pages — preserving their
+    // relative order, hence the winner.
+    val dedupSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fp", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType),
+      StructField("ts", TimestampType)))
+    val base = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .collect().toIndexedSeq
+    // the sf0.001 fixture has zero duplicate texts, so plant the dedup
+    // work: 6 increment twins of history docs (must be shadowed) and 3
+    // increment-internal duplicate pairs (min doc_id must win)
+    val maxId = base.map(_.getLong(0)).max
+    def inc(i: Long): Long = (maxId / 5 + 1 + i) * 5
+    val histRows = base.filter(_.getLong(0) % 5 != 0).sortBy(_.getLong(0))
+    val twins = histRows.take(6).zipWithIndex.map { case (r, i) =>
+      Row(inc(i.toLong), r.getString(1), r.getString(2), r.getLong(3), null)
+    }
+    val pairs = (0 until 3).flatMap { j =>
+      Seq(Row(inc(10L + 2 * j), s"dupfp$j", "en", 40L, null),
+        Row(inc(11L + 2 * j), s"dupfp$j", "en", 41L, null))
+    }
+    val incRows = (base.filter(_.getLong(0) % 5 == 0)
+        .map(r => Row(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), null))
+      ++ twins ++ pairs).sortBy(_.getLong(0))
+    val arrival = histRows
+      .map(r => Row(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), null))
+      .toVector ++ incRows
+    // paginate ≤100 rows/page, never two rows with the same fp in a page
+    val pages = {
+      val out = Vector.newBuilder[Vector[Row]]
+      var pending = arrival
+      while (pending.nonEmpty) {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val (page, defer) = pending.partition { r =>
+          seen.size < 100 && seen.add(r.getString(1))
+        }
+        out += page.take(100) // partition admits ≤100 by the seen gate
+        pending = defer
+      }
+      out.result()
+    }
+    // monotone event time in FINAL arrival order; 1 s apart, so the whole
+    // corpus sits far inside the 30-day dedup watermark (no mid-test
+    // eviction) — then a 90-day jump page and a re-sent history fp prove
+    // the state DOES evict (bounded state, the 100 TB requirement)
+    val baseMs = 1735689600000L // 2025-01-01
+    val stamped = pages.zipWithIndex.map { case (p, pi) =>
+      p.zipWithIndex.map { case (r, ri) =>
+        Row(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          new java.sql.Timestamp(baseMs + (pi * 1000L + ri) * 1000L))
+      }
+    }
+    val jumpMs = baseMs + 90L * 24 * 3600 * 1000
+    val evictedFp = histRows.head.getString(1)
+    // the fp is re-sent in TWO post-jump batches: state cleanup runs at
+    // the END of a batch (after its rows were checked against state), so
+    // the first re-send may still hit the stale entry — but then that
+    // batch's cleanup evicts it and the second re-send must be emitted.
+    // Exactly one of the two re-sends survives either way: output count 2
+    // proves eviction, count 1 would mean state never expires.
+    val allPages = stamped ++ Vector(
+      Vector(Row(-2L, "__advance", "zz", 0L, new java.sql.Timestamp(jumpMs))),
+      Vector(Row(-1L, evictedFp, "zz", 0L, new java.sql.Timestamp(jumpMs + 1000L))),
+      Vector(Row(-1L, evictedFp, "zz", 0L, new java.sql.Timestamp(jumpMs + 2000L))))
+    // pageSize = 1 so a short page never ends the listing (any non-empty
+    // page counts as "full"); termination is the first empty page
+    val cfg = PagedConfig(pageSize = 1, maxPages = 10000, limit = 100000,
+      requestDelayMillis = 0L)
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        if (page < allPages.size) allPages(page) else Nil
+    }
+    PagedStreamSource.register("fx_dedup", dedupSchema, client, cfg, sleep = _ => ())
+    val q = graft.streaming.Stream.dedupKeyed(
+        spark.readStream.format(classOf[PagedStreamProvider].getName)
+          .option("client", "fx_dedup").load(),
+        Seq("fp"), "ts", watermark = "720 hours")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "fp", "lang", "n_chars")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val batchDf = spark.createDataFrame(
+      java.util.Arrays.asList(arrival: _*), dedupSchema).drop("ts")
+    val want = graft.Queries5.incrementalDedupShape(batchDf)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(want.nonEmpty && got == want,
+      s"streamed ${got.size} survivors vs batch ${want.size}")
+    // the planted work actually happened: twins shadowed, pairs halved
+    val gotFps = got.map(_(1)).toSet
+    assert(twins.forall(t => !gotFps.contains(t.getString(1))),
+      "an increment twin of a history doc must be shadowed by dedup state")
+    assert((0 until 3).forall(j => got.count(_(1) == s"dupfp$j") == 1),
+      "each increment-internal duplicate pair must keep exactly one row")
+    assert((0 until 3).forall(j =>
+      got.find(_(1) == s"dupfp$j").get.head == inc(10L + 2 * j)),
+      "the min-doc_id member of each pair must be the survivor")
+    // eviction: after the watermark passed the original arrival, the same
+    // fp is re-admitted — dedup state is bounded by the watermark, not
+    // the corpus
+    assert(spark.table("dedup_out").filter(col("fp") === evictedFp).count() == 2L,
+      "a key older than the watermark must be evicted and re-emitted")
+  }
+
   test("streaming ingest parity: clean→join→topN over the micro-batch source equals the batch connector path") {
     // the q79-shaped ingest composition, run BOTH ways over the same paged
     // client: (a) PagedStreamSource micro-batches with the viability clean

@@ -111,6 +111,25 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("wordTokens contract: the declarative token stream IS wordSpans at n=1") {
+    // the single corpus tokenization contract (TextFns.wordTokens) and the
+    // fused span kernel must agree token-for-token — crossDocSpanDedup
+    // aligns positions between the two streams, so any divergence (empty
+    // tokens, trim dialect, whitespace class) silently misaligns dedup
+    val texts = Seq(
+      "", "   ", "\t\n  ", "a b c d", "A  B\tC   d E f",
+      "\tx a b c d e", "m m m m m m", "one  two\nthree\tfour",
+      "Trailing space ", " café Ünïcode 中文 token")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select($"id",
+      graft.functions.TextFns.wordTokens($"text").as("contract"),
+      graft.expr.TextExprs.wordSpans($"text", 1).as("kernel"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, c, k) =>
+      assert(c == k, s"id=$id contract=$c kernel=$k")
+    }
+  }
+
   test("wordSpans participates in whole-stage codegen") {
     val plan = graft.io.Tables.documents(spark, sfDir)
       .select(graft.expr.TextExprs.wordSpans($"text", 5))

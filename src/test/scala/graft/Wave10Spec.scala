@@ -100,18 +100,20 @@ class Wave10Spec extends SparkSpec {
     val again = run().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.forall(r => again(r.getLong(0)) == r.getLong(1)),
       "fixed-round integer Lloyd's must be rerun-stable")
-    // 1-round degenerate case on a hand corpus: two well-separated pairs,
-    // init = ids 1 and 2 (the two smallest), so 3 joins 1's cluster and 4
-    // joins 2's on the first assignment
+    // 1-round degenerate case on a hand corpus: two well-separated pairs.
+    // Seeds come in md5-hash order of the id string:
+    //   md5("4")=a87f… < md5("1")=c4ca… < md5("2")=c81e… < md5("3")=eccb…
+    // so k=2 seeds are id 4 (j=0) and id 1 (j=1); 2 joins 4's cluster and
+    // 3 joins 1's on the first assignment
     val tiny = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
       (3L, Seq(0.1f, 0.0f)), (4L, Seq(10.0f, 9.9f))).toDF("vec_id", "embedding")
     val t = graft.ops.Embed.lloydQuantized(tiny, "vec_id", "embedding",
         k = 2, rounds = 1)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(t(1L) == ((0L, 0L)) && t(2L) == ((1L, 0L)))
-    assert(t(3L) == ((0L, 100L * 100L)), "0.1 quantizes to 100; dist2 = 100^2")
-    assert(t(4L) == ((1L, 100L * 100L)))
+    assert(t(4L) == ((0L, 0L)) && t(1L) == ((1L, 0L)))
+    assert(t(2L) == ((0L, 100L * 100L)), "9.9 vs 10.0 quantizes to a 100 gap")
+    assert(t(3L) == ((1L, 100L * 100L)), "0.1 quantizes to 100; dist2 = 100^2")
   }
 
   test("crossDocSpanDedup plan: span shuffle carries fingerprints, never span text") {
