@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Bpe
+
+/** Tenth query wave: tokenizer TRAINING — distributed BPE merge learning
+  * over the documents corpus (q120) and the corpus-side segmentation /
+  * compression report under the learned merges (q121). Both integer-exact:
+  * the oracle unrolls the merge rounds as CTE chains (the q31 Lloyd's
+  * technique), so labels, counts and the learned merge table itself
+  * hash-compare bit for bit against DuckDB.
+  */
+object Queries10 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Rounds = 6
+
+  // ------------------------------------------------- BPE merge learning
+  /** The learned merge table: `Rounds` rounds of (most frequent adjacent
+    * symbol pair → merge), ties to the binary-smallest (l, r). See
+    * [[graft.ops.Bpe.learn]] for the scale shape (one corpus shuffle, then
+    * vocab-only rounds). */
+  val q120BpeMerges: Q = (spark, dir) =>
+    Bpe.learn(Tables.documents(spark, dir), "text", Rounds)._1
+      .orderBy("merge_round")
+
+  /** One round of the oracle's merge chain: pair counts over `w$prev`,
+    * 1-row winner `m$k`, gaps-and-islands greedy application → `w$k`.
+    * Candidate runs (overlap) only exist when l == r; `rn % 2 = 1` keeps
+    * the 1st/3rd/5th… of each run — greedy left-to-right, exactly the
+    * fused kernel's scan. */
+  private def roundSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""s$k AS MATERIALIZED (SELECT w, cnt, string_split(sym, ' ') AS syms FROM $prev),
+       |c$k AS MATERIALIZED (SELECT syms[i] AS l, syms[i + 1] AS r,
+       |    sum(cnt)::BIGINT AS pair_cnt
+       |  FROM s$k, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+       |  GROUP BY 1, 2),
+       |m$k AS MATERIALIZED (SELECT l, r, pair_cnt FROM c$k
+       |  ORDER BY pair_cnt DESC, l, r LIMIT 1),
+       |p$k AS MATERIALIZED (SELECT w, cnt, syms, i, syms[i] AS s
+       |  FROM s$k, unnest(generate_series(1, len(syms))) AS g(i)),
+       |d$k AS MATERIALIZED (SELECT p.w, p.i FROM p$k p, m$k m
+       |  WHERE p.i < len(p.syms) AND p.s = m.l AND p.syms[p.i + 1] = m.r),
+       |i$k AS MATERIALIZED (SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |  FROM (SELECT w, i,
+       |          i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+       |        FROM d$k)),
+       |ch$k AS MATERIALIZED (SELECT w, i FROM i$k WHERE rn % 2 = 1),
+       |w$k AS MATERIALIZED (SELECT q.w, max(q.cnt) AS cnt,
+       |    string_agg(q.o, ' ' ORDER BY q.i) AS sym
+       |  FROM (SELECT p.w, p.cnt, p.i,
+       |          CASE WHEN c1.i IS NOT NULL THEN (SELECT l || r FROM m$k)
+       |               ELSE p.s END AS o
+       |        FROM p$k p
+       |        LEFT JOIN ch$k c1 ON c1.w = p.w AND c1.i = p.i
+       |        LEFT JOIN ch$k c2 ON c2.w = p.w AND c2.i = p.i - 1
+       |        WHERE c2.i IS NULL) q
+       |  GROUP BY q.w)""".stripMargin
+  }
+
+  /** Shared training prefix: word counts (the wordTokens contract, blanks
+    * dropped) → per-code-point initial symbols + `</w>` → `Rounds`
+    * unrolled merge rounds. */
+  private def trainCtes: String = {
+    val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
+    s"""wc AS MATERIALIZED (SELECT tok AS w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, cnt
+       |  FROM wc),
+       |$rounds""".stripMargin
+  }
+
+  val q120Sql: String = {
+    val union = (1 to Rounds)
+      .map(k => s"SELECT $k::BIGINT AS merge_round, l AS left_sym, " +
+        s"r AS right_sym, pair_cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $trainCtes
+       |$union
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  // ------------------------------------------- BPE compression report
+  /** Per-document symbol totals before/after the learned merges and the
+    * integer compression ratio — the report a tokenizer budget review
+    * reads. The corpus is segmented by JOINING the token stream to the
+    * trained vocab's final segmentations (see
+    * [[graft.ops.Bpe.compressionStats]]), never by re-running merges per
+    * token. */
+  val q121BpeCompression: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    Bpe.compressionStats(docs, "doc_id", "text",
+        Bpe.learn(docs, "text", Rounds)._2)
+      .orderBy("doc_id")
+  }
+
+  val q121Sql: String =
+    s"""WITH $trainCtes,
+       |tk AS MATERIALIZED (SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |cost AS MATERIALIZED (SELECT w, (length(w) + 1)::BIGINT AS n_before,
+       |    len(string_split(sym, ' '))::BIGINT AS n_after
+       |  FROM w$Rounds),
+       |a AS MATERIALIZED (SELECT t.doc_id, sum(c.n_before)::BIGINT AS n_sym_before,
+       |    sum(c.n_after)::BIGINT AS n_sym_after
+       |  FROM tk t JOIN cost c USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_sym_before, 0)::BIGINT AS n_sym_before,
+       |  coalesce(a.n_sym_after, 0)::BIGINT AS n_sym_after,
+       |  CASE WHEN coalesce(a.n_sym_before, 0) = 0 THEN 0
+       |       ELSE a.n_sym_after * 1000000 // a.n_sym_before
+       |  END::BIGINT AS compression_ppm
+       |FROM documents d LEFT JOIN a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q120_bpe_merges" -> q120BpeMerges,
+    "q121_bpe_compression" -> q121BpeCompression)
+
+  val oracle: Map[String, String] = Map(
+    "q120_bpe_merges" -> q120Sql,
+    "q121_bpe_compression" -> q121Sql)
+}

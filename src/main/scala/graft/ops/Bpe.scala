@@ -1,0 +1,180 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.BpeExprs
+
+/** Distributed BPE (byte-pair-encoding) merge learning — the tokenizer
+  * TRAINING workload (Sennrich et al. 2016), the missing sibling of the
+  * tokenizer-design family ([[Vocab]] reads the budget off a trained
+  * tokenizer; this trains one). The reference stops at cleaned text
+  * (PLATFORM-contextual-Chunking.py builds chunks straight from it); a
+  * 100 TB pretraining flow trains its tokenizer ON that corpus, and the
+  * training loop is the canonical map-side-combine workload.
+  *
+  * Scale shape — the whole point of the algorithm's structure:
+  *  1. ONE corpus-wide shuffle builds the word-frequency table
+  *     ([[Vocab.wordCounts]] — |vocab| rows, tiny next to the corpus).
+  *  2. Every merge round then runs on the VOCAB frame only: pair counting
+  *     is one map-side-combined aggregation over exploded symbol pairs,
+  *     the winning pair is a `TakeOrderedAndProject` (1 row), and the
+  *     merge application is a map-only pass (1-row broadcast join + the
+  *     codegen'd [[graft.expr.BpeKernels.mergePair]] kernel). The corpus
+  *     is never touched again — rounds cost O(|vocab| · avg word length),
+  *     not O(corpus).
+  *  3. Applying the learned merges to the corpus ([[compressionStats]])
+  *     goes back through the vocab: per-word final segmentations join onto
+  *     the token stream (plain equi-join, no hint — AQE broadcasts while
+  *     the vocab fits and falls back to a co-partitioned join at the 10M+
+  *     type counts where a forced broadcast would be the round-9
+  *     semanticDedup mistake), so the per-document cost is a join + sum,
+  *     never a per-token merge loop.
+  *
+  * Determinism: counts are integer, the winner tiebreaks on
+  * (pair_cnt DESC, l ASC, r ASC) — binary string order in both engines —
+  * and merge application is greedy left-to-right non-overlapping (in an
+  * overlap run, possible only when l == r, the 1st/3rd/5th… occurrence
+  * merges), so every round is bit-reproducible against the DuckDB oracle.
+  *
+  * Representation: a word's segmentation is a SPACE-delimited symbol
+  * string — initial form `"h e l l o </w>"` (per-code-point split + the
+  * standard end-of-word marker). Symbols are space-free by construction
+  * (words come from the whitespace tokenizer,
+  * [[graft.functions.TextFns.wordTokens]]), so the encoding is
+  * unambiguous and both engines can split it back with a plain `' '`.
+  */
+object Bpe {
+
+  /** Initial symbol string of a word: every code point space-separated,
+    * plus the `</w>` end-of-word marker. The oracle mirrors it as
+    * `regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'`. */
+  private[graft] def initialSym(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+
+  /** Weighted adjacent-pair counts over a `(w, sym, cnt)` vocab frame:
+    * explode positions 1..|syms|−1, sum word counts per (l, r). One
+    * map-side-combined aggregation; the guard keeps fully-merged
+    * single-symbol words out (Spark `sequence(1, 0)` would DESCEND). */
+  private[graft] def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(col("sym"), " ")
+    words
+      .filter(size(syms) >= 2)
+      .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+  }
+
+  /** Learn `rounds` BPE merges from the corpus' text column.
+    *
+    * Returns `(merges, words)`: the merge table
+    * `(merge_round, left_sym, right_sym, pair_cnt)` — ≤ rounds rows, in
+    * learning order — and the final vocab frame `(w, sym, cnt)` carrying
+    * each word's segmentation under all learned merges (the artifact
+    * [[compressionStats]] applies to the corpus).
+    *
+    * Each round localCheckpoints the 1-row winner (used twice: output row
+    * + apply join) and the rewritten vocab (used twice next round: pair
+    * count + apply), keeping the per-round plan flat instead of
+    * re-deriving all previous rounds per action — the
+    * [[Components.connectedComponents]] iteration discipline. A corpus
+    * that runs out of distinct pairs before `rounds` stops early (the
+    * 1-row `isEmpty` probe on an already-materialized frame is the loop's
+    * only driver-side check). */
+  def learn(df: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    require(rounds >= 1, "learning zero merges is Vocab.wordCounts")
+    val wc = Vocab.wordCounts(df, textCol)
+    var words = wc.select(col("word").as("w"), initialSym(col("word")).as("sym"),
+        col("cnt"))
+      .localCheckpoint(false)
+    val merges = ArrayBuffer.empty[DataFrame]
+    var rnd = 1
+    var exhausted = false
+    while (rnd <= rounds && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .select(lit(rnd.toLong).as("merge_round"), col("l").as("left_sym"),
+          col("r").as("right_sym"), col("pair_cnt"))
+        .localCheckpoint(false)
+      if (top.isEmpty) {
+        exhausted = true
+      } else {
+        merges += top
+        // 1-row side: a STATICALLY bounded broadcast (unlike a vocab- or
+        // bucket-sized frame, which must never carry a static hint)
+        words = words.crossJoin(broadcast(top.select(col("left_sym"),
+            col("right_sym"))))
+          .select(col("w"),
+            BpeExprs.bpeMergePair(col("sym"), col("left_sym"),
+              col("right_sym")).as("sym"),
+            col("cnt"))
+          .localCheckpoint(false)
+        rnd += 1
+      }
+    }
+    (merges.reduce(_ unionByName _), words)
+  }
+
+  /** Corpus-side segmentation report under a trained vocab frame
+    * ([[learn]]'s second result): per document, total initial symbols
+    * (chars + one `</w>` per token), total symbols after all merges, and
+    * `compression_ppm = n_after · 1e6 div n_before` (integer division,
+    * engine-exact; 0 for empty documents). Per-document cost is one
+    * equi-join (hint-free — see the object note) and one sum; documents
+    * whose every token vanished under the blank filter come back with
+    * zeros via the left join. */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String,
+      finalWords: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(graft.functions.TextFns.wordTokens(col(textCol)),
+        t => t =!= "")).as("w"))
+    val wordCost = finalWords.select(col("w"),
+      (length(col("w")) + 1).cast("long").as("n_before"),
+      size(split(col("sym"), " ")).cast("long").as("n_after"))
+    val agg = toks.join(wordCost, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_before")).as("n_sym_before"),
+        sum(col("n_after")).as("n_sym_after"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sym_before"), lit(0L)).as("n_sym_before"),
+        coalesce(col("n_sym_after"), lit(0L)).as("n_sym_after"))
+      .withColumn("compression_ppm",
+        when(col("n_sym_before") === 0L, lit(0L))
+          .otherwise(expr("n_sym_after * 1000000L div n_sym_before")))
+  }
+
+  /** Declarative reference spelling of ONE merge application — the
+    * gaps-and-islands form the DuckDB oracle mirrors, kept as the
+    * spec-tested contract for the fused kernel
+    * ([[graft.expr.BpeKernels.mergePair]]), the wordSpans precedent.
+    * Greedy-left-to-right-non-overlapping == "in each maximal run of
+    * candidate positions, merge the 1st, 3rd, 5th…"; this fold spells it
+    * as a per-symbol state machine instead (skip flag), which is the same
+    * selection. Interpreted HOF — reference/spec use only. */
+  private[graft] def mergePairReference(sym: Column, l: Column,
+      r: Column): Column = {
+    val syms = split(sym, " ")
+    aggregate(
+      sequence(lit(1), size(syms)),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val cur = element_at(syms, i)
+        val nxt = try_element_at(syms, i + 1)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(cur === l && nxt === r,
+            struct(concat(acc.getField("out"), array(concat(cur, nxt)))
+              .as("out"), lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => array_join(acc.getField("out"), " "))
+  }
+}

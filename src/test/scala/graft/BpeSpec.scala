@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** Distributed BPE merge learning (q120/q121): kernel-vs-reference merge
+  * application, the classic hand-checkable corpus, and fixture invariants. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePair kernel is identical to the gaps-and-islands reference fold") {
+    // overlap runs (l == r), odd runs, match at start/end, multi-char
+    // symbols, no match, single symbol
+    val cases = Seq(
+      ("a a a a </w>", "a", "a"),
+      ("a a a </w>", "a", "a"),
+      ("a b a b </w>", "a", "b"),
+      ("x y z </w>", "y", "z"),
+      ("x y z </w>", "z", "</w>"),
+      ("es t es t </w>", "es", "t"),
+      ("q </w>", "q", "</w>"),
+      ("hello</w>", "x", "y"),
+      ("m n </w>", "n", "m"))
+    val df = cases.zipWithIndex
+      .map { case ((s, l, r), i) => (i.toLong, s, l, r) }
+      .toDF("id", "sym", "l", "r")
+    val both = df.select($"id",
+        graft.expr.BpeExprs.bpeMergePair($"sym", $"l", $"r").as("kernel"),
+        Bpe.mergePairReference($"sym", $"l", $"r").as("ref"))
+      .as[(Long, String, String)].collect()
+    both.foreach { case (id, k, ref) =>
+      assert(k == ref, s"case $id: kernel=$k ref=$ref")
+    }
+    // and the canonical greedy expectations, by hand
+    val byId = both.map(b => b._1 -> b._2).toMap
+    assert(byId(0L) == "aa aa </w>", "run of 3 candidates merges 1st and 3rd")
+    assert(byId(1L) == "aa a </w>", "odd run leaves the unpaired tail")
+    assert(byId(2L) == "ab ab </w>")
+    assert(byId(7L) == "hello</w>", "fully merged word passes through")
+  }
+
+  test("learn matches the Sennrich corpus by hand: merges, order, tiebreaks") {
+    // the classic example: low x5, lower x2, newest x6, widest x3.
+    // Round-1 pair counts tie at 9 for (e,s),(s,t),(t,</w>) — the binary
+    // tiebreak must pick (e,s); round 6 ties at 6 for (n,e),(e,w),
+    // (w,est</w>) — must pick (e,w).
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val (merges, words) = Bpe.learn(df, "text", rounds = 6)
+    val got = merges.orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L), (5L, "lo", "w", 7L), (6L, "e", "w", 6L)))
+    val sym = words.as[(String, String, Long)].collect()
+      .map(w => w._1 -> w._2).toMap
+    assert(sym("low") == "low </w>")
+    assert(sym("lower") == "low e r </w>")
+    assert(sym("newest") == "n ew est</w>")
+    assert(sym("widest") == "w i d est</w>")
+    // q121 arithmetic on the same corpus: before 95 symbols, after 48
+    val stats = Bpe.compressionStats(df, "doc_id", "text", words)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(stats == ((1L, 95L, 48L, 48L * 1000000L / 95L)))
+  }
+
+  test("learn stops early when the corpus runs out of pairs") {
+    // two single-char words: round 1 merges (a,</w>) or (b,</w>) by count,
+    // rounds beyond exhaustion must not emit rows or corrupt the vocab
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val (merges, words) = Bpe.learn(df, "text", rounds = 10)
+    val got = merges.orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "</w>", 3L), (2L, "b", "</w>", 1L)),
+      s"got $got")
+    val sym = words.as[(String, String, Long)].collect()
+      .map(w => w._1 -> w._2).toMap
+    assert(sym == Map("a" -> "a</w>", "b" -> "b</w>"))
+  }
+
+  test("q120/q121 fixture invariants: 6 rounds, non-increasing counts, exact totals") {
+    val merges = SparkEntry.queries("q120_bpe_merges")(spark, sfDir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges.map(_._1) == (1L to 6L), "exactly rounds 1..6")
+    assert(merges.map(_._4) == merges.map(_._4).sorted.reverse,
+      "a later merge can never beat an earlier round's winning count")
+    assert(merges.map(m => (m._2, m._3)).distinct.size == 6,
+      "the same pair cannot be learned twice")
+    val stats = SparkEntry.queries("q121_bpe_compression")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.length ==
+      graft.io.Tables.documents(spark, sfDir).count().toInt)
+    assert(stats.forall(s => s._3 <= s._2),
+      "merging can only shrink the symbol count")
+    assert(stats.forall(s => s._2 == 0 || (s._4 > 0 && s._4 <= 1000000L)),
+      "compression ppm must be in (0, 1e6] for non-empty docs")
+  }
+
+  test("the merge kernel participates in whole-stage codegen") {
+    val plan = graft.io.Tables.documents(spark, sfDir)
+      .select(graft.expr.BpeExprs.bpeMergePair(
+        Bpe.initialSym(lower($"text")), lit("e"), lit("s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"BPE kernel fell out of codegen:\n$plan")
+  }
+}
