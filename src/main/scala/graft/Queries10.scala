@@ -121,11 +121,91 @@ object Queries10 {
        |FROM documents d LEFT JOIN a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------- ANN recall audit
+  /** Recall@10 of the IVF route (nprobe 3 of 10 label cells) against exact
+    * brute force, per query of a bounded sample (every 100th vec_id) — the
+    * governance artifact an approximate index ships with. See
+    * [[graft.ops.Similarity.ivfRecallAudit]]. */
+  val q122IvfRecall: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") % 100 === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    graft.ops.Similarity.ivfRecallAudit(e, "vec_id", "embedding", "label",
+        queries, "q_id", "qvec", nprobe = 3, k = 10)
+      .orderBy("q_id")
+  }
+
+  val q122Sql: String = Queries2.CentroidSqlCte +
+    """,
+      |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM a GROUP BY label),
+      |qs AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+      |  WHERE vec_id % 100 = 7),
+      |pr AS (SELECT q_id, label FROM (
+      |  SELECT q.q_id, c.label,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      round(list_cosine_similarity(c.centroid, q.qvec::DOUBLE[]), 6) DESC,
+      |      c.label) AS rk
+      |  FROM c, qs q) WHERE rk <= 3),
+      |appr AS (SELECT q_id, vec_id FROM (
+      |  SELECT p.q_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |      round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+      |      e.vec_id) AS rk
+      |  FROM embeddings e JOIN pr p ON e.label = p.label
+      |  JOIN qs q ON q.q_id = p.q_id
+      |  WHERE e.vec_id != p.q_id) WHERE rk <= 10),
+      |ex AS (SELECT q_id, vec_id FROM (
+      |  SELECT q.q_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+      |      e.vec_id) AS rk
+      |  FROM embeddings e, qs q WHERE e.vec_id != q.q_id) WHERE rk <= 10),
+      |h AS (SELECT ex.q_id, count(*)::BIGINT AS n_hits
+      |  FROM ex JOIN appr USING (q_id, vec_id) GROUP BY 1)
+      |SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |  (coalesce(h.n_hits, 0) * 1000000 // 10)::BIGINT AS recall_ppm
+      |FROM qs q LEFT JOIN h USING (q_id)
+      |ORDER BY q_id""".stripMargin
+
+  // --------------------------------------- bigram predictability score
+  /** Integer LM-score quality signal: per-doc mean of
+    * `p(w2|w1) = c(w1 w2)/c(w1)` in ppm from corpus counts — see
+    * [[graft.ops.Vocab.bigramPredictability]]. */
+  val q123BigramPredictability: Q = (spark, dir) =>
+    graft.ops.Vocab.bigramPredictability(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q123Sql: String =
+    """WITH uni AS (SELECT tok AS w1, count(*)::BIGINT AS w1_cnt
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1),
+      |tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |db AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, toks[i] AS w1
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |bc AS (SELECT bg, count(*)::BIGINT AS bg_cnt FROM db GROUP BY 1),
+      |sc AS (SELECT d.doc_id, count(*)::BIGINT AS n_bigrams,
+      |    sum(b.bg_cnt * 1000000 // u.w1_cnt)::BIGINT AS ps
+      |  FROM db d JOIN bc b USING (bg) JOIN uni u USING (w1)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |  coalesce(s.ps // s.n_bigrams, 0)::BIGINT AS mean_p_ppm
+      |FROM documents d LEFT JOIN sc s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q120_bpe_merges" -> q120BpeMerges,
-    "q121_bpe_compression" -> q121BpeCompression)
+    "q121_bpe_compression" -> q121BpeCompression,
+    "q122_ivf_recall" -> q122IvfRecall,
+    "q123_bigram_predictability" -> q123BigramPredictability)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
-    "q121_bpe_compression" -> q121Sql)
+    "q121_bpe_compression" -> q121Sql,
+    "q122_ivf_recall" -> q122Sql,
+    "q123_bigram_predictability" -> q123Sql)
 }

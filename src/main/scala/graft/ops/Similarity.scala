@@ -354,4 +354,60 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("sim"))
   }
+
+  /** Multi-query [[ivfTopK]] — each of a BOUNDED query set routes to its
+    * `nprobe` nearest coarse centroids, candidates equi-join on the label,
+    * rank is one window keyed by the query id (the multi-query discipline
+    * of [[knnJoin]]). Queries and the (query × nprobe)-row probe table
+    * broadcast — both statically bounded by the audit's query-set
+    * contract, not by corpus size. Self-matches excluded (audit
+    * convention: a query must not retrieve itself). */
+  def ivfKnnJoin(index: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryId: String, queryVec: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(index.select(col(labelCol), col(vecCol)), labelCol, vecCol)
+    val wp = Window.partitionBy(col(queryId))
+      .orderBy(col("csim").desc, col(labelCol).asc)
+    val probes = cents.crossJoin(broadcast(queries))
+      .withColumn("csim", round(VectorFns.cosine(col("centroid"), col(queryVec)), 6))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col(queryId), col(labelCol))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    index.join(broadcast(probes), Seq(labelCol))
+      .join(broadcast(queries), Seq(queryId))
+      .filter(col(idCol) =!= col(queryId))
+      .withColumn("sim", round(VectorFns.cosine(col(vecCol), col(queryVec)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Recall@k audit of the IVF route against exact brute force — the
+    * governance artifact an approximate index ships with: per query, how
+    * many of the true top-k the probed search returned
+    * (`recall_ppm = n_hits · 1e6 div k`, integer-exact).
+    *
+    * Scale shape: the EXACT side is the audit's cost anchor — it scans the
+    * corpus once per broadcast query batch, so the query set must be a
+    * bounded sample (audit a few hundred queries, not the corpus; the IVF
+    * side touches only probed buckets either way). Both sides rank by the
+    * same 6-dp-rounded similarity with id tiebreaks, so the comparison is
+    * engine-exact, and a query whose probes miss every true neighbor still
+    * reports (left join, zero hits). */
+  def ivfRecallAudit(index: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryId: String, queryVec: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val exact = knnJoin(index, idCol, vecCol, queries, queryId, queryVec, k)
+      .select(col(queryId), col(idCol))
+    val approx = ivfKnnJoin(index, idCol, vecCol, labelCol, queries, queryId,
+        queryVec, nprobe, k)
+      .select(col(queryId), col(idCol))
+    val hits = exact.join(approx, Seq(queryId, idCol))
+      .groupBy(col(queryId)).agg(count(lit(1)).as("n_hits"))
+    queries.select(col(queryId)).join(hits, Seq(queryId), "left")
+      .select(col(queryId), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000L div ${k}L"))
+  }
 }

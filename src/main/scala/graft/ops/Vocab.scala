@@ -281,4 +281,46 @@ object Vocab {
         expr("round(regr_slope(ln(vocab), ln(toks)), 6) + 0.0").as("slope"),
         expr("round(regr_intercept(ln(vocab), ln(toks)), 6) + 0.0").as("intercept"))
   }
+
+  /** Per-document bigram predictability — the RNG-free, log-free stand-in
+    * for an LM perplexity filter (CCNet trains a 5-gram LM; the portable
+    * integer form is the bigram MLE): for each adjacent token pair
+    * `(w1, w2)` in a document, `p_ppm = c(w1 w2) · 1e6 div c(w1)` from
+    * CORPUS counts, and the document scores the integer mean over its
+    * pairs. High mean = template/boilerplate-predictable text, low mean =
+    * high-surprise (or off-corpus) text — the two tails a quality gate
+    * trims, complementing the rule gate (q21), classifier (q108) and DSIR
+    * (q112) members of the filter family.
+    *
+    * Scale shape: three corpus scans (unigram counts, bigram counts, the
+    * per-doc bigram stream — Catalyst cannot share subtrees across join
+    * branches, the [[topVocab]] caveat), each a map-side-combined
+    * aggregation or a codegen span projection
+    * ([[graft.expr.ShingleKernels.wordSpans]] at n=2); both count tables
+    * are vocab-sized and join back hint-free (AQE broadcasts while they
+    * fit). All arithmetic is integer, so the score is engine-exact; pairs
+    * whose first token is blank (edge-whitespace artifact) drop from both
+    * the count and the mean via the inner unigram join, identically in the
+    * oracle. Documents with fewer than two tokens report (0, 0). */
+  def bigramPredictability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = wordCounts(df, textCol)
+      .select(col("word").as("w1"), col("cnt").as("w1_cnt"))
+    val bgCnt = df.select(
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+    val docBg = df.select(col(idCol),
+      explode(graft.expr.TextExprs.wordSpans(col(textCol), 2)).as("bg"))
+    val scored = docBg
+      .join(bgCnt, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni, Seq("w1"))
+      .withColumn("p_ppm", expr("bg_cnt * 1000000L div w1_cnt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("__ps"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("__ps div n_bigrams"), lit(0L)).as("mean_p_ppm"))
+  }
 }

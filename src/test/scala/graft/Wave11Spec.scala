@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, Vocab}
+
+/** Wave 11: ANN recall audit (q122) and bigram-predictability LM scoring
+  * (q123). */
+class Wave11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfKnnJoin probing every cell IS exact brute force") {
+    // nprobe = nlist means no candidate is ever pruned, so the IVF route
+    // must return row-identical top-k to knnJoin — the audit's calibration
+    // point (recall_ppm would be exactly 1e6)
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") % 100 === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val nlist = e.select(col("label")).distinct().count().toInt
+    val exact = Similarity.knnJoin(e, "vec_id", "embedding", qs, "q_id", "qvec", 5)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfKnnJoin(e, "vec_id", "embedding", "label",
+        qs, "q_id", "qvec", nprobe = nlist, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && ivf == exact)
+  }
+
+  test("ivfRecallAudit: bounded hits, full-probe recall is exactly 1e6") {
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") % 100 === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val audit = Similarity.ivfRecallAudit(e, "vec_id", "embedding", "label",
+        qs, "q_id", "qvec", nprobe = 3, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.length == qs.count())
+    assert(audit.forall(a => a._2 >= 0L && a._2 <= 10L))
+    assert(audit.forall(a => a._3 == a._2 * 100000L), "ppm = hits/10")
+    val full = Similarity.ivfRecallAudit(e, "vec_id", "embedding", "label",
+        qs, "q_id", "qvec",
+        nprobe = e.select("label").distinct().count().toInt, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(full.forall(_._3 == 1000000L), "probing every cell misses nothing")
+  }
+
+  test("bigramPredictability: hand corpus arithmetic") {
+    // uni: a:3 b:2 c:1; bigrams: "a b" x2, "a c" x1
+    //   doc 1/2: p = 2e6 div 3 = 666666; doc 3: p = 1e6 div 3 = 333333
+    //   doc 4 (empty) and doc 5 (one token): no pairs -> (0, 0)
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, ""), (5L, "x"))
+      .toDF("doc_id", "text")
+    val out = Vocab.bigramPredictability(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 666666L)))
+    assert(out(2L) == ((1L, 666666L)))
+    assert(out(3L) == ((1L, 333333L)))
+    assert(out(4L) == ((0L, 0L)) && out(5L) == ((0L, 0L)))
+  }
+
+  test("bigramPredictability fixture invariants: total coverage, ppm range") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val out = SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == docs.count().toInt, "every document reports")
+    assert(out.forall(o => o._3 >= 0L && o._3 <= 1000000L),
+      "a conditional probability cannot exceed 1")
+    assert(out.exists(_._2 > 0L), "the fixture has multi-token documents")
+    assert(out.filter(_._2 > 0L).forall(_._3 > 0L),
+      "every observed bigram has probability at least 1/c(w1) > 0")
+  }
+}
