@@ -72,7 +72,17 @@ object VerifyScaled {
       "q117_semantic_thinning_report" ->
         (() => graft.SparkEntry.queries("q117_semantic_thinning_report")(spark, sfDir)),
       "q119_crossdoc_span_dedup" ->
-        (() => graft.SparkEntry.queries("q119_crossdoc_span_dedup")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q119_crossdoc_span_dedup")(spark, sfDir)),
+      "q120_bpe_merges" ->
+        (() => graft.SparkEntry.queries("q120_bpe_merges")(spark, sfDir)),
+      "q121_bpe_compression" ->
+        (() => graft.SparkEntry.queries("q121_bpe_compression")(spark, sfDir)),
+      // q122's EXACT audit side is queries × corpus by design — at 64×
+      // that is ~1.3k × 128k cosine pairs in DuckDB; prove at 8× only
+      "q122_ivf_recall" ->
+        (() => graft.SparkEntry.queries("q122_ivf_recall")(spark, sfDir)),
+      "q123_bigram_predictability" ->
+        (() => graft.SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -89,7 +99,13 @@ object VerifyScaled {
       "q117_semantic_thinning_report" ->
         graft.SparkEntry.oracleSql("q117_semantic_thinning_report"),
       "q119_crossdoc_span_dedup" ->
-        graft.SparkEntry.oracleSql("q119_crossdoc_span_dedup"))
+        graft.SparkEntry.oracleSql("q119_crossdoc_span_dedup"),
+      "q120_bpe_merges" -> graft.SparkEntry.oracleSql("q120_bpe_merges"),
+      "q121_bpe_compression" ->
+        graft.SparkEntry.oracleSql("q121_bpe_compression"),
+      "q122_ivf_recall" -> graft.SparkEntry.oracleSql("q122_ivf_recall"),
+      "q123_bigram_predictability" ->
+        graft.SparkEntry.oracleSql("q123_bigram_predictability"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
