@@ -56,6 +56,22 @@ class Wave11Spec extends SparkSpec {
     assert(out(4L) == ((0L, 0L)) && out(5L) == ((0L, 0L)))
   }
 
+  test("wave-11 plans: equi-join pipelines only, spans stay codegen") {
+    // executed-plan audit pinned: AQE broadcasts the vocab-sized count
+    // tables, every join is an equi-join — a CartesianProduct here would
+    // mean a join key was lost in a refactor
+    Seq("q121_bpe_compression", "q123_bigram_predictability").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$q lost an equi-join key:\n$p")
+    }
+    val p = graft.io.Tables.documents(spark, sfDir)
+      .select(explode(graft.expr.TextExprs.wordSpans(col("text"), 2)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"bigram span projection fell out of codegen:\n$p")
+  }
+
   test("bigramPredictability fixture invariants: total coverage, ppm range") {
     val docs = graft.io.Tables.documents(spark, sfDir)
     val out = SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)
