@@ -221,4 +221,31 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
     }
   }
+
+  test("BPE mergePair: kernel == reference fold, preserves characters, leaves no mergeable pair") {
+    // a tiny alphabet with substring-related symbols (a, b, ab) forces
+    // overlap runs, adjacent re-matches, and merged-token/extant-token
+    // collisions — the cases where a wrong scan order shows
+    val symGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "</w>")))
+    val pairGen = Gen.zip(Gen.oneOf("a", "b", "ab"), Gen.oneOf("a", "b", "ab", "</w>"))
+    forAll(Gen.zip(symGen, pairGen)) { case (toks, (l, r)) =>
+      val sym = toks.mkString(" ")
+      val df = Seq((sym, l, r)).toDF("sym", "l", "r")
+      val (kernel, ref) = df.select(
+          graft.expr.BpeExprs.bpeMergePair($"sym", $"l", $"r"),
+          graft.ops.Bpe.mergePairReference($"sym", $"l", $"r"))
+        .as[(String, String)].head()
+      assert(kernel == ref, s"sym='$sym' ($l,$r): kernel='$kernel' ref='$ref'")
+      assert(kernel.replace(" ", "") == sym.replace(" ", ""),
+        "a merge must never create or destroy characters")
+      val out = kernel.split(" ", -1)
+      assert(!out.iterator.sliding(2).withPartial(false)
+          .exists(p => p.head == l && p(1) == r),
+        s"greedy scan left a mergeable ($l,$r) adjacency in '$kernel'")
+      val merges = toks.length - out.length
+      assert(merges >= 0 && sym.length - kernel.length == merges,
+        "each merge removes exactly one delimiter and one token")
+    }
+  }
 }
