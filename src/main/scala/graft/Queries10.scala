@@ -197,15 +197,73 @@ object Queries10 {
       |FROM documents d LEFT JOIN sc s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- embedding-space decontamination
+  /** Semantic benchmark decon: every 50th vector plays the eval set; train
+    * vectors within cosine 0.35 of any eval vector (candidates via shared
+    * sign-RP band keys, the q47 resolution) are flagged with their best
+    * match. See [[graft.ops.Similarity.semanticDecon]]. */
+  val q124SemanticDecon: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val train = e.filter(col("vec_id") % 50 =!= 3L)
+    val evalSet = e.filter(col("vec_id") % 50 === 3L)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec"))
+    graft.ops.Similarity.semanticDecon(train, "vec_id", "embedding",
+        evalSet, "eval_id", "eval_vec", Queries3.rpPlanes, Queries3.rpBits,
+        threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  val q124Sql: String = {
+    val bits = Queries3.rpBits
+    val planes = Queries3.rpPlanes
+    def keyExpr(t: Int): String =
+      (0 until bits).map { b =>
+        val plane = planes(t * bits + b).map(_.toInt).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+    def keysRel(src: String): String = (0 until planes.length / bits)
+      .map(t => s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM $src")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |  FROM embeddings),
+       |tr AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 != 3),
+       |ev AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 = 3),
+       |kt AS (${keysRel("tr")}),
+       |ke AS (${keysRel("ev")}),
+       |c AS (SELECT DISTINCT kt.vec_id AS id, ke.vec_id AS eid
+       |      FROM kt JOIN ke ON kt.t = ke.t AND kt.key = ke.key),
+       |s AS (SELECT id, eid, sim FROM (
+       |    SELECT c.id, c.eid,
+       |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+       |    FROM c JOIN embeddings a ON a.vec_id = c.id
+       |           JOIN embeddings b ON b.vec_id = c.eid) v
+       |  WHERE sim >= 0.35),
+       |h AS (SELECT id, count(*)::BIGINT AS n_eval_hits FROM s GROUP BY 1),
+       |tp AS (SELECT id, eid AS top_eval_id, sim AS top_sim FROM (
+       |    SELECT id, eid, sim,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, eid) AS rk
+       |    FROM s) WHERE rk = 1)
+       |SELECT tr.vec_id,
+       |  (h.id IS NOT NULL) AS contaminated,
+       |  coalesce(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+       |  tp.top_eval_id, tp.top_sim
+       |FROM tr LEFT JOIN h ON h.id = tr.vec_id
+       |LEFT JOIN tp ON tp.id = tr.vec_id
+       |ORDER BY tr.vec_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q120_bpe_merges" -> q120BpeMerges,
     "q121_bpe_compression" -> q121BpeCompression,
     "q122_ivf_recall" -> q122IvfRecall,
-    "q123_bigram_predictability" -> q123BigramPredictability)
+    "q123_bigram_predictability" -> q123BigramPredictability,
+    "q124_semantic_decon" -> q124SemanticDecon)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
     "q121_bpe_compression" -> q121Sql,
     "q122_ivf_recall" -> q122Sql,
-    "q123_bigram_predictability" -> q123Sql)
+    "q123_bigram_predictability" -> q123Sql,
+    "q124_semantic_decon" -> q124Sql)
 }

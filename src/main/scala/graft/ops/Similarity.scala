@@ -410,4 +410,52 @@ object Similarity {
       .select(col(queryId), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_ppm", expr(s"n_hits * 1000000L div ${k}L"))
   }
+
+  /** Embedding-space decontamination: flag every training vector within
+    * `threshold` cosine of ANY eval-set vector — the semantic complement
+    * of the n-gram/Bloom decon family ([[Decontaminate]]): token-overlap
+    * decon misses paraphrased benchmark leakage; embedding decon catches
+    * it. The cross-set sibling of [[rpLshNearDup]].
+    *
+    * Scale shape: candidates form ONLY where a train and an eval vector
+    * share a (table, bucket) sign-RP key — an equi-join on the band key,
+    * never train × eval. The eval side is a benchmark suite (thousands of
+    * rows), so its keyed form is small and AQE broadcasts it at runtime;
+    * the join carries no static hint because "eval is small" is a contract,
+    * not a provable bound (the semanticDedup lesson). Verification re-reads
+    * only candidate ids. Recall follows the band parameters exactly as in
+    * [[rpLshNearDup]] — deployments tune (tables × bits) to the similarity
+    * regime they must catch.
+    *
+    * Output per TRAIN row: the id, `contaminated`, `n_eval_hits`, and the
+    * best-matching eval vector (`top_eval_id`, `top_sim` — highest
+    * similarity, ties to the smallest eval id; NULL when clean). All
+    * orderings go through the 6-dp-rounded similarity, so the verdict is
+    * engine-exact. */
+  def semanticDecon(train: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      planes: Array[Array[Double]], bits: Int, threshold: Double,
+      quantScale: Double = 1000.0): DataFrame = {
+    def keyed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), posexplode(graft.expr.VectorExprs.signRpBuckets(
+        col(vec), planes, bits, quantScale)).as(Seq("t", "key")))
+    val cand = keyed(train, idCol, vecCol)
+      .join(keyed(evalSet, evalIdCol, evalVecCol), Seq("t", "key"))
+      .select(col(idCol), col(evalIdCol)).distinct()
+    val hits = cand
+      .join(train.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(evalSet.select(col(evalIdCol), col(evalVecCol)), Seq(evalIdCol))
+      .withColumn("sim",
+        round(graft.expr.VectorExprs.cosine(col(vecCol), col(evalVecCol)), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min(struct((-col("sim")).as("ns"), col(evalIdCol).as("eid"))).as("__m"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__m").isNotNull.as("contaminated"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("__m.eid").as("top_eval_id"),
+        (-col("__m.ns")).as("top_sim"))
+  }
 }

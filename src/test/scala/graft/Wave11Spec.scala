@@ -72,6 +72,45 @@ class Wave11Spec extends SparkSpec {
     assert(p.contains("*(1)"), s"bigram span projection fell out of codegen:\n$p")
   }
 
+  test("semanticDecon: identical vector is flagged at sim 1.0, antipode stays clean") {
+    // an identical vector lands in the SAME bucket of every table (same
+    // sign pattern), so LSH can never miss it — flagged with sim 1.0. The
+    // antipode flips every sign (different bucket in every table) and sits
+    // at cosine -1 anyway — clean by both the candidate and verify stages.
+    val planes = graft.expr.VectorExprs.rademacherPlanes(
+      numPlanes = 36, dim = 4, seed = 42L)
+    val train = Seq(
+      (1L, Seq(1.0f, 0.2f, -0.3f, 0.5f)),
+      (2L, Seq(-1.0f, -0.2f, 0.3f, -0.5f)),
+      (3L, Seq(0.9f, 0.25f, -0.28f, 0.52f))).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Seq(1.0f, 0.2f, -0.3f, 0.5f)))
+      .toDF("eval_id", "eval_vec")
+    val out = Similarity.semanticDecon(train, "vec_id", "embedding",
+        ev, "eval_id", "eval_vec", planes, bits = 6, threshold = 0.35)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getLong(2) == 1L)
+    assert(out(1L).getLong(3) == 100L && out(1L).getDouble(4) == 1.0)
+    assert(!out(2L).getBoolean(1) && out(2L).getLong(2) == 0L)
+    assert(out(2L).isNullAt(3) && out(2L).isNullAt(4))
+    if (out(3L).getBoolean(1)) assert(out(3L).getDouble(4) >= 0.35)
+  }
+
+  test("semanticDecon fixture invariants: train coverage, flag consistency") {
+    val out = SparkEntry.queries("q124_semantic_decon")(spark, sfDir).collect()
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    assert(out.length == e.filter(col("vec_id") % 50 =!= 3L).count().toInt,
+      "every train vector reports")
+    out.foreach { r =>
+      if (r.getBoolean(1)) {
+        assert(r.getLong(2) >= 1L && r.getLong(3) % 50L == 3L,
+          "a hit must point at an eval-set member")
+        assert(r.getDouble(4) >= 0.35 && r.getDouble(4) <= 1.0)
+      } else {
+        assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+  }
+
   test("bigramPredictability fixture invariants: total coverage, ppm range") {
     val docs = graft.io.Tables.documents(spark, sfDir)
     val out = SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)
