@@ -82,7 +82,12 @@ object VerifyScaled {
       "q122_ivf_recall" ->
         (() => graft.SparkEntry.queries("q122_ivf_recall")(spark, sfDir)),
       "q123_bigram_predictability" ->
-        (() => graft.SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)),
+      // q124 binds q47's fixture resolution (6 tables × 6 bits); at 64×
+      // that 1×-resolution occupancy makes cross-set candidates ~4096× —
+      // the documented q47-family caveat — so prove at 8× only
+      "q124_semantic_decon" ->
+        (() => graft.SparkEntry.queries("q124_semantic_decon")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -105,7 +110,8 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q121_bpe_compression"),
       "q122_ivf_recall" -> graft.SparkEntry.oracleSql("q122_ivf_recall"),
       "q123_bigram_predictability" ->
-        graft.SparkEntry.oracleSql("q123_bigram_predictability"))
+        graft.SparkEntry.oracleSql("q123_bigram_predictability"),
+      "q124_semantic_decon" -> graft.SparkEntry.oracleSql("q124_semantic_decon"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
