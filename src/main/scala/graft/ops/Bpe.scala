@@ -117,7 +117,24 @@ object Bpe {
         rnd += 1
       }
     }
-    (merges.reduce(_ unionByName _), words)
+    // a corpus with no pairs AT ALL (every doc blank or single-symbol)
+    // learns zero merges — return an empty, correctly-typed merge table
+    // rather than letting reduce throw on the empty buffer
+    val mergeTable =
+      if (merges.isEmpty)
+        df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("merge_round",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("left_sym",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("right_sym",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pair_cnt",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      else merges.reduce(_ unionByName _)
+    (mergeTable, words)
   }
 
   /** Corpus-side segmentation report under a trained vocab frame

@@ -80,6 +80,19 @@ class BpeSpec extends SparkSpec {
     assert(sym == Map("a" -> "a</w>", "b" -> "b</w>"))
   }
 
+  test("learn on a pairless corpus returns an empty typed merge table, not a crash") {
+    // every doc blank -> no words at all; single-char... a blank corpus is
+    // the degenerate floor: zero merges, zero vocab, all-zero stats
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val (merges, words) = Bpe.learn(df, "text", rounds = 3)
+    assert(merges.count() == 0L && words.count() == 0L)
+    assert(merges.columns.toSeq ==
+      Seq("merge_round", "left_sym", "right_sym", "pair_cnt"))
+    val stats = Bpe.compressionStats(df, "doc_id", "text", words)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stats == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)))
+  }
+
   test("q120/q121 fixture invariants: 6 rounds, non-increasing counts, exact totals") {
     val merges = SparkEntry.queries("q120_bpe_merges")(spark, sfDir)
       .as[(Long, String, String, Long)].collect().toSeq

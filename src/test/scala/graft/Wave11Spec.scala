@@ -95,6 +95,20 @@ class Wave11Spec extends SparkSpec {
     if (out(3L).getBoolean(1)) assert(out(3L).getDouble(4) >= 0.35)
   }
 
+  test("semanticDecon with an empty eval set marks everything clean") {
+    val e = graft.io.Tables.embeddings(spark, sfDir).limit(20)
+    val planes = graft.expr.VectorExprs.rademacherPlanes(
+      numPlanes = 36, dim = 64, seed = 42L)
+    val out = Similarity.semanticDecon(e, "vec_id", "embedding",
+        e.filter(lit(false)).select(col("vec_id").as("eval_id"),
+          col("embedding").as("eval_vec")),
+        "eval_id", "eval_vec", planes, bits = 6, threshold = 0.35)
+      .collect()
+    assert(out.length == 20)
+    assert(out.forall(r => !r.getBoolean(1) && r.getLong(2) == 0L
+      && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("semanticDecon fixture invariants: train coverage, flag consistency") {
     val out = SparkEntry.queries("q124_semantic_decon")(spark, sfDir).collect()
     val e = graft.io.Tables.embeddings(spark, sfDir)
