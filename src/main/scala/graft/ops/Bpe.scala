@@ -54,20 +54,23 @@ object Bpe {
   private[graft] def initialSym(word: Column): Column =
     concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
 
-  /** Weighted adjacent-pair counts over a `(w, sym, cnt)` vocab frame:
-    * explode positions 1..|syms|−1, sum word counts per (l, r). One
-    * map-side-combined aggregation; the guard keeps fully-merged
-    * single-symbol words out (Spark `sequence(1, 0)` would DESCEND). */
-  private[graft] def pairCounts(words: DataFrame): DataFrame = {
-    val syms = split(col("sym"), " ")
+  /** Weighted adjacent-pair counts over a `(w, sym, cnt)` vocab frame, sum
+    * of word counts per (l, r). The adjacent pairs of a space-delimited
+    * symbol string are EXACTLY [[graft.expr.ShingleKernels.wordSpans]] at
+    * n=2 (symbols are lowercase and space-free by construction, so the
+    * kernel's lower/trim/split contract is the identity here) — one fused
+    * codegen pass instead of an interpreted transform/element_at chain on
+    * the per-round hot path, and the kernel's sub-n → `[]` behavior
+    * retires fully-merged single-symbol words with no guard (Spark
+    * `sequence(1, 0)` would DESCEND). Each pair splits back on its single
+    * interior space; one map-side-combined aggregation. */
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
     words
-      .filter(size(syms) >= 2)
-      .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1),
-        i => struct(element_at(syms, i).as("l"),
-          element_at(syms, i + 1).as("r")))).as("pr"))
-      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .select(col("cnt"),
+        explode(graft.expr.TextExprs.wordSpans(col("sym"), 2)).as("pr"))
+      .groupBy(substring_index(col("pr"), " ", 1).as("l"),
+        substring_index(col("pr"), " ", -1).as("r"))
       .agg(sum(col("cnt")).as("pair_cnt"))
-  }
 
   /** Learn `rounds` BPE merges from the corpus' text column.
     *
