@@ -63,6 +63,8 @@ object VerifyScaled {
         (() => graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits)),
       "q104_canonical_dedup" ->
         (() => graft.Queries8.q104CanonicalWith(spark, sfDir, planes, bits)),
+      "q31_kmeans" ->
+        (() => graft.SparkEntry.queries("q31_kmeans")(spark, sfDir)),
       "q106_decon_apply" ->
         (() => graft.SparkEntry.queries("q106_decon_apply")(spark, sfDir)),
       "q113_selection_capstone" ->
@@ -97,6 +99,7 @@ object VerifyScaled {
     val oracle = Map(
       "q83_pipeline_golden" -> graft.Queries6.q83SqlWith(planes, bits),
       "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits),
+      "q31_kmeans" -> graft.SparkEntry.oracleSql("q31_kmeans"),
       "q106_decon_apply" -> graft.SparkEntry.oracleSql("q106_decon_apply"),
       "q113_selection_capstone" ->
         graft.SparkEntry.oracleSql("q113_selection_capstone"),
