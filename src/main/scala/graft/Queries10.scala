@@ -103,18 +103,22 @@ object Queries10 {
 
   val q121Sql: String =
     s"""WITH $trainCtes,
-       |tk AS MATERIALIZED (SELECT doc_id,
-       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-       |  FROM documents),
+       |tk AS MATERIALIZED (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> ''),
        |cost AS MATERIALIZED (SELECT w, (length(w) + 1)::BIGINT AS n_before,
        |    len(string_split(sym, ' '))::BIGINT AS n_after
        |  FROM w$Rounds),
-       |a AS MATERIALIZED (SELECT t.doc_id, sum(c.n_before)::BIGINT AS n_sym_before,
-       |    sum(c.n_after)::BIGINT AS n_sym_after
-       |  FROM tk t JOIN cost c USING (w) GROUP BY 1)
+       |a AS MATERIALIZED (SELECT t.doc_id,
+       |    sum(c.n_before)::BIGINT AS n_sym_before,
+       |    sum(c.n_after)::BIGINT AS n_sym_after,
+       |    sum(CASE WHEN c.n_before IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+       |  FROM tk t LEFT JOIN cost c USING (w) GROUP BY 1)
        |SELECT d.doc_id,
        |  coalesce(a.n_sym_before, 0)::BIGINT AS n_sym_before,
        |  coalesce(a.n_sym_after, 0)::BIGINT AS n_sym_after,
+       |  coalesce(a.n_oov, 0)::BIGINT AS n_oov_tokens,
        |  CASE WHEN coalesce(a.n_sym_before, 0) = 0 THEN 0
        |       ELSE a.n_sym_after * 1000000 // a.n_sym_before
        |  END::BIGINT AS compression_ppm
@@ -216,16 +220,14 @@ object Queries10 {
   val q124Sql: String = {
     val bits = Queries3.rpBits
     val planes = Queries3.rpPlanes
-    def keyExpr(t: Int): String =
-      (0 until bits).map { b =>
-        val plane = planes(t * bits + b).map(_.toInt).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
+    // bucket-key SQL comes from the SAME generator as the q47-family
+    // oracles (Queries3.rpKeyExpr/RpQuantExpr) — one spelling to drift
     def keysRel(src: String): String = (0 until planes.length / bits)
-      .map(t => s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM $src")
+      .map(t =>
+        s"SELECT vec_id, $t AS t, ${Queries3.rpKeyExpr(t, planes, bits)} AS key FROM $src")
       .mkString("\nUNION ALL ")
     s"""WITH q AS (SELECT vec_id,
-       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |    ${Queries3.RpQuantExpr} AS qv
        |  FROM embeddings),
        |tr AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 != 3),
        |ev AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 = 3),

@@ -373,18 +373,31 @@ object Queries3 {
     * [[Similarity.rpLshNearDup]] with [[rpPlanes]] over `sourceRel`
     * (a relation with `vec_id`, `embedding` columns); shared by q47, the
     * q52 dedup-cluster oracle, and q83's restricted-corpus clustering. */
+  /** DuckDB spelling of ONE sign-RP band key over a quantized-vector
+    * column `qv` — THE single source for the bucket-key SQL, shared by
+    * [[rpPairsCte]] (q47/q52/q83 family) and q124's decon oracle
+    * (Queries10), so the two spellings cannot drift from each other or
+    * from [[graft.expr.VectorExprs.signRpBuckets]]. */
+  private[graft] def rpKeyExpr(t: Int, planes: Array[Array[Double]],
+      bits: Int): String =
+    (0 until bits).map { b =>
+      val plane = planes(t * bits + b).map(_.toInt).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The matching quantization expression producing `qv` (the
+    * `floor(x·1000 + 0.5)` convention the Spark kernel uses). */
+  private[graft] val RpQuantExpr: String =
+    "list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5))"
+
   def rpPairsCte(sourceRel: String, simThreshold: Double = 0.35,
       planes: Array[Array[Double]] = rpPlanes, bits: Int = rpBits): String = {
-    val keyExpr: Int => String = t =>
-      (0 until bits).map { b =>
-        val plane = planes(t * bits + b).map(_.toInt).mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(qv, $plane::DOUBLE[]) >= 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
     val tables = (0 until planes.length / bits).map(t =>
-      s"SELECT vec_id, $t AS t, ${keyExpr(t)} AS key FROM q").mkString("\nUNION ALL ")
+      s"SELECT vec_id, $t AS t, ${rpKeyExpr(t, planes, bits)} AS key FROM q")
+      .mkString("\nUNION ALL ")
     s"""q AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)) AS qv
+       |    $RpQuantExpr AS qv
        |  FROM $sourceRel),
        |k AS (
        |$tables),

@@ -121,33 +121,33 @@ object Bpe {
       }
     }
     // a corpus with no pairs AT ALL (every doc blank or single-symbol)
-    // learns zero merges — return an empty, correctly-typed merge table
-    // rather than letting reduce throw on the empty buffer
+    // learns zero merges — return an empty merge table typed by the same
+    // projection the non-empty branch uses, rather than letting reduce
+    // throw on the empty buffer
     val mergeTable =
       if (merges.isEmpty)
-        df.sparkSession.createDataFrame(
-          df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("merge_round",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("left_sym",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("right_sym",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("pair_cnt",
-              org.apache.spark.sql.types.LongType, nullable = false))))
+        pairCounts(words).limit(0)
+          .select(lit(0L).as("merge_round"), col("l").as("left_sym"),
+            col("r").as("right_sym"), col("pair_cnt"))
       else merges.reduce(_ unionByName _)
     (mergeTable, words)
   }
 
   /** Corpus-side segmentation report under a trained vocab frame
     * ([[learn]]'s second result): per document, total initial symbols
-    * (chars + one `</w>` per token), total symbols after all merges, and
-    * `compression_ppm = n_after · 1e6 div n_before` (integer division,
-    * engine-exact; 0 for empty documents). Per-document cost is one
-    * equi-join (hint-free — see the object note) and one sum; documents
-    * whose every token vanished under the blank filter come back with
-    * zeros via the left join. */
+    * (chars + one `</w>` per token), total symbols after all merges,
+    * `n_oov_tokens`, and `compression_ppm = n_after · 1e6 div n_before`
+    * (integer division, engine-exact; 0 for empty documents).
+    *
+    * Tokens ABSENT from the trained vocab (possible whenever the scored
+    * corpus differs from the training corpus — the natural "train
+    * tokenizer, segment new data" use) cannot be segmented, so they are
+    * excluded from both symbol totals and REPORTED in `n_oov_tokens`
+    * rather than silently dropped: a document of entirely unseen words
+    * shows (0, 0, n, 0), distinguishable from an empty one. Per-document
+    * cost is one equi-join (hint-free — see the object note) and one sum;
+    * documents whose every token vanished under the blank filter come
+    * back with zeros via the left join. */
   def compressionStats(df: DataFrame, idCol: String, textCol: String,
       finalWords: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
@@ -156,14 +156,16 @@ object Bpe {
     val wordCost = finalWords.select(col("w"),
       (length(col("w")) + 1).cast("long").as("n_before"),
       size(split(col("sym"), " ")).cast("long").as("n_after"))
-    val agg = toks.join(wordCost, Seq("w"))
+    val agg = toks.join(wordCost, Seq("w"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("n_before")).as("n_sym_before"),
-        sum(col("n_after")).as("n_sym_after"))
+        sum(col("n_after")).as("n_sym_after"),
+        count(when(col("n_before").isNull, 1)).as("n_oov_tokens"))
     df.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_sym_before"), lit(0L)).as("n_sym_before"),
-        coalesce(col("n_sym_after"), lit(0L)).as("n_sym_after"))
+        coalesce(col("n_sym_after"), lit(0L)).as("n_sym_after"),
+        coalesce(col("n_oov_tokens"), lit(0L)).as("n_oov_tokens"))
       .withColumn("compression_ppm",
         when(col("n_sym_before") === 0L, lit(0L))
           .otherwise(expr("n_sym_after * 1000000L div n_sym_before")))

@@ -62,8 +62,15 @@ class BpeSpec extends SparkSpec {
     assert(sym("widest") == "w i d est</w>")
     // q121 arithmetic on the same corpus: before 95 symbols, after 48
     val stats = Bpe.compressionStats(df, "doc_id", "text", words)
-      .as[(Long, Long, Long, Long)].collect().head
-    assert(stats == ((1L, 95L, 48L, 48L * 1000000L / 95L)))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(stats == ((1L, 95L, 48L, 0L, 48L * 1000000L / 95L)))
+    // OOV visibility: score a NEW doc against the trained vocab — the
+    // unseen word must be counted, not silently dropped
+    val fresh = Seq((9L, "low zzz lowest")).toDF("doc_id", "text")
+    val f = Bpe.compressionStats(fresh, "doc_id", "text", words)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(f == ((9L, 4L, 2L, 2L, 500000L)),
+      "only 'low' is in vocab (4 syms -> 2); zzz + lowest are OOV")
   }
 
   test("learn stops early when the corpus runs out of pairs") {
@@ -89,8 +96,8 @@ class BpeSpec extends SparkSpec {
     assert(merges.columns.toSeq ==
       Seq("merge_round", "left_sym", "right_sym", "pair_cnt"))
     val stats = Bpe.compressionStats(df, "doc_id", "text", words)
-      .as[(Long, Long, Long, Long)].collect().toSet
-    assert(stats == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(stats == Set((1L, 0L, 0L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)))
   }
 
   test("q120/q121 fixture invariants: 6 rounds, non-increasing counts, exact totals") {
@@ -102,12 +109,14 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)).distinct.size == 6,
       "the same pair cannot be learned twice")
     val stats = SparkEntry.queries("q121_bpe_compression")(spark, sfDir)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
     assert(stats.length ==
       graft.io.Tables.documents(spark, sfDir).count().toInt)
     assert(stats.forall(s => s._3 <= s._2),
       "merging can only shrink the symbol count")
-    assert(stats.forall(s => s._2 == 0 || (s._4 > 0 && s._4 <= 1000000L)),
+    assert(stats.forall(_._4 == 0L),
+      "training corpus == scored corpus, so no token can be OOV")
+    assert(stats.forall(s => s._2 == 0 || (s._5 > 0 && s._5 <= 1000000L)),
       "compression ppm must be in (0, 1e6] for non-empty docs")
   }
 
