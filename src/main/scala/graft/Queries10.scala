@@ -165,10 +165,13 @@ object Queries10 {
       |      e.vec_id) AS rk
       |  FROM embeddings e, qs q WHERE e.vec_id != q.q_id) WHERE rk <= 10),
       |h AS (SELECT ex.q_id, count(*)::BIGINT AS n_hits
-      |  FROM ex JOIN appr USING (q_id, vec_id) GROUP BY 1)
+      |  FROM ex JOIN appr USING (q_id, vec_id) GROUP BY 1),
+      |xn AS (SELECT q_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1)
       |SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-      |  (coalesce(h.n_hits, 0) * 1000000 // 10)::BIGINT AS recall_ppm
-      |FROM qs q LEFT JOIN h USING (q_id)
+      |  CASE WHEN coalesce(x.n_exact, 0) = 0 THEN 1000000
+      |       ELSE coalesce(h.n_hits, 0) * 1000000 // least(10, x.n_exact)
+      |  END::BIGINT AS recall_ppm
+      |FROM qs q LEFT JOIN h USING (q_id) LEFT JOIN xn x USING (q_id)
       |ORDER BY q_id""".stripMargin
 
   // --------------------------------------- bigram predictability score

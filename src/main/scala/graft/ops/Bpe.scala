@@ -50,9 +50,18 @@ object Bpe {
 
   /** Initial symbol string of a word: every code point space-separated,
     * plus the `</w>` end-of-word marker. The oracle mirrors it as
-    * `regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'`. */
+    * `regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'`.
+    *
+    * `(?s)` matters for cross-engine parity: Java's dotall-off `.` skips
+    * ALL line terminators (\n \r U+0085 U+2028 U+2029) while DuckDB's RE2
+    * `.` skips only \n — and U+0085/U+2028/U+2029 are whitespace in
+    * NEITHER engine's `\s`, so they survive the word tokenizer and can
+    * appear inside a word. Without dotall Spark would pass them through
+    * unexpanded where the oracle splits them. With `(?s)` both engines
+    * expand every character that can actually occur (a literal \n or \r
+    * never reaches here: both `\s` classes consume them at tokenization). */
   private[graft] def initialSym(word: Column): Column =
-    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+    concat(regexp_replace(word, "(?s)(.)", "$1 "), lit("</w>"))
 
   /** Weighted adjacent-pair counts over a `(w, sym, cnt)` vocab frame, sum
     * of word counts per (l, r). The adjacent pairs of a space-delimited

@@ -355,12 +355,21 @@ object Similarity {
       .select(col(idCol), col("sim"))
   }
 
-  /** Multi-query [[ivfTopK]] — each of a BOUNDED query set routes to its
-    * `nprobe` nearest coarse centroids, candidates equi-join on the label,
-    * rank is one window keyed by the query id (the multi-query discipline
-    * of [[knnJoin]]). Queries and the (query × nprobe)-row probe table
-    * broadcast — both statically bounded by the audit's query-set
-    * contract, not by corpus size. Self-matches excluded (audit
+  /** Multi-query [[ivfTopK]] — each query routes to its `nprobe` nearest
+    * coarse centroids, candidates equi-join on the label, rank is one
+    * window keyed by the query id (the multi-query discipline of
+    * [[knnJoin]]).
+    *
+    * Broadcast discipline: the ONLY static hint is on the centroid table —
+    * ≤ nlist rows, the index's design-time cell count (IVF's premise is
+    * that the coarse quantizer fits in memory; the q31 k·dim precedent).
+    * The query set and the (query × nprobe)-row probe table carry NO hint:
+    * both grow with however many queries the caller routes (q122 derives
+    * its sample from the corpus), and Spark honors explicit hints
+    * regardless of size — so those joins are left to AQE, which still
+    * broadcasts small runtime sides (the semanticDecon pattern). Both are
+    * plain equi-joins, so the unhinted fallback is a co-partitioned
+    * shuffle, not a cross product. Self-matches excluded (audit
     * convention: a query must not retrieve itself). */
   def ivfKnnJoin(index: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, queryId: String, queryVec: String,
@@ -368,15 +377,15 @@ object Similarity {
     val cents = centroids(index.select(col(labelCol), col(vecCol)), labelCol, vecCol)
     val wp = Window.partitionBy(col(queryId))
       .orderBy(col("csim").desc, col(labelCol).asc)
-    val probes = cents.crossJoin(broadcast(queries))
+    val probes = queries.crossJoin(broadcast(cents))
       .withColumn("csim", round(VectorFns.cosine(col("centroid"), col(queryVec)), 6))
       .withColumn("rk", row_number().over(wp))
       .filter(col("rk") <= nprobe)
       .select(col(queryId), col(labelCol))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col(idCol).asc)
-    index.join(broadcast(probes), Seq(labelCol))
-      .join(broadcast(queries), Seq(queryId))
+    index.join(probes, Seq(labelCol))
+      .join(queries, Seq(queryId))
       .filter(col(idCol) =!= col(queryId))
       .withColumn("sim", round(VectorFns.cosine(col(vecCol), col(queryVec)), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -387,7 +396,12 @@ object Similarity {
   /** Recall@k audit of the IVF route against exact brute force — the
     * governance artifact an approximate index ships with: per query, how
     * many of the true top-k the probed search returned
-    * (`recall_ppm = n_hits · 1e6 div k`, integer-exact).
+    * (`recall_ppm = n_hits · 1e6 div least(k, n_exact)`, integer-exact).
+    * The denominator is the EXACT side's per-query row count capped at k,
+    * not a fixed k: a corpus with fewer than k eligible neighbors returns
+    * < k true rows, and dividing by k there would misread truncation as
+    * misses (recall could never reach 1e6 on small buckets). A query with
+    * ZERO eligible neighbors (corpus of one) is vacuously fully recalled.
     *
     * Scale shape: the EXACT side is the audit's cost anchor — it scans the
     * corpus once per broadcast query batch, so the query set must be a
@@ -404,11 +418,18 @@ object Similarity {
     val approx = ivfKnnJoin(index, idCol, vecCol, labelCol, queries, queryId,
         queryVec, nprobe, k)
       .select(col(queryId), col(idCol))
+    val nExact = exact.groupBy(col(queryId)).agg(count(lit(1)).as("__n_exact"))
     val hits = exact.join(approx, Seq(queryId, idCol))
       .groupBy(col(queryId)).agg(count(lit(1)).as("n_hits"))
-    queries.select(col(queryId)).join(hits, Seq(queryId), "left")
-      .select(col(queryId), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall_ppm", expr(s"n_hits * 1000000L div ${k}L"))
+    queries.select(col(queryId))
+      .join(hits, Seq(queryId), "left")
+      .join(nExact, Seq(queryId), "left")
+      .select(col(queryId), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("__n_exact"), lit(0L)).as("__n_exact"))
+      .withColumn("recall_ppm",
+        when(col("__n_exact") === 0L, lit(1000000L))
+          .otherwise(expr(s"n_hits * 1000000L div least(${k}L, __n_exact)")))
+      .drop("__n_exact")
   }
 
   /** Embedding-space decontamination: flag every training vector within
