@@ -20,11 +20,12 @@ import graft.expr.BpeExprs
   *     ([[Vocab.wordCounts]] — |vocab| rows, tiny next to the corpus).
   *  2. Every merge round then runs on the VOCAB frame only: pair counting
   *     is one map-side-combined aggregation over exploded symbol pairs,
-  *     the winning pair is a `TakeOrderedAndProject` (1 row), and the
-  *     merge application is a map-only pass (1-row broadcast join + the
-  *     codegen'd [[graft.expr.BpeKernels.mergePair]] kernel). The corpus
-  *     is never touched again — rounds cost O(|vocab| · avg word length),
-  *     not O(corpus).
+  *     the winning pair is a `TakeOrderedAndProject` (1 row, collected —
+  *     loop control), and the merge application is a map-only pass (the
+  *     winner inlined as literals into the codegen'd
+  *     [[graft.expr.BpeKernels.mergePair]] kernel). The corpus is never
+  *     touched again — rounds cost O(|vocab| · avg word length) in ONE
+  *     job each, not O(corpus).
   *  3. Applying the learned merges to the corpus ([[compressionStats]])
   *     goes back through the vocab: per-word final segmentations join onto
   *     the token stream (plain equi-join, no hint — AQE broadcasts while
@@ -89,56 +90,60 @@ object Bpe {
     * each word's segmentation under all learned merges (the artifact
     * [[compressionStats]] applies to the corpus).
     *
-    * Each round localCheckpoints the 1-row winner (used twice: output row
-    * + apply join) and the rewritten vocab (used twice next round: pair
-    * count + apply), keeping the per-round plan flat instead of
-    * re-deriving all previous rounds per action — the
-    * [[Components.connectedComponents]] iteration discipline. A corpus
-    * that runs out of distinct pairs before `rounds` stops early (the
-    * 1-row `isEmpty` probe on an already-materialized frame is the loop's
-    * only driver-side check). */
-  def learn(df: DataFrame, textCol: String, rounds: Int)
-      : (DataFrame, DataFrame) = {
+    * Per-round cost is ONE Spark job: the winning pair is collected to
+    * the driver (1 row — loop CONTROL, the `isEmpty`-probe class, not
+    * data movement; the accumulated merge table is ≤ rounds rows, i.e.
+    * the size of the tokenizer file this trains) and applied to the
+    * vocab as LITERALS in a map-only projection — no per-round broadcast
+    * exchange, no per-round join. The vocab re-checkpoints every
+    * `checkpointEvery` merges (lazily, so materialization piggybacks on
+    * the next round's collect): between checkpoints the plan chains up
+    * to `checkpointEvery` nested merge-kernel projections, which
+    * CollapseProject fuses into one codegen stage, and the checkpoint
+    * then cuts both plan and lineage — bounded depth at ANY merge count.
+    * (The previous spelling checkpointed per round yet kept a
+    * per-round broadcast-join leg in the plan; past ~100 rounds the
+    * accumulated task graph overflowed the task-deserializer stack.
+    * `tools/TimeBpe` is the regression harness: 1024 rounds must run,
+    * flat, at the per-round floor recorded in BASELINE.md.)
+    *
+    * A corpus that runs out of distinct pairs before `rounds` stops
+    * early (the collect comes back empty). */
+  def learn(df: DataFrame, textCol: String, rounds: Int,
+      checkpointEvery: Int = 8): (DataFrame, DataFrame) = {
     require(rounds >= 1, "learning zero merges is Vocab.wordCounts")
+    require(checkpointEvery >= 1, "checkpoint cadence must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
     val wc = Vocab.wordCounts(df, textCol)
     var words = wc.select(col("word").as("w"), initialSym(col("word")).as("sym"),
         col("cnt"))
       .localCheckpoint(false)
-    val merges = ArrayBuffer.empty[DataFrame]
+    val merges = ArrayBuffer.empty[(Long, String, String, Long)]
     var rnd = 1
     var exhausted = false
     while (rnd <= rounds && !exhausted) {
-      val top = pairCounts(words)
+      val win = pairCounts(words)
         .orderBy(col("pair_cnt").desc, col("l").asc, col("r").asc).limit(1)
-        .select(lit(rnd.toLong).as("merge_round"), col("l").as("left_sym"),
-          col("r").as("right_sym"), col("pair_cnt"))
-        .localCheckpoint(false)
-      if (top.isEmpty) {
+        .collect()
+      if (win.isEmpty) {
         exhausted = true
       } else {
-        merges += top
-        // 1-row side: a STATICALLY bounded broadcast (unlike a vocab- or
-        // bucket-sized frame, which must never carry a static hint)
-        words = words.crossJoin(broadcast(top.select(col("left_sym"),
-            col("right_sym"))))
-          .select(col("w"),
-            BpeExprs.bpeMergePair(col("sym"), col("left_sym"),
-              col("right_sym")).as("sym"),
-            col("cnt"))
-          .localCheckpoint(false)
+        val (l, r, cnt) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        merges += ((rnd.toLong, l, r, cnt))
+        words = words.select(col("w"),
+          BpeExprs.bpeMergePair(col("sym"), lit(l), lit(r)).as("sym"),
+          col("cnt"))
+        if (rnd % checkpointEvery == 0) words = words.localCheckpoint(false)
         rnd += 1
       }
     }
-    // a corpus with no pairs AT ALL (every doc blank or single-symbol)
-    // learns zero merges — return an empty merge table typed by the same
-    // projection the non-empty branch uses, rather than letting reduce
-    // throw on the empty buffer
-    val mergeTable =
-      if (merges.isEmpty)
-        pairCounts(words).limit(0)
-          .select(lit(0L).as("merge_round"), col("l").as("left_sym"),
-            col("r").as("right_sym"), col("pair_cnt"))
-      else merges.reduce(_ unionByName _)
+    // one uniform construction covers the zero-merge corpus too (every
+    // doc blank or single-symbol): an empty driver-built frame with the
+    // same schema as the learned table
+    val mergeTable = merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
     (mergeTable, words)
   }
 

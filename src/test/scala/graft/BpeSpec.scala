@@ -40,6 +40,21 @@ class BpeSpec extends SparkSpec {
     assert(byId(7L) == "hello</w>", "fully merged word passes through")
   }
 
+  test("checkpoint cadence changes cost only: merges identical at every-1 vs every-5") {
+    // the cadence knob bounds plan depth between lineage cuts; the
+    // learned table must be bit-identical regardless (the literal-merge
+    // projections compose associatively between checkpoints)
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+    def run(every: Int) =
+      Bpe.learn(df, "text", rounds = 12, checkpointEvery = every)._1
+        .orderBy("merge_round").as[(Long, String, String, Long)].collect().toSeq
+    val a = run(1)
+    val b = run(5)
+    assert(a.nonEmpty && a == b)
+  }
+
   test("learn matches the Sennrich corpus by hand: merges, order, tiebreaks") {
     // the classic example: low x5, lower x2, newest x6, widest x3.
     // Round-1 pair counts tie at 9 for (e,s),(s,t),(t,</w>) — the binary
