@@ -209,20 +209,32 @@ object Queries10 {
     * vectors within cosine 0.35 of any eval vector (candidates via shared
     * sign-RP band keys, the q47 resolution) are flagged with their best
     * match. See [[graft.ops.Similarity.semanticDecon]]. */
-  val q124SemanticDecon: Q = (spark, dir) => {
+  val q124SemanticDecon: Q = (spark, dir) =>
+    q124SemanticDeconWith(spark, dir, Queries3.rpPlanes, Queries3.rpBits)
+
+  /** [[q124SemanticDecon]] with the band resolution as a parameter — the
+    * q83/q104 precedent: resolution is a deploy-time knob sized by
+    * [[graft.ops.Similarity.lshBitsFor]] from the corpus (the registered
+    * query binds the fixture-sized q47 defaults, which ARE that rule's
+    * output at fixture n); `tools/VerifyScaled` re-derives it for the
+    * scaled fixtures so the 64× hash-proof runs at constant occupancy
+    * instead of the ~4096×-candidate blowup of a fixed 6×6 resolution. */
+  def q124SemanticDeconWith(spark: SparkSession, dir: String,
+      planes: Array[Array[Double]], bits: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val train = e.filter(col("vec_id") % 50 =!= 3L)
     val evalSet = e.filter(col("vec_id") % 50 === 3L)
       .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec"))
     graft.ops.Similarity.semanticDecon(train, "vec_id", "embedding",
-        evalSet, "eval_id", "eval_vec", Queries3.rpPlanes, Queries3.rpBits,
-        threshold = 0.35)
+        evalSet, "eval_id", "eval_vec", planes, bits, threshold = 0.35)
       .orderBy("vec_id")
   }
 
-  val q124Sql: String = {
-    val bits = Queries3.rpBits
-    val planes = Queries3.rpPlanes
+  val q124Sql: String = q124SqlWith(Queries3.rpPlanes, Queries3.rpBits)
+
+  /** Resolution-parameterized oracle SQL generator, paired with
+    * [[q124SemanticDeconWith]] for scaled-fixture correctness runs. */
+  def q124SqlWith(planes: Array[Array[Double]], bits: Int): String = {
     // bucket-key SQL comes from the SAME generator as the q47-family
     // oracles (Queries3.rpKeyExpr/RpQuantExpr) — one spelling to drift
     def keysRel(src: String): String = (0 until planes.length / bits)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{CharShingles, CosineSim, DotProduct, MinHashBandKeys, SimHashMd5, WordShingles, ZInterleave}
+import graft.expr.{BpeMergePair, CharShingles, CosineSim, DotProduct, MinHashBandKeys, SimHashMd5, WordShingles, ZInterleave}
 import graft.functions.HashFns
 
 /** SQL surface for the custom kernels: `spark.sql("SELECT cosine_sim(a, b)")`.
@@ -53,7 +53,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHashMd5(args(0))),
     ("z_interleave",
       new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
-      (args: Seq[Expression]) => ZInterleave(args(0), args(1))))
+      (args: Seq[Expression]) => ZInterleave(args(0), args(1))),
+    ("bpe_merge_pair",
+      new ExpressionInfo(classOf[BpeMergePair].getName, "bpe_merge_pair"),
+      (args: Seq[Expression]) => BpeMergePair(args(0), args(1), args(2))))
 
   /** Register every kernel as a temp SQL function on a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

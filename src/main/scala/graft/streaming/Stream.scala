@@ -222,6 +222,93 @@ object Stream {
         })
   }
 
+  /** Per-bucket state for [[semanticDedupStream]]: the members seen so
+    * far (ids + quantized vectors, parallel lists). */
+  case class BucketMembers(bucket: Long, ids: List[Long],
+      qvecs: List[Array[Long]])
+
+  /** Emitted by [[semanticDedupStream]]: the CURRENT verdict for one
+    * bucket member — same fields and arithmetic as the batch
+    * [[graft.ops.Similarity.semanticDedup]]. */
+  case class SemanticVerdict(id: Long, bucket: Long, n_members: Long,
+      dist2: Long, keep: Boolean)
+
+  /** Streaming semantic dedup — the bucket-keeper form of
+    * [[graft.ops.Similarity.semanticDedup]] (q115) for an arriving
+    * corpus: each vector keys to its sign-RP bucket, per-bucket state
+    * holds the members seen so far, and every micro-batch that touches a
+    * bucket re-emits the bucket's verdicts (Update semantics — the
+    * keeper CAN move as the bucket centroid shifts with new arrivals, so
+    * downstream keeps the LATEST row per id). After the stream drains,
+    * the latest verdicts equal the batch operator's output on the same
+    * rows exactly: the arithmetic is the same integer form
+    * (`q = floor(x·quantScale + 0.5)` longs; `dist2 = Σ_d (n·q_d − S_d)²`),
+    * order-independent, so arrival order and batching cannot change it.
+    *
+    * Scale shape: the stream shuffles once on the bucket key; state per
+    * bucket is occupancy × dim longs — bounded when the band resolution
+    * follows [[graft.ops.Similarity.lshBitsFor]] (~80 members/bucket),
+    * and hard-capped at `maxMembersPerBucket` (beyond the cap new
+    * members are verdict-emitted as non-keepers but NOT admitted to the
+    * sums — the bounded-state price, the [[nearDupFilterStream]]
+    * eviction precedent). Works identically on a batch frame. */
+  def semanticDedupStream(docs: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bits: Int, quantScale: Double = 1000.0,
+      maxMembersPerBucket: Int = 4096): Dataset[SemanticVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * quantScale + 0.5).cast("long")).as("qv"),
+        element_at(graft.expr.VectorExprs.signRpBuckets(
+          col(vecCol), planes, bits, quantScale), 1).as("bucket"))
+      .as[(Long, Seq[Long], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[(Long, Seq[Long], Long)],
+            state: GroupState[BucketMembers]) => {
+          val prev = state.getOption
+          var ids = prev.map(_.ids).getOrElse(Nil)
+          var qvecs = prev.map(_.qvecs).getOrElse(Nil)
+          var overflow = List.empty[Long]
+          // id-sorted admission makes same-batch arrival deterministic
+          rows.toSeq.sortBy(_._1).foreach { case (id, qv, _) =>
+            if (!ids.contains(id)) {
+              if (ids.length < maxMembersPerBucket) {
+                ids = ids :+ id
+                qvecs = qvecs :+ qv.toArray
+              } else overflow = id :: overflow
+            }
+          }
+          state.update(BucketMembers(bucket, ids, qvecs))
+          val n = ids.length.toLong
+          val dim = qvecs.headOption.map(_.length).getOrElse(0)
+          val sums = new Array[Long](dim)
+          qvecs.foreach { q =>
+            var d = 0
+            while (d < dim) { sums(d) += q(d); d += 1 }
+          }
+          val dist2s = qvecs.map { q =>
+            var acc = 0L
+            var d = 0
+            while (d < dim) {
+              val diff = n * q(d) - sums(d)
+              acc += diff * diff
+              d += 1
+            }
+            acc
+          }
+          val keeper =
+            if (ids.isEmpty) -1L
+            else ids.zip(dist2s).minBy { case (id, d2) => (d2, id) }._1
+          val members = ids.lazyZip(dist2s).map { (id, d2) =>
+            SemanticVerdict(id, bucket, n, d2, id == keeper)
+          }
+          (members ++ overflow.map(id =>
+            SemanticVerdict(id, bucket, n, Long.MaxValue, keep = false))).iterator
+        })
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table.
     * The static side is re-planned per micro-batch (so dimension updates
     * between batches are picked up) and broadcasts when small — the

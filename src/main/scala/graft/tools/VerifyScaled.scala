@@ -85,11 +85,12 @@ object VerifyScaled {
         (() => graft.SparkEntry.queries("q122_ivf_recall")(spark, sfDir)),
       "q123_bigram_predictability" ->
         (() => graft.SparkEntry.queries("q123_bigram_predictability")(spark, sfDir)),
-      // q124 binds q47's fixture resolution (6 tables × 6 bits); at 64×
-      // that 1×-resolution occupancy makes cross-set candidates ~4096× —
-      // the documented q47-family caveat — so prove at 8× only
+      // q124 re-derives its band resolution like q83/q104 (the registered
+      // query binds q47's fixture-sized defaults, which are lshBitsFor's
+      // own output at fixture n) — constant occupancy at any k×, so the
+      // 64× hash-proof runs at linear candidate work
       "q124_semantic_decon" ->
-        (() => graft.SparkEntry.queries("q124_semantic_decon")(spark, sfDir)))
+        (() => graft.Queries10.q124SemanticDeconWith(spark, sfDir, planes, bits)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -114,7 +115,7 @@ object VerifyScaled {
       "q122_ivf_recall" -> graft.SparkEntry.oracleSql("q122_ivf_recall"),
       "q123_bigram_predictability" ->
         graft.SparkEntry.oracleSql("q123_bigram_predictability"),
-      "q124_semantic_decon" -> graft.SparkEntry.oracleSql("q124_semantic_decon"))
+      "q124_semantic_decon" -> graft.Queries10.q124SqlWith(planes, bits))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -563,4 +563,52 @@ class ConnectorStreamSpec extends SparkSpec {
       .orderBy("c_mktsegment", "c_custkey").collect().map(_.toSeq).toSeq
     assert(want.nonEmpty && got == want)
   }
+
+  test("streaming semantic dedup parity: bucket-keeper state over micro-batches equals batch q115") {
+    // the last stateful family without a replay parity: SemDeDup-style
+    // bucket thinning as arriving micro-batches. The keeper can MOVE as
+    // new members shift a bucket's centroid, so the stream re-emits the
+    // touched bucket's verdicts each batch (Update mode) and the reader
+    // keeps the latest row per id — after the drain those must equal the
+    // batch operator bit-for-bit (same integer arithmetic, order-free).
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val snap = graft.io.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(300)
+      .collect().toIndexedSeq
+    val cfg = PagedConfig(pageSize = 60, maxPages = 500, limit = 10000,
+      requestDelayMillis = 0L)
+    val client = new PageClient[Row] {
+      def fetchPage(method: String, page: Int): Seq[Row] =
+        snap.slice(page * 60, (page + 1) * 60)
+    }
+    PagedStreamSource.register("fx_semdedup", embSchema, client, cfg,
+      sleep = _ => ())
+    val latest =
+      scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long, Boolean)]
+    val verdicts = graft.streaming.Stream.semanticDedupStream(
+      spark.readStream.format(classOf[PagedStreamProvider].getName)
+        .option("client", "fx_semdedup").load(),
+      "vec_id", "embedding", Queries3.rpPlanes, Queries3.rpBits)
+    val q = verdicts.writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.Stream.SemanticVerdict],
+            _: Long) =>
+          batch.collect().foreach(v =>
+            latest(v.id) = (v.bucket, v.n_members, v.dist2, v.keep))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.ops.Similarity.semanticDedup(
+        spark.createDataFrame(snap.asJava, embSchema),
+        "vec_id", "embedding", Queries3.rpPlanes, Queries3.rpBits)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toMap
+    assert(want.nonEmpty && latest.toMap == want)
+    assert(latest.values.count(_._4) > 1, "multiple buckets, one keeper each")
+  }
 }

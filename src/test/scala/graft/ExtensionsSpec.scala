@@ -48,6 +48,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlV == apiV && sqlV >= 0L && sqlV <= 0xffffffffL)
   }
 
+  test("bpe_merge_pair resolves in SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    Seq(("a a a a </w>", "a", "a")).toDF("sym", "l", "r")
+      .createOrReplaceTempView("bpespec")
+    val sqlV = spark.sql("SELECT bpe_merge_pair(sym, l, r) FROM bpespec")
+      .as[String].head()
+    assert(sqlV == "aa aa </w>", "greedy left-to-right non-overlapping")
+    val apiV = Seq(("a a a a </w>", "a", "a")).toDF("sym", "l", "r")
+      .select(graft.expr.BpeExprs.bpeMergePair($"sym", $"l", $"r"))
+      .as[String].head()
+    assert(sqlV == apiV)
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     GraftExtensions.register(spark)
     Seq(("x", 2)).toDF("t", "n").createOrReplaceTempView("badspec")

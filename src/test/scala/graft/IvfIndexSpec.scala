@@ -41,4 +41,24 @@ class IvfIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("recall audit certifies the SHIPPED index: round-tripped parquet equals in-memory") {
+    // the governance artifact (q122) must hold for the index users
+    // actually query — the partitioned parquet written by writeIvfIndex —
+    // not just the in-memory frame it was built from
+    val dir = Files.createTempDirectory("graft-ivf3").toString
+    val e = io.Tables.embeddings(spark, sfDir)
+    Similarity.writeIvfIndex(e, "label", s"$dir/ivf")
+    val disk = Similarity.readIvfIndex(spark, s"$dir/ivf")
+      .select("vec_id", "embedding", "label") // partition col moves last on disk
+    val qs = e.filter($"vec_id" % 100 === 7L)
+      .select($"vec_id".as("q_id"), $"embedding".as("qvec"))
+    def audit(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfRecallAudit(ix, "vec_id", "embedding", "label",
+          qs, "q_id", "qvec", nprobe = 3, k = 10)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val mem = audit(e)
+    val shipped = audit(disk)
+    assert(mem.nonEmpty && shipped == mem)
+  }
 }
