@@ -65,12 +65,13 @@ object Queries10 {
 
   /** Shared training prefix: word counts (the wordTokens contract, blanks
     * dropped) → per-code-point initial symbols + `</w>` → `Rounds`
-    * unrolled merge rounds. */
-  private def trainCtes: String = {
+    * unrolled merge rounds. `docFilter` (a full `WHERE ...` clause)
+    * restricts the TRAINING corpus — q125 trains on a split. */
+  private def trainCtes(docFilter: String = ""): String = {
     val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
     s"""wc AS MATERIALIZED (SELECT tok AS w, count(*)::BIGINT AS cnt
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |        FROM documents)
+       |        FROM documents $docFilter)
        |  WHERE tok <> '' GROUP BY 1),
        |w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, cnt
        |  FROM wc),
@@ -82,7 +83,7 @@ object Queries10 {
       .map(k => s"SELECT $k::BIGINT AS merge_round, l AS left_sym, " +
         s"r AS right_sym, pair_cnt FROM m$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH $trainCtes
+    s"""WITH ${trainCtes()}
        |$union
        |ORDER BY merge_round""".stripMargin
   }
@@ -102,7 +103,7 @@ object Queries10 {
   }
 
   val q121Sql: String =
-    s"""WITH $trainCtes,
+    s"""WITH ${trainCtes()},
        |tk AS MATERIALIZED (SELECT doc_id, w FROM (
        |    SELECT doc_id,
        |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -124,6 +125,79 @@ object Queries10 {
        |  END::BIGINT AS compression_ppm
        |FROM documents d LEFT JOIN a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------- BPE encode of unseen text
+  /** The BPE ENCODE step q121 only gestures at: train the tokenizer on a
+    * 90% split (doc_id % 10 != 3), then segment the WHOLE corpus — words
+    * absent from the trained vocab run the learned merge list in order
+    * (greedy kernel per merge), so every token gets a real symbol count
+    * instead of being excluded as OOV. See
+    * [[graft.ops.Bpe.segmentCorpus]]. */
+  val q125BpeSegmentNew: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val (merges, words) =
+      Bpe.learn(docs.filter(col("doc_id") % 10 =!= 3L), "text", Rounds)
+    Bpe.segmentCorpus(docs, "doc_id", "text", merges, words)
+      .orderBy("doc_id")
+  }
+
+  /** One APPLICATION-ONLY round of the oracle's encode chain: apply the
+    * already-learned `m$k` to `ov${k - 1}` (no winner selection — the
+    * merge table is fixed at training), same gaps-and-islands greedy
+    * selection as [[roundSql]]. */
+  private def segRoundSql(k: Int): String = {
+    val prev = s"ov${k - 1}"
+    s"""sp$k AS MATERIALIZED (SELECT w, string_split(sym, ' ') AS syms FROM $prev),
+       |pp$k AS MATERIALIZED (SELECT w, syms, i, syms[i] AS s
+       |  FROM sp$k, unnest(generate_series(1, len(syms))) AS g(i)),
+       |dd$k AS MATERIALIZED (SELECT p.w, p.i FROM pp$k p, m$k m
+       |  WHERE p.i < len(p.syms) AND p.s = m.l AND p.syms[p.i + 1] = m.r),
+       |ii$k AS MATERIALIZED (SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |  FROM (SELECT w, i,
+       |          i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+       |        FROM dd$k)),
+       |cc$k AS MATERIALIZED (SELECT w, i FROM ii$k WHERE rn % 2 = 1),
+       |ov$k AS MATERIALIZED (SELECT q.w, string_agg(q.o, ' ' ORDER BY q.i) AS sym
+       |  FROM (SELECT p.w, p.i,
+       |          CASE WHEN c1.i IS NOT NULL THEN (SELECT l || r FROM m$k)
+       |               ELSE p.s END AS o
+       |        FROM pp$k p
+       |        LEFT JOIN cc$k c1 ON c1.w = p.w AND c1.i = p.i
+       |        LEFT JOIN cc$k c2 ON c2.w = p.w AND c2.i = p.i - 1
+       |        WHERE c2.i IS NULL) q
+       |  GROUP BY q.w)""".stripMargin
+  }
+
+  val q125Sql: String = {
+    val segRounds = (1 to Rounds).map(segRoundSql).mkString(",\n")
+    s"""WITH ${trainCtes("WHERE doc_id % 10 != 3")},
+       |alltok AS MATERIALIZED (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |known AS MATERIALIZED (SELECT w, sym FROM w$Rounds),
+       |ov0 AS MATERIALIZED (SELECT w,
+       |    regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+       |  FROM (SELECT DISTINCT w FROM alltok)
+       |  WHERE w NOT IN (SELECT w FROM known)),
+       |$segRounds,
+       |acost AS MATERIALIZED (
+       |  SELECT w, len(string_split(sym, ' '))::BIGINT AS n_sym, 0 AS is_oov FROM known
+       |  UNION ALL
+       |  SELECT w, len(string_split(sym, ' '))::BIGINT, 1 FROM ov$Rounds),
+       |ag AS MATERIALIZED (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(c.is_oov)::BIGINT AS n_oov, sum(c.n_sym)::BIGINT AS n_sym
+       |  FROM alltok t JOIN acost c USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(a.n_oov, 0)::BIGINT AS n_oov_tokens,
+       |  coalesce(a.n_sym, 0)::BIGINT AS n_sym,
+       |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+       |       ELSE a.n_sym * 1000000 // a.n_tokens
+       |  END::BIGINT AS sym_per_token_ppm
+       |FROM documents d LEFT JOIN ag a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // --------------------------------------------------- ANN recall audit
   /** Recall@10 of the IVF route (nprobe 3 of 10 label cells) against exact
@@ -275,12 +349,14 @@ object Queries10 {
     "q121_bpe_compression" -> q121BpeCompression,
     "q122_ivf_recall" -> q122IvfRecall,
     "q123_bigram_predictability" -> q123BigramPredictability,
-    "q124_semantic_decon" -> q124SemanticDecon)
+    "q124_semantic_decon" -> q124SemanticDecon,
+    "q125_bpe_segment_new" -> q125BpeSegmentNew)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
     "q121_bpe_compression" -> q121Sql,
     "q122_ivf_recall" -> q122Sql,
     "q123_bigram_predictability" -> q123Sql,
-    "q124_semantic_decon" -> q124Sql)
+    "q124_semantic_decon" -> q124Sql,
+    "q125_bpe_segment_new" -> q125Sql)
 }

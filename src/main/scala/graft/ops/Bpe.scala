@@ -185,6 +185,75 @@ object Bpe {
           .otherwise(expr("n_sym_after * 1000000L div n_sym_before")))
   }
 
+  /** Segment a word frame under an ALREADY-LEARNED merge list — the BPE
+    * ENCODE step (apply merges in learned order, each with the greedy
+    * left-to-right kernel), the standard way a trained tokenizer handles
+    * words it never saw in training. The merge list is inlined as
+    * literals, `checkpointEvery` merges fused per projection (nested
+    * codegen kernel calls — CollapseProject makes them one stage) with a
+    * lineage cut between batches: bounded plan depth at any merge count,
+    * the [[learn]] discipline. Cost: map-only passes over the word frame
+    * — no joins, no shuffles. Output: the input columns plus `sym`. */
+  def segmentWords(words: DataFrame, wCol: String,
+      merges: Seq[(String, String)], checkpointEvery: Int = 64): DataFrame = {
+    var cur = words.withColumn("sym", initialSym(col(wCol)))
+    merges.grouped(checkpointEvery).foreach { grp =>
+      val folded = grp.foldLeft(col("sym")) { case (s, (l, r)) =>
+        BpeExprs.bpeMergePair(s, lit(l), lit(r))
+      }
+      cur = cur.withColumn("sym", folded)
+      if (merges.size > checkpointEvery) cur = cur.localCheckpoint(false)
+    }
+    cur
+  }
+
+  /** Corpus segmentation under a trained tokenizer — the "train on one
+    * corpus, segment another" report [[compressionStats]] only gestures
+    * at (it EXCLUDES out-of-vocabulary tokens; this segments them):
+    * known words join their trained segmentation from the vocab frame,
+    * OOV words run the learned merge list through [[segmentWords]], and
+    * every token therefore lands a real symbol count. Per document:
+    * `n_tokens`, `n_oov_tokens`, `n_sym` (total symbols under the
+    * tokenizer), and `sym_per_token_ppm = n_sym · 1e6 div n_tokens`
+    * (integer-exact; 0 for empty documents).
+    *
+    * Scale shape: one distinct over the token stream (the |vocab|-sized
+    * shuffle), map-only merge passes over the OOV slice of it, one
+    * hint-free equi-join back onto the token stream (AQE broadcasts
+    * while the segmentation table is small — the [[compressionStats]]
+    * discipline). The merge table is collected to the driver: it is the
+    * tokenizer artifact itself, ≤ `rounds` rows by [[learn]]'s contract
+    * — the same class as the training loop's winner rows, not data. */
+  def segmentCorpus(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, finalWords: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("merge_round"))
+      .select(col("left_sym"), col("right_sym")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = df.select(col(idCol),
+      explode(filter(graft.functions.TextFns.wordTokens(col(textCol)),
+        t => t =!= "")).as("w"))
+    val known = finalWords.select(col("w"), col("sym"))
+    val oov = segmentWords(
+      toks.select(col("w")).distinct().join(known, Seq("w"), "left_anti"),
+      "w", ms)
+    val cost = known.withColumn("is_oov", lit(0L))
+      .unionByName(oov.select(col("w"), col("sym"), lit(1L).as("is_oov")))
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("n_sym"),
+        col("is_oov"))
+    val agg = toks.join(cost, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("is_oov")).as("n_oov_tokens"),
+        sum(col("n_sym")).as("n_sym"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov_tokens"), lit(0L)).as("n_oov_tokens"),
+        coalesce(col("n_sym"), lit(0L)).as("n_sym"))
+      .withColumn("sym_per_token_ppm",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_sym * 1000000L div n_tokens")))
+  }
+
   /** Declarative reference spelling of ONE merge application — the
     * gaps-and-islands form the DuckDB oracle mirrors, kept as the
     * spec-tested contract for the fused kernel

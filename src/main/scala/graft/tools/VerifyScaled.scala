@@ -90,7 +90,9 @@ object VerifyScaled {
       // own output at fixture n) — constant occupancy at any k×, so the
       // 64× hash-proof runs at linear candidate work
       "q124_semantic_decon" ->
-        (() => graft.Queries10.q124SemanticDeconWith(spark, sfDir, planes, bits)))
+        (() => graft.Queries10.q124SemanticDeconWith(spark, sfDir, planes, bits)),
+      "q125_bpe_segment_new" ->
+        (() => graft.SparkEntry.queries("q125_bpe_segment_new")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -115,7 +117,9 @@ object VerifyScaled {
       "q122_ivf_recall" -> graft.SparkEntry.oracleSql("q122_ivf_recall"),
       "q123_bigram_predictability" ->
         graft.SparkEntry.oracleSql("q123_bigram_predictability"),
-      "q124_semantic_decon" -> graft.Queries10.q124SqlWith(planes, bits))
+      "q124_semantic_decon" -> graft.Queries10.q124SqlWith(planes, bits),
+      "q125_bpe_segment_new" ->
+        graft.SparkEntry.oracleSql("q125_bpe_segment_new"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

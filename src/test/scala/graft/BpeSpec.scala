@@ -55,6 +55,40 @@ class BpeSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("segmentCorpus encodes unseen words by the merge list: the 'lowest' hand case") {
+    // train on the Sennrich corpus, segment a doc containing the UNSEEN
+    // word "lowest": l o w e s t </w> --(e,s)-> l o w es t --(es,t)->
+    // l o w est --(est,</w>)-> l o w est</w> --(l,o)-> lo w est</w>
+    // --(lo,w)-> low est</w> --(e,w)-> (no-op) = 2 symbols; plus the
+    // known "low" (1 symbol, "low </w>" is 2) from the trained vocab
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = Seq((1L, corpus.mkString(" "))).toDF("doc_id", "text")
+    val (merges, words) = Bpe.learn(train, "text", rounds = 6)
+    val target = Seq((1L, "low lowest"), (2L, "")).toDF("doc_id", "text")
+    val got = Bpe.segmentCorpus(target, "doc_id", "text", merges, words)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 2 tokens, 1 OOV; "low </w>" = 2 syms + "low est</w>" = 2 syms
+    assert(got == Seq((1L, 2L, 1L, 4L, 2000000L), (2L, 0L, 0L, 0L, 0L)))
+    // and the OOV segmentation itself, directly
+    val seg = Bpe.segmentWords(Seq("lowest").toDF("w"), "w",
+        merges.orderBy("merge_round").as[(Long, String, String, Long)]
+          .collect().map(m => (m._2, m._3)).toSeq)
+      .as[(String, String)].head()
+    assert(seg == ("lowest", "low est</w>"))
+  }
+
+  test("segmentWords checkpoint cadence does not change the segmentation") {
+    val ms = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"),
+      ("lo", "w"))
+    val words = Seq("lowest", "best", "lo").toDF("w")
+    def run(every: Int) =
+      Bpe.segmentWords(words, "w", ms, checkpointEvery = every)
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(2) && run(2) == run(64))
+  }
+
   test("learn matches the Sennrich corpus by hand: merges, order, tiebreaks") {
     // the classic example: low x5, lower x2, newest x6, widest x3.
     // Round-1 pair counts tie at 9 for (e,s),(s,t),(t,</w>) — the binary
