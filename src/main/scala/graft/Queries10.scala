@@ -168,9 +168,13 @@ object Queries10 {
        |  GROUP BY q.w)""".stripMargin
   }
 
-  val q125Sql: String = {
+  /** Shared encode prefix: training chain on `trainFilter`'s split, the
+    * full corpus tokenized (`alltok`), OOV words segmented by the merge
+    * list (`ov$Rounds`), per-word symbol costs (`acost`), per-doc totals
+    * (`ag`) — q125 reads `ag` per document, q126 folds it by language. */
+  private def segmentCtes(trainFilter: String): String = {
     val segRounds = (1 to Rounds).map(segRoundSql).mkString(",\n")
-    s"""WITH ${trainCtes("WHERE doc_id % 10 != 3")},
+    s"""${trainCtes(trainFilter)},
        |alltok AS MATERIALIZED (SELECT doc_id, w FROM (
        |    SELECT doc_id,
        |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -187,7 +191,11 @@ object Queries10 {
        |  SELECT w, len(string_split(sym, ' '))::BIGINT, 1 FROM ov$Rounds),
        |ag AS MATERIALIZED (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
        |    sum(c.is_oov)::BIGINT AS n_oov, sum(c.n_sym)::BIGINT AS n_sym
-       |  FROM alltok t JOIN acost c USING (w) GROUP BY 1)
+       |  FROM alltok t JOIN acost c USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  val q125Sql: String =
+    s"""WITH ${segmentCtes("WHERE doc_id % 10 != 3")}
        |SELECT d.doc_id,
        |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
        |  coalesce(a.n_oov, 0)::BIGINT AS n_oov_tokens,
@@ -197,7 +205,44 @@ object Queries10 {
        |  END::BIGINT AS sym_per_token_ppm
        |FROM documents d LEFT JOIN ag a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------- per-language fertility report
+  /** Tokenizer FERTILITY by language — the multilingual-governance table
+    * a shared tokenizer ships with (symbols per token by language; the
+    * language whose fertility is highest pays the most sequence length
+    * under the shared vocab): train on the WHOLE corpus, segment it, fold
+    * the per-doc totals by the documents table's `lang` column. Same
+    * integer arithmetic as q125, one extra hint-free equi-join (doc_id →
+    * lang) and a |langs|-row aggregation. */
+  val q126TokenizerFertility: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val (merges, words) = Bpe.learn(docs, "text", Rounds)
+    Bpe.segmentCorpus(docs, "doc_id", "text", merges, words)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_oov_tokens")).as("n_oov_tokens"),
+        sum(col("n_sym")).as("n_sym"))
+      .withColumn("fertility_ppm",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_sym * 1000000L div n_tokens")))
+      .orderBy("lang")
   }
+
+  val q126Sql: String =
+    s"""WITH ${segmentCtes("")}
+       |SELECT d.lang,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(coalesce(a.n_tokens, 0))::BIGINT AS n_tokens,
+       |  sum(coalesce(a.n_oov, 0))::BIGINT AS n_oov_tokens,
+       |  sum(coalesce(a.n_sym, 0))::BIGINT AS n_sym,
+       |  CASE WHEN sum(coalesce(a.n_tokens, 0)) = 0 THEN 0
+       |       ELSE sum(coalesce(a.n_sym, 0)) * 1000000 // sum(coalesce(a.n_tokens, 0))
+       |  END::BIGINT AS fertility_ppm
+       |FROM documents d LEFT JOIN ag a USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
 
   // --------------------------------------------------- ANN recall audit
   /** Recall@10 of the IVF route (nprobe 3 of 10 label cells) against exact
@@ -350,7 +395,8 @@ object Queries10 {
     "q122_ivf_recall" -> q122IvfRecall,
     "q123_bigram_predictability" -> q123BigramPredictability,
     "q124_semantic_decon" -> q124SemanticDecon,
-    "q125_bpe_segment_new" -> q125BpeSegmentNew)
+    "q125_bpe_segment_new" -> q125BpeSegmentNew,
+    "q126_tokenizer_fertility" -> q126TokenizerFertility)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
@@ -358,5 +404,6 @@ object Queries10 {
     "q122_ivf_recall" -> q122Sql,
     "q123_bigram_predictability" -> q123Sql,
     "q124_semantic_decon" -> q124Sql,
-    "q125_bpe_segment_new" -> q125Sql)
+    "q125_bpe_segment_new" -> q125Sql,
+    "q126_tokenizer_fertility" -> q126Sql)
 }

@@ -92,7 +92,9 @@ object VerifyScaled {
       "q124_semantic_decon" ->
         (() => graft.Queries10.q124SemanticDeconWith(spark, sfDir, planes, bits)),
       "q125_bpe_segment_new" ->
-        (() => graft.SparkEntry.queries("q125_bpe_segment_new")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q125_bpe_segment_new")(spark, sfDir)),
+      "q126_tokenizer_fertility" ->
+        (() => graft.SparkEntry.queries("q126_tokenizer_fertility")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -119,7 +121,9 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q123_bigram_predictability"),
       "q124_semantic_decon" -> graft.Queries10.q124SqlWith(planes, bits),
       "q125_bpe_segment_new" ->
-        graft.SparkEntry.oracleSql("q125_bpe_segment_new"))
+        graft.SparkEntry.oracleSql("q125_bpe_segment_new"),
+      "q126_tokenizer_fertility" ->
+        graft.SparkEntry.oracleSql("q126_tokenizer_fertility"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -89,6 +89,18 @@ class BpeSpec extends SparkSpec {
     assert(run(1) == run(2) && run(2) == run(64))
   }
 
+  test("q126 fertility invariants: whole-corpus training leaves zero OOV; totals fold") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val got = Queries10.q126TokenizerFertility(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // trained on the SAME corpus it scores: every word is in-vocab
+    assert(got.forall(_.getAs[Long]("n_oov_tokens") == 0L))
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // fertility is symbols per token: >= 1 token's worth wherever text exists
+    assert(got.filter(_.getAs[Long]("n_tokens") > 0L)
+      .forall(_.getAs[Long]("fertility_ppm") >= 1000000L))
+  }
+
   test("learn matches the Sennrich corpus by hand: merges, order, tiebreaks") {
     // the classic example: low x5, lower x2, newest x6, widest x3.
     // Round-1 pair counts tie at 9 for (e,s),(s,t),(t,</w>) — the binary
