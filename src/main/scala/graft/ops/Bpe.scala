@@ -197,12 +197,15 @@ object Bpe {
   def segmentWords(words: DataFrame, wCol: String,
       merges: Seq[(String, String)], checkpointEvery: Int = 64): DataFrame = {
     var cur = words.withColumn("sym", initialSym(col(wCol)))
-    merges.grouped(checkpointEvery).foreach { grp =>
+    val groups = merges.grouped(checkpointEvery).toSeq
+    groups.zipWithIndex.foreach { case (grp, i) =>
       val folded = grp.foldLeft(col("sym")) { case (s, (l, r)) =>
         BpeExprs.bpeMergePair(s, lit(l), lit(r))
       }
       cur = cur.withColumn("sym", folded)
-      if (merges.size > checkpointEvery) cur = cur.localCheckpoint(false)
+      // cut lineage BETWEEN groups only — a trailing checkpoint would pin
+      // the final frame's blocks in executor storage for no depth benefit
+      if (i < groups.size - 1) cur = cur.localCheckpoint(false)
     }
     cur
   }

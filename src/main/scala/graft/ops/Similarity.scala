@@ -418,12 +418,17 @@ object Similarity {
     val approx = ivfKnnJoin(index, idCol, vecCol, labelCol, queries, queryId,
         queryVec, nprobe, k)
       .select(col(queryId), col(idCol))
-    val nExact = exact.groupBy(col(queryId)).agg(count(lit(1)).as("__n_exact"))
-    val hits = exact.join(approx, Seq(queryId, idCol))
-      .groupBy(col(queryId)).agg(count(lit(1)).as("n_hits"))
+    // ONE pass over the exact side yields both counts: left-mark each true
+    // neighbor with whether the approximate route returned it, then count
+    // rows (n_exact) and marks (n_hits) in the same aggregation — the
+    // exact ranking (the audit's cost anchor) is never re-evaluated for a
+    // second consumer
+    val stats = exact
+      .join(approx.withColumn("__hit", lit(1)), Seq(queryId, idCol), "left")
+      .groupBy(col(queryId))
+      .agg(count(lit(1)).as("__n_exact"), count(col("__hit")).as("n_hits"))
     queries.select(col(queryId))
-      .join(hits, Seq(queryId), "left")
-      .join(nExact, Seq(queryId), "left")
+      .join(stats, Seq(queryId), "left")
       .select(col(queryId), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("__n_exact"), lit(0L)).as("__n_exact"))
       .withColumn("recall_ppm",

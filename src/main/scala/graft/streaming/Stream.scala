@@ -268,19 +268,25 @@ object Stream {
         (bucket: Long, rows: Iterator[(Long, Seq[Long], Long)],
             state: GroupState[BucketMembers]) => {
           val prev = state.getOption
-          var ids = prev.map(_.ids).getOrElse(Nil)
-          var qvecs = prev.map(_.qvecs).getOrElse(Nil)
+          // mutable buffers + a hash set for membership keep admission
+          // O(1) amortized — List :+ / .contains would make a bucket fill
+          // quadratic in occupancy
+          val ids = scala.collection.mutable.ArrayBuffer.from(
+            prev.map(_.ids).getOrElse(Nil))
+          val qvecs = scala.collection.mutable.ArrayBuffer.from(
+            prev.map(_.qvecs).getOrElse(Nil))
+          val seen = scala.collection.mutable.HashSet.from(ids)
           var overflow = List.empty[Long]
           // id-sorted admission makes same-batch arrival deterministic
           rows.toSeq.sortBy(_._1).foreach { case (id, qv, _) =>
-            if (!ids.contains(id)) {
+            if (seen.add(id)) {
               if (ids.length < maxMembersPerBucket) {
-                ids = ids :+ id
-                qvecs = qvecs :+ qv.toArray
+                ids += id
+                qvecs += qv.toArray
               } else overflow = id :: overflow
             }
           }
-          state.update(BucketMembers(bucket, ids, qvecs))
+          state.update(BucketMembers(bucket, ids.toList, qvecs.toList))
           val n = ids.length.toLong
           val dim = qvecs.headOption.map(_.length).getOrElse(0)
           val sums = new Array[Long](dim)

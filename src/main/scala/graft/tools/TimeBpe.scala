@@ -3,15 +3,18 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Per-round cost audit for [[graft.ops.Bpe.learn]] at realistic merge
-  * counts: `runMain graft.tools.TimeBpe <sfDir> <rounds> [reps]`.
+  * counts: `runMain graft.tools.TimeBpe <sfDir> <rounds> [reps] [widen]`.
   *
   * The oracle-checked fixture queries run 6 rounds (the DuckDB CTE chain
   * is unrolled per round, so the ORACLE binds small `rounds`); a real
   * tokenizer learns 10^4-10^5 merges, and each round costs one Spark job
   * over the |vocab| frame — so the number that matters at deploy scale is
   * the per-round FLOOR once the loop is warm, not the 6-round total.
-  * Prints total seconds, learned-merge count, and ms/round for each rep;
-  * min over reps is the steady-state number recorded in BASELINE.md.
+  * Prints total seconds, learned-merge count, and ms/round for each rep.
+  * The per-rep ms/round includes the one-time corpus word-count shuffle
+  * and the result-count actions, so the TRUE warm floor is the marginal
+  * cost between two round counts — (t(1024) − t(256)) / 768 — which
+  * BASELINE.md records alongside the per-rep numbers.
   * Same session config as [[graft.Bench]] so numbers are comparable. */
 object TimeBpe {
   def main(args: Array[String]): Unit = {
@@ -38,7 +41,10 @@ object TimeBpe {
       if (widen <= 0) raw
       else raw.withColumn("text", concat_ws(" ",
         transform(split(lower(trim(col("text"))), "\\s+"),
-          t => concat(t, lit("x"), (col("doc_id") % widen).cast("string")))))
+          // suffix only REAL tokens: a blank from consecutive whitespace
+          // must stay blank so wordCounts drops it, same as un-widened
+          t => when(t === "", t)
+            .otherwise(concat(t, lit("x"), (col("doc_id") % widen).cast("string"))))))
     System.err.println(
       s"[timebpe] docs=${docs.count()} rounds=$rounds widen=$widen")
     (1 to reps).foreach { i =>
