@@ -244,6 +244,51 @@ object Queries10 {
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
 
+  // ------------------------------------------- cross-set span-leak audit
+  /** Positional memorization audit: for each held-out eval document
+    * (doc_id % 10 == 3, the q125 split), how many of its 8-token spans
+    * occur verbatim anywhere in the train split, and how widespread the
+    * hottest leak is. See [[graft.ops.Decontaminate.spanLeakAudit]]. */
+  val q127SpanLeakAudit: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Decontaminate.spanLeakAudit(
+        docs.filter(col("doc_id") % 10 =!= 3L), "doc_id",
+        docs.filter(col("doc_id") % 10 === 3L)
+          .select(col("doc_id").as("eval_id"), col("text")),
+        "eval_id", "text", k = 8)
+      .orderBy("eval_id")
+  }
+
+  val q127Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |esp AS (SELECT doc_id AS eval_id, i AS pos,
+      |    md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM t WHERE doc_id % 10 = 3 AND len(toks) >= 8)),
+      |tfp AS (SELECT fp, count(DISTINCT doc_id)::BIGINT AS n_train
+      |  FROM (SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS fp
+      |        FROM (SELECT doc_id, toks,
+      |                unnest(generate_series(1, len(toks) - 7)) AS i
+      |              FROM t WHERE doc_id % 10 != 3 AND len(toks) >= 8))
+      |  GROUP BY fp),
+      |mk AS (SELECT e.eval_id, count(*)::BIGINT AS n_spans,
+      |    sum(CASE WHEN f.n_train IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+      |    coalesce(max(f.n_train), 0)::BIGINT AS mx
+      |  FROM esp e LEFT JOIN tfp f USING (fp) GROUP BY 1)
+      |SELECT d.doc_id AS eval_id,
+      |  coalesce(m.n_spans, 0)::BIGINT AS n_spans,
+      |  coalesce(m.n_leaked, 0)::BIGINT AS n_leaked_spans,
+      |  coalesce(m.mx, 0)::BIGINT AS max_span_train_docs,
+      |  CASE WHEN coalesce(m.n_spans, 0) = 0 THEN 0
+      |       ELSE m.n_leaked * 1000000 // m.n_spans
+      |  END::BIGINT AS leak_ppm
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 3) d
+      |LEFT JOIN mk m ON m.eval_id = d.doc_id
+      |ORDER BY eval_id""".stripMargin
+
   // --------------------------------------------------- ANN recall audit
   /** Recall@10 of the IVF route (nprobe 3 of 10 label cells) against exact
     * brute force, per query of a bounded sample (every 100th vec_id) — the
@@ -396,7 +441,8 @@ object Queries10 {
     "q123_bigram_predictability" -> q123BigramPredictability,
     "q124_semantic_decon" -> q124SemanticDecon,
     "q125_bpe_segment_new" -> q125BpeSegmentNew,
-    "q126_tokenizer_fertility" -> q126TokenizerFertility)
+    "q126_tokenizer_fertility" -> q126TokenizerFertility,
+    "q127_span_leak_audit" -> q127SpanLeakAudit)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
@@ -405,5 +451,6 @@ object Queries10 {
     "q123_bigram_predictability" -> q123Sql,
     "q124_semantic_decon" -> q124Sql,
     "q125_bpe_segment_new" -> q125Sql,
-    "q126_tokenizer_fertility" -> q126Sql)
+    "q126_tokenizer_fertility" -> q126Sql,
+    "q127_span_leak_audit" -> q127Sql)
 }

@@ -108,6 +108,55 @@ object Decontaminate {
       .drop("__drop_id", "__gate_id")
   }
 
+  /** Cross-set span-leak audit — the POSITIONAL memorization report the
+    * flag-style decon family doesn't give: for each EVAL document, how
+    * many of its `k`-token spans occur verbatim in ANY train document
+    * (the Lee et al. 2022 substring-leak lens applied cross-set), plus
+    * the hottest leaked span's train-document frequency. Where
+    * [[bloomDropList]] answers "which TRAIN docs must go", this answers
+    * the eval-governance question "how contaminated is each benchmark
+    * item, and how widespread is its worst leak".
+    *
+    * Output per eval row: `n_spans`, `n_leaked_spans`,
+    * `max_span_train_docs` (distinct train docs containing the most
+    * widespread leaked span; 0 when clean), and
+    * `leak_ppm = n_leaked_spans · 1e6 div n_spans` (0 for sub-k docs).
+    *
+    * Scale shape: spans collapse to md5 fingerprints in the SAME
+    * projection that generates them (the q119 discipline — span text
+    * never reaches an exchange), the train side reduces to
+    * (fp → distinct-doc count) in one fp-keyed hash aggregation BEFORE
+    * any join (O(1) buffer per distinct span), and the audit join is a
+    * hint-free fp equi-join against the eval span stream — never
+    * train × eval, and AQE broadcasts the eval side when the benchmark
+    * is small. Fingerprint equality stands in for span equality (md5,
+    * the q119/q104 convention). */
+  def spanLeakAudit(train: DataFrame, trainId: String, evalSet: DataFrame,
+      evalId: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "a 1-token span leak is vocabulary overlap")
+    def spans(df: DataFrame, id: String): DataFrame =
+      df.select(col(id),
+          posexplode(TextExprs.wordSpans(col(textCol), k)).as(Seq("pos0", "span")))
+        .select(col(id), (col("pos0") + 1).cast("long").as("pos"),
+          graft.functions.HashFns.md5Hex(col("span")).as("fp"))
+    val trainFp = spans(train, trainId)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col(trainId)).as("__n_train"))
+    val marked = spans(evalSet, evalId).join(trainFp, Seq("fp"), "left")
+      .groupBy(col(evalId))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("__n_train")).as("n_leaked_spans"),
+        coalesce(max(col("__n_train")), lit(0L)).as("max_span_train_docs"))
+    evalSet.select(col(evalId)).join(marked, Seq(evalId), "left")
+      .select(col(evalId),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_leaked_spans"), lit(0L)).as("n_leaked_spans"),
+        coalesce(col("max_span_train_docs"), lit(0L)).as("max_span_train_docs"))
+      .withColumn("leak_ppm",
+        when(col("n_spans") === 0L, lit(0L))
+          .otherwise(expr("n_leaked_spans * 1000000L div n_spans")))
+  }
+
   /** The no-bloom exact spelling of [[bloomDropList]] — the verifier the
     * spec holds the two-phase plan against (they must be row-identical on
     * ANY input; the bloom only prunes). */

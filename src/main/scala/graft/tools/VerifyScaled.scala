@@ -94,7 +94,9 @@ object VerifyScaled {
       "q125_bpe_segment_new" ->
         (() => graft.SparkEntry.queries("q125_bpe_segment_new")(spark, sfDir)),
       "q126_tokenizer_fertility" ->
-        (() => graft.SparkEntry.queries("q126_tokenizer_fertility")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q126_tokenizer_fertility")(spark, sfDir)),
+      "q127_span_leak_audit" ->
+        (() => graft.SparkEntry.queries("q127_span_leak_audit")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -123,7 +125,9 @@ object VerifyScaled {
       "q125_bpe_segment_new" ->
         graft.SparkEntry.oracleSql("q125_bpe_segment_new"),
       "q126_tokenizer_fertility" ->
-        graft.SparkEntry.oracleSql("q126_tokenizer_fertility"))
+        graft.SparkEntry.oracleSql("q126_tokenizer_fertility"),
+      "q127_span_leak_audit" ->
+        graft.SparkEntry.oracleSql("q127_span_leak_audit"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

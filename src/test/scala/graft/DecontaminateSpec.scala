@@ -9,6 +9,28 @@ import graft.ops.{Components, Decontaminate}
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spanLeakAudit hand corpus: leaked span found, position math, hottest-leak count") {
+    // train: two docs sharing the 4-token span "a b c d"; eval doc 10
+    // embeds that span once among 6 tokens -> 3 spans, 1 leaked, hottest
+    // leak appears in 2 train docs; eval doc 11 is clean; doc 12 sub-k
+    val train = Seq(
+      (1L, "a b c d x y"),
+      (2L, "z a b c d"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "w a b c d v"),
+      (11L, "m n o p q r"),
+      (12L, "a b")).toDF("eval_id", "text")
+    val got = Decontaminate.spanLeakAudit(train, "doc_id", evalSet, "eval_id",
+        "text", k = 4)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 3L, 1L, 2L, 333333L),
+      (11L, 3L, 0L, 0L, 0L),
+      (12L, 0L, 0L, 0L, 0L)))
+  }
+
   test("bloomDropList equals the exact no-bloom spelling (bloom only prunes)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bloom = Decontaminate.bloomDropList(docs, "doc_id", "text", n = 5)
