@@ -368,6 +368,61 @@ object Queries10 {
       |FROM documents d LEFT JOIN sc s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------- trigram backoff predictability
+  /** Held-out LM quality score: stupid-backoff trigram predictability of
+    * EVERY document against counts from the train split only (doc_id %
+    * 10 != 3) — unseen trigrams back off through the bigram to the
+    * unigram with α = 0.4 in integer ppm, so held-out docs full of
+    * LM-unseen text actually score low (q123's self-scored bigram can
+    * never see an unseen n-gram). See
+    * [[graft.ops.Vocab.trigramBackoffPredictability]]. */
+  val q128TrigramBackoff: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Vocab.trigramBackoffPredictability(docs, "doc_id", "text",
+        lm = docs.filter(col("doc_id") % 10 =!= 3L))
+      .orderBy("doc_id")
+  }
+
+  val q128Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |luni AS (SELECT tok AS w, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(toks) AS tok FROM t WHERE doc_id % 10 != 3)
+      |  WHERE tok <> '' GROUP BY 1),
+      |tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_lm FROM luni),
+      |lbg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg, count(*)::BIGINT AS cnt
+      |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE doc_id % 10 != 3 AND len(toks) >= 2 GROUP BY 1),
+      |ltr AS (SELECT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg,
+      |    count(*)::BIGINT AS cnt
+      |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+      |  WHERE doc_id % 10 != 3 AND len(toks) >= 3 GROUP BY 1),
+      |dtg AS (SELECT doc_id,
+      |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tg,
+      |    toks[i] || ' ' || toks[i + 1] AS pfx,
+      |    toks[i + 1] || ' ' || toks[i + 2] AS suf,
+      |    toks[i + 1] AS w2, toks[i + 2] AS w3
+      |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+      |  WHERE len(toks) >= 3),
+      |sc AS (SELECT d.doc_id, count(*)::BIGINT AS n_trigrams,
+      |    sum(CASE WHEN tr.cnt IS NOT NULL THEN tr.cnt * 1000000 // pb.cnt
+      |             WHEN sb.cnt IS NOT NULL THEN sb.cnt * 400000 // u2.cnt
+      |             WHEN u3.cnt IS NOT NULL THEN u3.cnt * 160000 // (SELECT n_lm FROM tot)
+      |             ELSE 0 END)::BIGINT AS ps
+      |  FROM dtg d
+      |  LEFT JOIN ltr tr ON tr.tg = d.tg
+      |  LEFT JOIN lbg pb ON pb.bg = d.pfx
+      |  LEFT JOIN lbg sb ON sb.bg = d.suf
+      |  LEFT JOIN luni u2 ON u2.w = d.w2
+      |  LEFT JOIN luni u3 ON u3.w = d.w3
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_trigrams, 0)::BIGINT AS n_trigrams,
+      |  coalesce(s.ps // s.n_trigrams, 0)::BIGINT AS mean_p_ppm
+      |FROM documents d LEFT JOIN sc s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------- embedding-space decontamination
   /** Semantic benchmark decon: every 50th vector plays the eval set; train
     * vectors within cosine 0.35 of any eval vector (candidates via shared
@@ -442,7 +497,8 @@ object Queries10 {
     "q124_semantic_decon" -> q124SemanticDecon,
     "q125_bpe_segment_new" -> q125BpeSegmentNew,
     "q126_tokenizer_fertility" -> q126TokenizerFertility,
-    "q127_span_leak_audit" -> q127SpanLeakAudit)
+    "q127_span_leak_audit" -> q127SpanLeakAudit,
+    "q128_trigram_backoff" -> q128TrigramBackoff)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
@@ -452,5 +508,6 @@ object Queries10 {
     "q124_semantic_decon" -> q124Sql,
     "q125_bpe_segment_new" -> q125Sql,
     "q126_tokenizer_fertility" -> q126Sql,
-    "q127_span_leak_audit" -> q127Sql)
+    "q127_span_leak_audit" -> q127Sql,
+    "q128_trigram_backoff" -> q128Sql)
 }

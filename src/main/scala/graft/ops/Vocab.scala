@@ -323,4 +323,73 @@ object Vocab {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("__ps div n_bigrams"), lit(0L)).as("mean_p_ppm"))
   }
+
+  /** Stupid-backoff trigram predictability (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the score function built
+    * for exactly this setting: corpus-count LMs too large to smooth):
+    * per document, the mean over its trigram occurrences of
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if the trigram is in the LM
+    *              = α · c(w2w3)/c(w2)            else if the bigram is
+    *              = α² · c(w3)/N                 else if the unigram is
+    *              = 0                            else
+    *
+    * with α = 0.4 (`alphaPpm`), all in integer ppm — engine-exact, no
+    * floats, no logs. Unlike [[bigramPredictability]] (which scores a
+    * corpus against its own counts, so nothing is ever unseen), the LM
+    * counts come from a SEPARATE `lm` frame — score held-out docs
+    * against a train split and the backoff chain actually fires, which
+    * is the quality signal: held-out text full of LM-unseen trigrams
+    * scores low, the integer stand-in for held-out perplexity.
+    *
+    * Scale shape: three map-side-combined aggregations over the LM
+    * corpus (tri/bi/uni count tables, vocab-sized), one 1-row total
+    * (statically bounded broadcast — the grand-total precedent), and the
+    * scored corpus joins the count tables hint-free on span keys (AQE
+    * broadcasts while the LM head fits; co-partitioned joins past it).
+    * Branch denominators are never null when their branch fires: a seen
+    * trigram implies its prefix bigram is seen, a seen bigram implies
+    * its middle unigram. */
+  def trigramBackoffPredictability(df: DataFrame, idCol: String,
+      textCol: String, lm: DataFrame, alphaPpm: Long = 400000L): DataFrame = {
+    val alpha2Ppm = alphaPpm * alphaPpm / 1000000L
+    val uni = wordCounts(lm, textCol)
+      .select(col("word").as("w"), col("cnt").as("u_cnt"))
+    val total = uni.agg(coalesce(sum(col("u_cnt")), lit(0L)).as("n_lm"))
+    val bg = lm.select(
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+    val tri = lm.select(
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("tri_cnt"))
+    val scored = df.select(col(idCol),
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), 3)).as("tg"))
+      .withColumn("pfx", substring_index(col("tg"), " ", 2))
+      .withColumn("suf", substring_index(col("tg"), " ", -2))
+      .join(tri, Seq("tg"), "left")
+      .join(bg.select(col("bg").as("pfx"), col("bg_cnt").as("pfx_cnt")),
+        Seq("pfx"), "left")
+      .join(bg.select(col("bg").as("suf"), col("bg_cnt").as("suf_cnt")),
+        Seq("suf"), "left")
+      .withColumn("w2", substring_index(col("suf"), " ", 1))
+      .join(uni.select(col("w").as("w2"), col("u_cnt").as("w2_cnt")),
+        Seq("w2"), "left")
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      .join(uni.select(col("w").as("w3"), col("u_cnt").as("w3_cnt")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p_ppm",
+        when(col("tri_cnt").isNotNull, expr("tri_cnt * 1000000L div pfx_cnt"))
+          .when(col("suf_cnt").isNotNull,
+            expr(s"suf_cnt * ${alphaPpm}L div w2_cnt"))
+          .when(col("w3_cnt").isNotNull,
+            expr(s"w3_cnt * ${alpha2Ppm}L div n_lm"))
+          .otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("p_ppm")).as("__ps"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(expr("__ps div n_trigrams"), lit(0L)).as("mean_p_ppm"))
+  }
 }

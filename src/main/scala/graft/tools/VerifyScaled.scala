@@ -96,7 +96,9 @@ object VerifyScaled {
       "q126_tokenizer_fertility" ->
         (() => graft.SparkEntry.queries("q126_tokenizer_fertility")(spark, sfDir)),
       "q127_span_leak_audit" ->
-        (() => graft.SparkEntry.queries("q127_span_leak_audit")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q127_span_leak_audit")(spark, sfDir)),
+      "q128_trigram_backoff" ->
+        (() => graft.SparkEntry.queries("q128_trigram_backoff")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -127,7 +129,9 @@ object VerifyScaled {
       "q126_tokenizer_fertility" ->
         graft.SparkEntry.oracleSql("q126_tokenizer_fertility"),
       "q127_span_leak_audit" ->
-        graft.SparkEntry.oracleSql("q127_span_leak_audit"))
+        graft.SparkEntry.oracleSql("q127_span_leak_audit"),
+      "q128_trigram_backoff" ->
+        graft.SparkEntry.oracleSql("q128_trigram_backoff"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -89,6 +89,21 @@ class BpeSpec extends SparkSpec {
     assert(run(1) == run(2) && run(2) == run(64))
   }
 
+  test("BPE consistency: replaying the merge list reproduces the trained segmentation") {
+    // the encode/train agreement theorem: for every TRAINING word,
+    // segmentWords (apply merges in learned order) must land exactly the
+    // segmentation the incremental trainer left in the vocab frame —
+    // greedy application order is the only thing that makes this hold
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val (merges, words) = Bpe.learn(docs, "text", rounds = 6)
+    val ms = merges.orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    val replayed = Bpe.segmentWords(words.select($"w"), "w", ms)
+      .as[(String, String)].collect().toMap
+    val trained = words.select($"w", $"sym").as[(String, String)].collect().toMap
+    assert(trained.nonEmpty && replayed == trained)
+  }
+
   test("q126 fertility invariants: whole-corpus training leaves zero OOV; totals fold") {
     val docs = graft.io.Tables.documents(spark, sfDir)
     val got = Queries10.q126TokenizerFertility(spark, sfDir).collect()

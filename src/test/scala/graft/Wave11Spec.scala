@@ -56,6 +56,28 @@ class Wave11Spec extends SparkSpec {
     assert(out(4L) == ((0L, 0L)) && out(5L) == ((0L, 0L)))
   }
 
+  test("trigramBackoffPredictability: every backoff branch, by hand") {
+    // LM (train): "a b c" x2, "a b d" -> tri: abc:2 abd:1; bg: ab:3 bc:2 bd:1;
+    // uni: a:3 b:3 c:2 d:1; N=9
+    val lm = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    // scored docs exercise each branch:
+    //  10: "a b c"  -> tri seen:  2*1e6 div 3            = 666666
+    //  11: "x a b d" -> tg "x a b" unseen, suf "a b" seen: 3*400000 div 3 = 400000
+    //                  tg "a b d" seen: 1*1e6 div 3       = 333333; mean = 366666
+    //  12: "x y c"  -> tri+suf unseen, w3 "c" seen: 2*160000 div 9 = 35555
+    //  13: "x y z"  -> nothing seen -> 0
+    //  14: "a b"    -> no trigrams -> (0, 0)
+    val docs = Seq((10L, "a b c"), (11L, "x a b d"), (12L, "x y c"),
+      (13L, "x y z"), (14L, "a b")).toDF("doc_id", "text")
+    val out = Vocab.trigramBackoffPredictability(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((1L, 666666L)))
+    assert(out(11L) == ((2L, (400000L + 333333L) / 2)))
+    assert(out(12L) == ((1L, 35555L)))
+    assert(out(13L) == ((1L, 0L)))
+    assert(out(14L) == ((0L, 0L)))
+  }
+
   test("wave-11 plans: equi-join pipelines only, spans stay codegen") {
     // executed-plan audit pinned: AQE broadcasts the vocab-sized count
     // tables, every join is an equi-join — a CartesianProduct here would
