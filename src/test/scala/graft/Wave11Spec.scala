@@ -82,7 +82,9 @@ class Wave11Spec extends SparkSpec {
     // executed-plan audit pinned: AQE broadcasts the vocab-sized count
     // tables, every join is an equi-join — a CartesianProduct here would
     // mean a join key was lost in a refactor
-    Seq("q121_bpe_compression", "q123_bigram_predictability").foreach { q =>
+    Seq("q121_bpe_compression", "q123_bigram_predictability",
+        "q125_bpe_segment_new", "q126_tokenizer_fertility",
+        "q127_span_leak_audit", "q128_trigram_backoff").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
