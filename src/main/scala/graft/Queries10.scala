@@ -245,7 +245,7 @@ object Queries10 {
        |ORDER BY d.lang""".stripMargin
 
   // ------------------------------------------- cross-set span-leak audit
-  /** Positional memorization audit: for each held-out eval document
+  /** Span-granular memorization audit: for each held-out eval document
     * (doc_id % 10 == 3, the q125 split), how many of its 8-token spans
     * occur verbatim anywhere in the train split, and how widespread the
     * hottest leak is. See [[graft.ops.Decontaminate.spanLeakAudit]]. */

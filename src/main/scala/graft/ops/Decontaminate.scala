@@ -108,10 +108,10 @@ object Decontaminate {
       .drop("__drop_id", "__gate_id")
   }
 
-  /** Cross-set span-leak audit — the POSITIONAL memorization report the
-    * flag-style decon family doesn't give: for each EVAL document, how
-    * many of its `k`-token spans occur verbatim in ANY train document
-    * (the Lee et al. 2022 substring-leak lens applied cross-set), plus
+  /** Cross-set span-leak audit — the SPAN-GRANULAR memorization report
+    * the flag-style decon family doesn't give: for each EVAL document,
+    * how many of its `k`-token spans occur verbatim in ANY train
+    * document (the Lee et al. 2022 substring-leak lens cross-set), plus
     * the hottest leaked span's train-document frequency. Where
     * [[bloomDropList]] answers "which TRAIN docs must go", this answers
     * the eval-governance question "how contaminated is each benchmark
@@ -136,9 +136,8 @@ object Decontaminate {
     require(k >= 2, "a 1-token span leak is vocabulary overlap")
     def spans(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
-          posexplode(TextExprs.wordSpans(col(textCol), k)).as(Seq("pos0", "span")))
-        .select(col(id), (col("pos0") + 1).cast("long").as("pos"),
-          graft.functions.HashFns.md5Hex(col("span")).as("fp"))
+          explode(TextExprs.wordSpans(col(textCol), k)).as("span"))
+        .select(col(id), graft.functions.HashFns.md5Hex(col("span")).as("fp"))
     val trainFp = spans(train, trainId)
       .groupBy(col("fp"))
       .agg(countDistinct(col(trainId)).as("__n_train"))
