@@ -248,4 +248,61 @@ class PropertySpec extends SparkSpec {
         "each merge removes exactly one delimiter and one token")
     }
   }
+
+  private val corpusDocGen: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ab", "cd", "abc", "dd")).map(_.mkString(" ")))
+
+  test("spanLeakAudit equals a driver-side brute force on random corpora") {
+    def spansOf(s: String, k: Int): Seq[String] = {
+      val t = s.toLowerCase.trim.split("\\s+", -1).toSeq
+      if (t.length < k) Seq.empty else t.sliding(k).map(_.mkString(" ")).toSeq
+    }
+    val k = 2
+    forAll(Gen.listOfN(4, corpusDocGen), Gen.listOfN(3, corpusDocGen)) {
+      (trainTexts, evalTexts) =>
+        val train = trainTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val evalSet = evalTexts.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("eval_id", "text")
+        val got = graft.ops.Decontaminate
+          .spanLeakAudit(train, "doc_id", evalSet, "eval_id", "text", k)
+          .as[(Long, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        val trainDocsPerSpan = trainTexts.zipWithIndex
+          .flatMap { case (t, i) => spansOf(t, k).map(_ -> i) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+        evalTexts.zipWithIndex.foreach { case (t, i) =>
+          val ss = spansOf(t, k)
+          val leaked = ss.filter(trainDocsPerSpan.contains)
+          val mx = leaked.map(trainDocsPerSpan).maxOption.getOrElse(0L)
+          val ppm =
+            if (ss.isEmpty) 0L else leaked.size.toLong * 1000000L / ss.size
+          assert(got(100L + i) ==
+            ((ss.size.toLong, leaked.size.toLong, mx, ppm)),
+            s"eval doc '$t' vs train $trainTexts")
+        }
+    }
+  }
+
+  test("BPE encode/train consistency holds on random corpora") {
+    // for ANY corpus: replaying the learned merge list over the training
+    // vocabulary reproduces the trainer's segmentations — the greedy
+    // application order is the entire content of this theorem, so it
+    // guards both the kernel and the learn loop at once
+    forAll(Gen.listOfN(4, corpusDocGen)) { texts =>
+      whenever(texts.exists(_.nonEmpty)) {
+        val df = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val (merges, words) = graft.ops.Bpe.learn(df, "text", rounds = 4)
+        val ms = merges.orderBy("merge_round")
+          .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+        val replayed = graft.ops.Bpe.segmentWords(words.select($"w"), "w", ms)
+          .as[(String, String)].collect().toMap
+        val trained = words.select($"w", $"sym").as[(String, String)]
+          .collect().toMap
+        assert(replayed == trained, s"corpus $texts merges $ms")
+      }
+    }
+  }
 }
