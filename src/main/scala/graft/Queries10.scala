@@ -368,6 +368,62 @@ object Queries10 {
       |FROM documents d LEFT JOIN sc s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- packing-efficiency report
+  /** Sequence-capacity planning: q62's offset-division packing swept over
+    * candidate training sequence lengths (128/256/512/1024) in ONE plan —
+    * the per-source token cumsum is capacity-independent, so the window
+    * runs once and the capacity column explodes AFTER it; each capacity
+    * then costs one hash aggregation, not a corpus re-scan. Per
+    * capacity: pack count, token total (invariant), packs under 50%
+    * full, and the overall fill ratio in ppm — the table a training
+    * pipeline reads to pick max_seq_len (throughput = fill ratio;
+    * shorter sequences pack tighter but cost more attention windows). */
+  val q129PackingEfficiency: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val ch = graft.ops.Chunk.tokenChunks(d, "doc_id", "text", 64, 64)
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ch.join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("n_tok"), sum(col("n_tok")).over(w).as("cum_tok"))
+      .select(col("source"), col("n_tok"), col("cum_tok"),
+        explode(array(Seq(128L, 256L, 512L, 1024L).map(lit): _*)).as("capacity"))
+      .groupBy(col("capacity"), col("source"),
+        expr("(cum_tok - n_tok) div capacity").as("pack_id"))
+      .agg(sum(col("n_tok")).as("pk_tok"))
+      .groupBy(col("capacity"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("pk_tok")).as("n_tokens"),
+        count(when(col("pk_tok") * 2 < col("capacity"), 1)).as("n_underfull"))
+      .withColumn("fill_ppm", expr("n_tokens * 1000000L div (n_packs * capacity)"))
+      .orderBy("capacity")
+  }
+
+  val q129Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id, ((i - 1) // 64)::BIGINT AS chunk_id,
+      |    len(string_split(array_to_string(list_slice(tk, i::INT, (i + 63)::INT), ' '), ' '))::BIGINT AS n_tok
+      |  FROM t, unnest(generate_series(1, greatest(len(tk), 1), 64)) AS u(i)),
+      |j AS (
+      |  SELECT d.source, c.n_tok,
+      |    sum(c.n_tok) OVER (PARTITION BY d.source ORDER BY c.doc_id, c.chunk_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM c JOIN documents d ON d.doc_id = c.doc_id),
+      |e AS (SELECT j.*, cap FROM j, unnest([128, 256, 512, 1024]) AS u(cap)),
+      |p AS (SELECT cap, source, ((cum_tok - n_tok) // cap)::BIGINT AS pack_id,
+      |    sum(n_tok)::BIGINT AS pk_tok
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT cap::BIGINT AS capacity,
+      |  count(*)::BIGINT AS n_packs,
+      |  sum(pk_tok)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN pk_tok * 2 < cap THEN 1 ELSE 0 END)::BIGINT AS n_underfull,
+      |  (sum(pk_tok) * 1000000 // (count(*) * cap))::BIGINT AS fill_ppm
+      |FROM p GROUP BY cap
+      |ORDER BY capacity""".stripMargin
+
   // --------------------------------- trigram backoff predictability
   /** Held-out LM quality score: stupid-backoff trigram predictability of
     * EVERY document against counts from the train split only (doc_id %
@@ -498,7 +554,8 @@ object Queries10 {
     "q125_bpe_segment_new" -> q125BpeSegmentNew,
     "q126_tokenizer_fertility" -> q126TokenizerFertility,
     "q127_span_leak_audit" -> q127SpanLeakAudit,
-    "q128_trigram_backoff" -> q128TrigramBackoff)
+    "q128_trigram_backoff" -> q128TrigramBackoff,
+    "q129_packing_efficiency" -> q129PackingEfficiency)
 
   val oracle: Map[String, String] = Map(
     "q120_bpe_merges" -> q120Sql,
@@ -509,5 +566,6 @@ object Queries10 {
     "q125_bpe_segment_new" -> q125Sql,
     "q126_tokenizer_fertility" -> q126Sql,
     "q127_span_leak_audit" -> q127Sql,
-    "q128_trigram_backoff" -> q128Sql)
+    "q128_trigram_backoff" -> q128Sql,
+    "q129_packing_efficiency" -> q129Sql)
 }

@@ -98,7 +98,9 @@ object VerifyScaled {
       "q127_span_leak_audit" ->
         (() => graft.SparkEntry.queries("q127_span_leak_audit")(spark, sfDir)),
       "q128_trigram_backoff" ->
-        (() => graft.SparkEntry.queries("q128_trigram_backoff")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q128_trigram_backoff")(spark, sfDir)),
+      "q129_packing_efficiency" ->
+        (() => graft.SparkEntry.queries("q129_packing_efficiency")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -131,7 +133,9 @@ object VerifyScaled {
       "q127_span_leak_audit" ->
         graft.SparkEntry.oracleSql("q127_span_leak_audit"),
       "q128_trigram_backoff" ->
-        graft.SparkEntry.oracleSql("q128_trigram_backoff"))
+        graft.SparkEntry.oracleSql("q128_trigram_backoff"),
+      "q129_packing_efficiency" ->
+        graft.SparkEntry.oracleSql("q129_packing_efficiency"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

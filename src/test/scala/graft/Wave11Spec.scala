@@ -78,6 +78,19 @@ class Wave11Spec extends SparkSpec {
     assert(out(14L) == ((0L, 0L)))
   }
 
+  test("q129 packing sweep invariants: token total invariant, pack count monotone") {
+    val rows = SparkEntry.queries("q129_packing_efficiency")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(128L, 256L, 512L, 1024L))
+    // the corpus token total cannot depend on how it is packed
+    assert(rows.map(_._3).distinct.size == 1)
+    // doubling the capacity can only reduce (or keep) the pack count
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+    // fill is a ratio of totals: positive, and straddling chunks can
+    // push it only marginally past 1e6
+    assert(rows.forall(r => r._5 > 0L && r._5 < 1100000L))
+  }
+
   test("wave-11 plans: equi-join pipelines only, spans stay codegen") {
     // executed-plan audit pinned: AQE broadcasts the vocab-sized count
     // tables, every join is an equi-join — a CartesianProduct here would
