@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality over an edge list — the curation signal the
+  * id-list "graph-lite" columns of the reference gesture at (reference:
+  * PLATFORM-contextual-Chunking.py:83-114 builds a similar-posts adjacency;
+  * ranking THAT graph finds the prototypical documents a curator samples
+  * first and the isolated outliers a quality gate inspects).
+  *
+  * The fixed-iteration power method is the [[Components]] sibling: each
+  * round is one equi-join of the rank frame onto the edge list plus one
+  * map-side-combined aggregation — never a cross product, never a driver
+  * loop over rows. Ranks live in integer parts-per-billion with damping
+  * applied as exact integer arithmetic (`r·17 div 20` for d = 0.85), so
+  * every round — and therefore the fixed point of any round count — is
+  * bitwise identical on any engine and any partitioning.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over directed `edges(srcCol,
+    * dstCol)`, integer-exact in ppb units:
+    *
+    *   r₀(v)    = 1e9 div N
+    *   rₜ₊₁(v)  = (1e9·(20−17)) div (20·N)  +  Σ_{u→v} (rₜ(u)·17 div 20) div outdeg(u)
+    *
+    * (damping 0.85 = 17/20 exactly; each u splits its damped rank evenly
+    * across its out-edges by integer division, so total mass only ever
+    * leaks DOWNWARD by the sub-ppb flooring remainders — deterministic,
+    * not drifting). The node set is the union of sources and targets;
+    * a node with no in-edges settles at the teleport floor. Dangling
+    * nodes (no out-edges) simply retire their mass — the uncollected-
+    * remainder convention, documented rather than redistributed, which
+    * keeps every round a single join + aggregate.
+    *
+    * Scale shape: the edge list is the big side and is touched once per
+    * round through an equi-join on `srcCol`; the rank frame is |V| rows.
+    * Lineage is cut every round (lazy localCheckpoint, the [[Components]]
+    * discipline) so deep iteration counts neither replan nor re-execute
+    * the whole chain per action.
+    *
+    * Output: (node, rank_ppb, in_degree, out_degree). */
+  def pageRankPpb(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    // the edge list enters the plan every round (plus the degree sides) —
+    // materialize it once so an expensive edge construction (a kNN route)
+    // isn't re-executed per iteration (persist() at cluster scale)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(eager = false)
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val indeg = e.groupBy(col("__dst")).agg(count(lit(1)).as("__id"))
+    val nodes = e.select(col("__src").as("__v"))
+      .union(e.select(col("__dst").as("__v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // N is a loop-bound scalar (the q120 isEmpty class): one job, |V| → 1
+    val n = nodes.count()
+    var rank = nodes.withColumn("__r", expr(s"1000000000L div ${n}L"))
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(e, col("__v") === col("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst").as("__v"),
+          expr("(__r * 17L div 20L) div __od").as("__c"))
+        .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
+      rank = nodes
+        .join(contrib, Seq("__v"), "left")
+        .select(col("__v"),
+          (lit(3000000000L / (20L * n)) + coalesce(col("__in"), lit(0L))).as("__r"))
+        .localCheckpoint(eager = false)
+    }
+    rank
+      .join(indeg, col("__v") === col("__dst"), "left")
+      .join(outdeg, col("__v") === col("__src"), "left")
+      .select(col("__v").as("node"), col("__r").as("rank_ppb"),
+        coalesce(col("__id"), lit(0L)).as("in_degree"),
+        coalesce(col("__od"), lit(0L)).as("out_degree"))
+  }
+}

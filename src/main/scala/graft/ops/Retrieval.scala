@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical + hybrid retrieval — the production extension of the reference's
+  * vector-only search (reference: PLATFORM-GenerationLLM.py:42-58 retrieves
+  * by cosine alone; a deployed RAG stack pairs that with a lexical BM25
+  * route and fuses the two rankings, because embedding recall collapses on
+  * rare tokens, ids, and numbers that exact term matching catches for free).
+  *
+  * Scale design:
+  *  - [[bm25Rank]] is the classic inverted-index shape as ONE declarative
+  *    plan: the (doc, term) frequency table is the postings list, the query
+  *    terms probe it with an equi-join on the term (never a cross join),
+  *    and the corpus statistics (N, avgdl) ride in as a broadcast 1-row
+  *    aggregate. Per-term contributions round to integer micro-units
+  *    BEFORE the per-document sum, so the score is an order-independent
+  *    long sum — deterministic under any partial-aggregation schedule.
+  *  - [[rrfFuse]] consumes ALREADY-RANKED routes (each bounded to its own
+  *    top-k per query), so fusion joins tiny per-query shortlists — the
+  *    corpus is never touched again.
+  *  - [[hardNegatives]] consumes any candidate frame (brute-force
+  *    [[Similarity.knnJoin]] at audit scale, [[Similarity.ivfKnnJoin]] at
+  *    deploy scale) — mining is a pure ranking over the shortlist, so its
+  *    cost is the ANN route's cost, not a corpus pass.
+  */
+object Retrieval {
+
+  /** BM25 ranked retrieval: score every (query, document) pair that shares
+    * at least one term, keep the top `k` documents per query.
+    *
+    * `queries(queryIdCol, queryTextCol)` supplies free-text queries; its
+    * DISTINCT word tokens (the corpus-wide `wordTokens` contract:
+    * lower(trim), split on whitespace, blanks dropped) probe the postings
+    * list. A query drawn from the corpus never retrieves itself
+    * (`docId != queryId` — the audit convention of
+    * [[Similarity.ivfRecallAudit]]).
+    *
+    * Determinism: idf and the tf normalization are IEEE double chains with
+    * a pinned association — both engines evaluate
+    * `ln(((N − df) + 0.5) / (df + 0.5) + 1)` and
+    * `tf·(k1+1) / (tf + k1·((1−b) + b·(dl/avgdl)))` in exactly this
+    * parenthesization — and the single libm call (ln) is floored to
+    * micro-units per TERM before the long sum, the q61 TF-IDF precedent
+    * (a 1-ulp libm divergence cannot cross a 1e-6 boundary except with
+    * ~1e-10 probability). Ranking ties break on the document id.
+    *
+    * Output: (queryId, docId, score_e6, rank), rank ≤ k. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(graft.functions.TextFns.wordTokens(col(textCol))).as("__term"))
+      .filter(col("__term") =!= "")
+    // tf feeds the postings probe, the df aggregate AND the per-doc length
+    // under three different shuffle keys — exchange reuse can't fire, so
+    // materialize it once (the q61 discipline; persist() at cluster scale)
+    val tf = tok.groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = dl.agg(count(lit(1)).as("__n_docs"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    val qterms = queries
+      .select(col(queryIdCol),
+        explode(graft.functions.TextFns.wordTokens(col(queryTextCol))).as("__term"))
+      .filter(col("__term") =!= "")
+      .distinct()
+    val tfD = col("__tf").cast("double")
+    val dfD = col("__df").cast("double")
+    val dlD = col("__dl").cast("double")
+    val nD = col("__n_docs").cast("double")
+    val idf = log(((nD - dfD) + 0.5) / (dfD + 0.5) + 1.0)
+    val tfn = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("__avgdl"))))
+    val contrib = qterms
+      .join(tf, Seq("__term"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .join(dfreq, Seq("__term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        floor(idf * tfn * 1e6 + 0.5).cast("long").as("__c_e6"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_e6").desc, col(idCol).asc)
+    contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c_e6")).as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009) of per-query rankings:
+    * each route contributes `1e6 div (k0 + rank)` fusion points (integer
+    * micro-units, so the fused score is engine-exact), a document absent
+    * from a route contributes nothing, and the fused list keeps the top
+    * `k` per query with ties to the document id.
+    *
+    * Routes arrive ALREADY truncated to their own per-query top-k (the
+    * shape every ranker here emits), so the union is |queries|·Σk rows —
+    * fusion never re-reads a corpus. Output: (queryId, docId, n_routes,
+    * rrf_ppm, rank). */
+  def rrfFuse(routes: Seq[DataFrame], queryIdCol: String, docIdCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(routes.nonEmpty, "rrfFuse needs at least one route")
+    val pts = routes
+      .map(_.select(col(queryIdCol), col(docIdCol), col(rankCol).cast("long").as("__rk"))
+        .withColumn("__pts", expr(s"1000000L div (${k0}L + __rk)"))
+        .drop("__rk"))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf_ppm").desc, col(docIdCol).asc)
+    pts.groupBy(col(queryIdCol), col(docIdCol))
+      .agg(count(lit(1)).as("n_routes"), sum(col("__pts")).as("rrf_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Contrastive-pair mining over an ANN shortlist — the training-data op
+    * behind embedding-model fine-tuning: per anchor, the single `pos` row
+    * is the nearest candidate at/above `posThresh` (a confident positive),
+    * and the `neg` rows are the `nNeg` HARDEST negatives — the highest-
+    * similarity candidates inside [negLo, negHi), close enough to be
+    * informative, far enough to be presumed non-duplicates. The band gap
+    * (negHi < posThresh) is the safety margin that keeps near-duplicates
+    * out of the negative set (false negatives poison a contrastive loss).
+    *
+    * `cands(queryIdCol, docIdCol, simCol)` is any candidate frame —
+    * mining is a window rank per anchor over the shortlist, nothing more,
+    * so the scale cost lives entirely in the route that built the
+    * candidates. Anchors whose shortlist clears neither band emit no
+    * rows. Output: (queryIdCol, role ∈ {pos, neg}, docIdCol, simCol,
+    * rank — 1 for pos, 1..nNeg within neg). */
+  def hardNegatives(cands: DataFrame, queryIdCol: String, docIdCol: String,
+      simCol: String, posThresh: Double, negLo: Double, negHi: Double,
+      nNeg: Int): DataFrame = {
+    require(negHi <= posThresh, "negative band must sit below the positive gate")
+    require(negLo < negHi, "empty negative band")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(simCol).desc, col(docIdCol).asc)
+    val pos = cands.filter(col(simCol) >= posThresh)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") === 1L)
+      .select(col(queryIdCol), lit("pos").as("role"), col(docIdCol),
+        col(simCol), col("rank"))
+    val neg = cands.filter(col(simCol) >= negLo && col(simCol) < negHi)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nNeg)
+      .select(col(queryIdCol), lit("neg").as("role"), col(docIdCol),
+        col(simCol), col("rank"))
+    pos.unionByName(neg)
+  }
+
+  /** Margin-relative hard-negative mining — the scale-free sibling of
+    * [[hardNegatives]]: absolute similarity bands are a property of one
+    * corpus density (double the corpus and yesterday's "hard negative"
+    * similarity is today's nearest neighbor), so production miners anchor
+    * the negative cutoff to EACH anchor's own positive instead. Per
+    * anchor: `pos` is the single nearest candidate, and the `neg` rows
+    * are the `nNeg` hardest candidates at least `margin` below the
+    * positive's similarity — the margin is the same near-duplicate
+    * safety gap, now self-calibrating per anchor.
+    *
+    * Same contract as [[hardNegatives]]: `cands` is any ANN shortlist,
+    * mining is two window ranks and one per-anchor equi-join (the 1-row
+    * positive side is corpus-derived, so it carries no static broadcast
+    * hint — AQE broadcasts it at runtime). Output: (queryIdCol,
+    * role ∈ {pos, neg}, docIdCol, simCol, rank). */
+  def marginHardNegatives(cands: DataFrame, queryIdCol: String,
+      docIdCol: String, simCol: String, margin: Double, nNeg: Int): DataFrame = {
+    require(margin > 0.0, "margin must be positive")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(simCol).desc, col(docIdCol).asc)
+    val pos = cands
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") === 1L)
+    val neg = cands
+      .join(pos.select(col(queryIdCol), col(simCol).as("__pos_sim")), Seq(queryIdCol))
+      .filter(col(simCol) <= col("__pos_sim") - margin)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nNeg)
+    pos.select(col(queryIdCol), lit("pos").as("role"), col(docIdCol),
+        col(simCol), col("rank"))
+      .unionByName(neg.select(col(queryIdCol), lit("neg").as("role"),
+        col(docIdCol), col(simCol), col("rank")))
+  }
+}
