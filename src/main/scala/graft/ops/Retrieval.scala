@@ -138,14 +138,17 @@ object Retrieval {
       nNeg: Int): DataFrame = {
     require(negHi <= posThresh, "negative band must sit below the positive gate")
     require(negLo < negHi, "empty negative band")
+    // the shortlist feeds both role branches — materialize it once so the
+    // (possibly expensive) ANN route isn't re-executed per branch
+    val c = cands.localCheckpoint(eager = false)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(simCol).desc, col(docIdCol).asc)
-    val pos = cands.filter(col(simCol) >= posThresh)
+    val pos = c.filter(col(simCol) >= posThresh)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") === 1L)
       .select(col(queryIdCol), lit("pos").as("role"), col(docIdCol),
         col(simCol), col("rank"))
-    val neg = cands.filter(col(simCol) >= negLo && col(simCol) < negHi)
+    val neg = c.filter(col(simCol) >= negLo && col(simCol) < negHi)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= nNeg)
       .select(col(queryIdCol), lit("neg").as("role"), col(docIdCol),
@@ -171,12 +174,16 @@ object Retrieval {
   def marginHardNegatives(cands: DataFrame, queryIdCol: String,
       docIdCol: String, simCol: String, margin: Double, nNeg: Int): DataFrame = {
     require(margin > 0.0, "margin must be positive")
+    // the shortlist is read three times (positive rank, negative scan, and
+    // the per-anchor cutoff join's positive side) — materialize it once so
+    // the ANN route executes once (persist() at cluster scale)
+    val c = cands.localCheckpoint(eager = false)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(simCol).desc, col(docIdCol).asc)
-    val pos = cands
+    val pos = c
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") === 1L)
-    val neg = cands
+    val neg = c
       .join(pos.select(col(queryIdCol), col(simCol).as("__pos_sim")), Seq(queryIdCol))
       .filter(col(simCol) <= col("__pos_sim") - margin)
       .withColumn("rank", row_number().over(w).cast("long"))

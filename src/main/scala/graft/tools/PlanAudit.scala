@@ -34,7 +34,11 @@ object PlanAudit {
       "q98_corpus_datasheet",
       // q112/q113 cross-join the 1-row (nt, nr) grand-total broadcast;
       // q114 cross-joins the broadcast `points`-row checkpoint grid
-      "q112_dsir_weights", "q113_selection_capstone", "q114_heaps_fit")
+      "q112_dsir_weights", "q113_selection_capstone", "q114_heaps_fit",
+      // q130/q131 cross-join BM25's 1-ROW corpus-stats aggregate (N,
+      // avgdl) — the q61 class; q131/q132 additionally broadcast the
+      // bounded query/anchor sample through knnJoin — the q19 class
+      "q130_bm25", "q131_hybrid_rrf", "q132_hard_negatives")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution
