@@ -37,7 +37,7 @@ object Queries11 {
     * (`qt` — every 50th doc), per-term micro-unit contributions (`co` —
     * the association-pinned double chain of the Spark spelling), summed
     * scores (`sc`) and the ranked shortlist `lexrk`. */
-  private def bm25Ctes(k: Int): String =
+  def bm25CtesShared(k: Int): String =
     s"""tok AS MATERIALIZED (SELECT doc_id, tok AS term FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |    FROM documents) WHERE tok <> ''),
@@ -50,17 +50,17 @@ object Queries11 {
        |  FROM dl),
        |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, term FROM tok
        |  WHERE doc_id % 50 = 7),
-       |co AS MATERIALIZED (SELECT q.q_id, t.doc_id,
+       |wt AS MATERIALIZED (SELECT t.doc_id, t.term,
        |    floor(
        |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
        |      * ((t.tf::DOUBLE * (1.2 + 1.0))
        |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
        |      * 1e6 + 0.5)::BIGINT AS c_e6
-       |  FROM qt q JOIN tf t USING (term) JOIN dfreq f USING (term)
-       |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st
-       |  WHERE t.doc_id != q.q_id),
-       |sc AS MATERIALIZED (SELECT q_id, doc_id, sum(c_e6)::BIGINT AS score_e6
-       |  FROM co GROUP BY 1, 2),
+       |  FROM tf t JOIN dfreq f USING (term)
+       |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st),
+       |sc AS (SELECT q.q_id, w.doc_id, sum(w.c_e6)::BIGINT AS score_e6
+       |  FROM qt q JOIN wt w USING (term)
+       |  WHERE w.doc_id != q.q_id GROUP BY 1, 2),
        |lexrk AS MATERIALIZED (SELECT q_id, doc_id, score_e6, rank FROM (
        |  SELECT q_id, doc_id, score_e6,
        |    row_number() OVER (PARTITION BY q_id
@@ -68,7 +68,7 @@ object Queries11 {
        |  FROM sc) WHERE rank <= $k)""".stripMargin
 
   val q130Sql: String =
-    s"""WITH ${bm25Ctes(10)}
+    s"""WITH ${bm25CtesShared(10)}
        |SELECT q_id, doc_id, score_e6, rank::BIGINT AS rank
        |FROM lexrk ORDER BY q_id, rank""".stripMargin
 
@@ -94,7 +94,7 @@ object Queries11 {
   }
 
   val q131Sql: String =
-    s"""WITH ${bm25Ctes(20)},
+    s"""WITH ${bm25CtesShared(20)},
        |sem AS MATERIALIZED (SELECT q_id, vec_id AS doc_id, rank FROM (
        |  SELECT q_id, vec_id, sim,
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank

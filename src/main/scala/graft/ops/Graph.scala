@@ -78,4 +78,54 @@ object Graph {
         coalesce(col("__id"), lit(0L)).as("in_degree"),
         coalesce(col("__od"), lit(0L)).as("out_degree"))
   }
+
+  /** Clamped synchronous label propagation over directed `edges` — the
+    * semi-supervised curation step that spreads a sparse trusted signal
+    * (human quality labels, verified topic tags) to the unlabeled bulk
+    * through the similarity graph. `seeds(nodeCol, labelCol)` pins its
+    * nodes to their labels forever; every round, each NON-seed node
+    * recomputes its label as the most common label among its out-edge
+    * targets' previous-round labels (ties to the SMALLEST label — a total
+    * order, so every round is engine-exact), keeping its old label when
+    * no neighbor is labeled yet. Nodes never reached by any label finish
+    * as -1 (the noise convention of the clustering family).
+    *
+    * Scale shape per round: one equi-join of the label frame onto the
+    * edge list, one (node, label)-keyed count, one |V|-row argmin-struct
+    * pick — the [[pageRankPpb]] loop with a mode instead of a sum; same
+    * per-round lineage cut. Output: (node, label, is_seed). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("__src").as("__v"))
+      .union(e.select(col("__dst").as("__v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var lab = nodes
+      .join(seeds.select(col(nodeCol).as("__v"),
+        col(labelCol).cast("long").as("__lab")), Seq("__v"), "left")
+      .withColumn("__seed", col("__lab").isNotNull)
+    for (_ <- 1 to iters) {
+      val pick = e
+        .join(lab.select(col("__v").as("__dst"), col("__lab").as("__nl")), Seq("__dst"))
+        .filter(col("__nl").isNotNull)
+        .groupBy(col("__src"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__src"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__nl").as("l"))).as("__m"))
+        .select(col("__src").as("__v"), col("__m.l").as("__cand"))
+      lab = lab.join(pick, Seq("__v"), "left")
+        .select(col("__v"),
+          when(col("__seed"), col("__lab"))
+            .otherwise(coalesce(col("__cand"), col("__lab"))).as("__lab"),
+          col("__seed"))
+        .localCheckpoint(eager = false)
+    }
+    lab.select(col("__v").as("node"),
+      coalesce(col("__lab"), lit(-1L)).as("label"),
+      col("__seed").as("is_seed"))
+  }
 }

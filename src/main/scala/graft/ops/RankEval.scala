@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval evaluation — the governance table a retrieval stack
+  * ships with its index: given a per-query ranking and a relevance set,
+  * score recall@k, MRR and nDCG@k. In a 100 TB pipeline the relevance
+  * pairs come from weak supervision (the q135 binding uses cluster-label
+  * agreement; click logs or editorial judgments slot in identically), so
+  * retrieval quality is auditable continuously, without human labels.
+  *
+  * Determinism: the per-rank DCG gain `floor(1e6 / log2(rank+1) + 0.5)`
+  * and its cumulative ideal prefix are computed ONCE, driver-side, and
+  * enter both the Spark plan and the generated oracle SQL as integer
+  * LITERALS ([[dcgGainsE6]] / [[idealCumE6]]) — zero libm calls at run
+  * time, so the audit is bitwise engine-exact (the q124SqlWith
+  * shared-generator precedent).
+  */
+object RankEval {
+
+  /** DCG gain per rank position in micro-units: g(r) = floor(1e6 /
+    * log2(r+1) + 0.5), r = 1..k. */
+  def dcgGainsE6(k: Int): Array[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong).toArray
+
+  /** Ideal cumulative DCG prefix: idcg(m) = Σ_{r=1..m} g(r), m = 1..k
+    * (the ideal ranking puts a relevant document at every position). */
+  def idealCumE6(k: Int): Array[Long] = dcgGainsE6(k).scanLeft(0L)(_ + _).tail
+
+  /** Score `ranked(queryIdCol, docIdCol, rankCol)` (any per-query ranking,
+    * rank 1-based) against `rels(queryIdCol, docIdCol)` relevance pairs.
+    * Per query: hits in the top-k, the total relevant count, MRR
+    * (`1e6 div first-relevant-rank`, 0 when none), DCG@k, the ideal
+    * DCG for `least(n_rel_total, k)` relevant documents, and
+    * `ndcg_ppm = dcg·1e6 div idcg` (0 for queries with no relevant
+    * documents at all — vacuous by convention).
+    *
+    * Scale shape: one equi-join of the (|queries|·k)-row shortlist onto
+    * the relevance pairs, one per-query aggregation each side — the
+    * corpus never enters; `rels` need only cover the audited queries.
+    * Output: (queryIdCol, n_rel_at_k, n_rel_total, mrr_ppm, dcg_e6,
+    * idcg_e6, ndcg_ppm). */
+  def ndcgAudit(ranked: DataFrame, queryIdCol: String, docIdCol: String,
+      rankCol: String, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val gains = dcgGainsE6(k)
+    val cum = idealCumE6(k)
+    val marked = ranked.filter(col(rankCol) <= k)
+      .join(rels.select(col(queryIdCol), col(docIdCol), lit(1).as("__rel")),
+        Seq(queryIdCol, docIdCol), "left")
+    val g = element_at(lit(gains), col(rankCol).cast("int"))
+    val perQ = marked.groupBy(col(queryIdCol)).agg(
+      count(col("__rel")).as("n_rel_at_k"),
+      coalesce(sum(when(col("__rel").isNotNull, g)), lit(0L)).as("dcg_e6"),
+      min(when(col("__rel").isNotNull, col(rankCol).cast("long"))).as("__first"))
+    val totals = rels.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_rel_total"))
+    perQ
+      .join(totals, Seq(queryIdCol), "left")
+      .withColumn("n_rel_total", coalesce(col("n_rel_total"), lit(0L)))
+      .withColumn("mrr_ppm",
+        coalesce(expr("1000000L div __first"), lit(0L)))
+      .withColumn("idcg_e6",
+        when(col("n_rel_total") === 0L, lit(0L))
+          .otherwise(element_at(lit(cum),
+            least(col("n_rel_total"), lit(k.toLong)).cast("int"))))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_e6") === 0L, lit(0L))
+          .otherwise(expr("dcg_e6 * 1000000L div idcg_e6")))
+      .select(col(queryIdCol), col("n_rel_at_k"), col("n_rel_total"),
+        col("mrr_ppm"), col("dcg_e6"), col("idcg_e6"), col("ndcg_ppm"))
+  }
+}

@@ -50,13 +50,24 @@ object Retrieval {
     * Output: (queryId, docId, score_e6, rank), rank ≤ k. */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RankFrom(postings(docs, idCol, textCol), idCol,
+      queries, queryIdCol, queryTextCol, k, k1, b)
+
+  /** The corpus-side index of the BM25 family: term frequencies (`tf` —
+    * the postings list), document lengths (`dl`), document frequencies
+    * (`dfreq`) and the 1-row (N, avgdl) statistics. Built once and shared
+    * across retrieval passes (first-pass rank, feedback expansion,
+    * second-pass rank); `tf` feeds the other three under different
+    * shuffle keys, so it is materialized (the q61 discipline; persist()
+    * at cluster scale). */
+  case class Postings(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+    stats: DataFrame)
+
+  def postings(docs: DataFrame, idCol: String, textCol: String): Postings = {
     val tok = docs
       .select(col(idCol), explode(graft.functions.TextFns.wordTokens(col(textCol))).as("__term"))
       .filter(col("__term") =!= "")
-    // tf feeds the postings probe, the df aggregate AND the per-doc length
-    // under three different shuffle keys — exchange reuse can't fire, so
-    // materialize it once (the q61 discipline; persist() at cluster scale)
     val tf = tok.groupBy(col(idCol), col("__term"))
       .agg(count(lit(1)).as("__tf"))
       .localCheckpoint(eager = false)
@@ -64,6 +75,14 @@ object Retrieval {
     val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
     val stats = dl.agg(count(lit(1)).as("__n_docs"),
       (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    Postings(tf, dl, dfreq, stats)
+  }
+
+  /** [[bm25Rank]] over a pre-built [[Postings]] index. */
+  def bm25RankFrom(p: Postings, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import p.{tf, dl, dfreq, stats}
     val qterms = queries
       .select(col(queryIdCol),
         explode(graft.functions.TextFns.wordTokens(col(queryTextCol))).as("__term"))
@@ -76,20 +95,68 @@ object Retrieval {
     val idf = log(((nD - dfD) + 0.5) / (dfD + 0.5) + 1.0)
     val tfn = (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("__avgdl"))))
-    val contrib = qterms
-      .join(tf, Seq("__term"))
-      .filter(col(idCol) =!= col(queryIdCol))
+    // the per-term weight is a (doc, term) fact — the query never enters
+    // it — so the double chain runs ONCE per postings row, and the (much
+    // larger) query-probe join below carries only a pre-floored long.
+    // The probe's per-row work is then a map-side-combined integer sum:
+    // exactly how an inverted index serves BM25 at scale
+    val wt = tf
       .join(dfreq, Seq("__term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col(queryIdCol), col(idCol),
+      .select(col(idCol), col("__term"),
         floor(idf * tfn * 1e6 + 0.5).cast("long").as("__c_e6"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_e6").desc, col(idCol).asc)
-    contrib.groupBy(col(queryIdCol), col(idCol))
+    qterms
+      .join(wt, Seq("__term"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__c_e6")).as("score_e6"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): take each
+    * query's BM25 top-`fbK` documents as the feedback set, weight every
+    * term of the feedback set by its summed length-normalized frequency
+    * `Σ_d tf(t,d)·1e6 div dl(d)` (integer ppm — the relevance-model
+    * P(t|d) with the uniform document prior folded out), drop terms the
+    * query already contains, and keep the `nTerms` heaviest per query
+    * (ties to the term). The output is the expansion table a second-pass
+    * retrieval run unions onto its query terms.
+    *
+    * Scale shape: the feedback set is |queries|·fbK rows, so every join
+    * here is shortlist-sized except the one postings probe that fetches
+    * the feedback documents' term vectors — an equi-join on the doc id.
+    * Output: (queryIdCol, term, weight_ppm, rank). */
+  def prfExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      fbK: Int, nTerms: Int): DataFrame = {
+    // one postings build serves both the first-pass rank and the
+    // feedback-set term fetch — the corpus text is tokenized ONCE
+    val p = postings(docs, idCol, textCol)
+    val fb = bm25RankFrom(p, idCol, queries, queryIdCol, queryTextCol, fbK)
+      .select(col(queryIdCol), col(idCol))
+    val tf = p.tf
+    val dl = p.dl
+    val qterms = queries
+      .select(col(queryIdCol),
+        explode(graft.functions.TextFns.wordTokens(col(queryTextCol))).as("__term"))
+      .filter(col("__term") =!= "")
+      .distinct()
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("weight_ppm").desc, col("__term").asc)
+    fb.join(tf, Seq(idCol))
+      .join(dl, Seq(idCol))
+      .select(col(queryIdCol), col("__term"),
+        expr("__tf * 1000000L div __dl").as("__w"))
+      .groupBy(col(queryIdCol), col("__term"))
+      .agg(sum(col("__w")).as("weight_ppm"))
+      .join(qterms, Seq(queryIdCol, "__term"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nTerms)
+      .withColumnRenamed("__term", "term")
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke 2009) of per-query rankings:

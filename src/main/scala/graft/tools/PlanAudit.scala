@@ -38,7 +38,11 @@ object PlanAudit {
       // q130/q131 cross-join BM25's 1-ROW corpus-stats aggregate (N,
       // avgdl) — the q61 class; q131/q132 additionally broadcast the
       // bounded query/anchor sample through knnJoin — the q19 class
-      "q130_bm25", "q131_hybrid_rrf", "q132_hard_negatives")
+      "q130_bm25", "q131_hybrid_rrf", "q132_hard_negatives",
+      // q134 inherits BM25's 1-row stats cross join through its feedback
+      // pass; q135's ranking route broadcasts the bounded query sample
+      // (the q19 class)
+      "q134_prf_expansion", "q135_retrieval_ndcg")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -100,7 +100,25 @@ object VerifyScaled {
       "q128_trigram_backoff" ->
         (() => graft.SparkEntry.queries("q128_trigram_backoff")(spark, sfDir)),
       "q129_packing_efficiency" ->
-        (() => graft.SparkEntry.queries("q129_packing_efficiency")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q129_packing_efficiency")(spark, sfDir)),
+      // the retrieval wave needs no resolution retune: BM25's postings
+      // join and the RRF/mining/PageRank ranks are resolution-free; the
+      // knn shortlists are bounded query samples (q19's class), so the
+      // DuckDB side stays queries × corpus, linear in the fixture factor
+      "q130_bm25" ->
+        (() => graft.SparkEntry.queries("q130_bm25")(spark, sfDir)),
+      "q131_hybrid_rrf" ->
+        (() => graft.SparkEntry.queries("q131_hybrid_rrf")(spark, sfDir)),
+      "q132_hard_negatives" ->
+        (() => graft.SparkEntry.queries("q132_hard_negatives")(spark, sfDir)),
+      "q133_knn_pagerank" ->
+        (() => graft.SparkEntry.queries("q133_knn_pagerank")(spark, sfDir)),
+      "q134_prf_expansion" ->
+        (() => graft.SparkEntry.queries("q134_prf_expansion")(spark, sfDir)),
+      "q135_retrieval_ndcg" ->
+        (() => graft.SparkEntry.queries("q135_retrieval_ndcg")(spark, sfDir)),
+      "q136_label_propagation" ->
+        (() => graft.SparkEntry.queries("q136_label_propagation")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -135,7 +153,15 @@ object VerifyScaled {
       "q128_trigram_backoff" ->
         graft.SparkEntry.oracleSql("q128_trigram_backoff"),
       "q129_packing_efficiency" ->
-        graft.SparkEntry.oracleSql("q129_packing_efficiency"))
+        graft.SparkEntry.oracleSql("q129_packing_efficiency"),
+      "q130_bm25" -> graft.SparkEntry.oracleSql("q130_bm25"),
+      "q131_hybrid_rrf" -> graft.SparkEntry.oracleSql("q131_hybrid_rrf"),
+      "q132_hard_negatives" -> graft.SparkEntry.oracleSql("q132_hard_negatives"),
+      "q133_knn_pagerank" -> graft.SparkEntry.oracleSql("q133_knn_pagerank"),
+      "q134_prf_expansion" -> graft.SparkEntry.oracleSql("q134_prf_expansion"),
+      "q135_retrieval_ndcg" -> graft.SparkEntry.oracleSql("q135_retrieval_ndcg"),
+      "q136_label_propagation" ->
+        graft.SparkEntry.oracleSql("q136_label_propagation"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
