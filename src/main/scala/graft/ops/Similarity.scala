@@ -116,14 +116,90 @@ object Similarity {
   /** Write the vector index partitioned by its coarse (IVF) label:
     * `path/label=<l>/part-*.parquet`. Probed searches then read ONLY the
     * probed buckets' files — partition pruning at the source, the on-disk
-    * face of [[ivfTopK]]'s label equi-join. */
-  def writeIvfIndex(index: DataFrame, labelCol: String, path: String): Unit =
+    * face of [[ivfTopK]]'s label equi-join.
+    *
+    * The coarse quantizer (per-label centroids, ≤ nlist rows) is persisted
+    * alongside under `path/_quantizer` — an underscore-prefixed directory,
+    * which Spark's file listing ignores, so index readers never see it —
+    * because the IVF contract freezes the quantizer at build time:
+    * incremental additions ([[upsertIvfIndex]]) must route through the
+    * ORIGINAL centroids, not centroids drifted by the additions
+    * themselves. */
+  def writeIvfIndex(index: DataFrame, labelCol: String, path: String): Unit = {
     index.write.mode("overwrite").partitionBy(labelCol).parquet(path)
+    val vecCol = index.columns.find(c =>
+      c != labelCol && index.schema(c).dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"no array column to build the quantizer from in ${index.columns.mkString(",")}"))
+    centroids(index.select(col(labelCol), col(vecCol)), labelCol, vecCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
 
   /** Read back a partitioned IVF index (partition pruning applies to any
     * `labelCol` predicate Catalyst can derive). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The frozen coarse quantizer written by [[writeIvfIndex]]. */
+  def readIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/_quantizer")
+
+  /** Incremental IVF maintenance: route `rows(idCol, vecCol)` to their
+    * nearest FROZEN centroid (cosine, ties to the smallest label — the
+    * quantizer persisted at build time, so assignment is independent of
+    * every earlier upsert) and rewrite ONLY the affected label partitions
+    * via dynamic partition overwrite. The untouched cells — at deploy
+    * scale, almost all of them — are neither read (partition pruning on
+    * the collected affected-label set, ≤ nlist values, the loop-control
+    * class) nor written, which is what makes nightly index refreshes
+    * O(batch), not O(index).
+    *
+    * Returns the per-label ingestion summary (label, n_added,
+    * n_total_after) — the governance row a refresh job logs. */
+  def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = readIvfQuantizer(spark, path)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col(labelCol).asc)
+    val assigned = rows.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents)) // ≤ nlist rows — statically bounded
+      .withColumn("__csim", round(VectorFns.cosine(col(vecCol), col("centroid")), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .localCheckpoint(eager = false)
+    val affected = assigned.select(col(labelCol)).distinct()
+      .collect().map(_.get(0)) // ≤ nlist labels by construction
+    // the write below overwrites the same location this frame reads —
+    // the checkpoint hides the file source from Spark's self-overwrite
+    // guard, and the read itself is safe because the dynamic-overwrite
+    // committer stages every task's output and only swaps partition
+    // directories at job commit, after all reads have completed (a
+    // crash-hardened deployment would stage to a temp prefix + swap)
+    val existing = readIvfIndex(spark, path)
+      .filter(col(labelCol).isin(affected: _*)) // partition pruning
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .localCheckpoint(eager = false)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try existing.unionByName(assigned)
+      .write.mode("overwrite").partitionBy(labelCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    readIvfIndex(spark, path)
+      .filter(col(labelCol).isin(affected: _*))
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("n_total_after"))
+      .join(assigned.groupBy(col(labelCol)).agg(count(lit(1)).as("n_added")),
+        Seq(labelCol))
+      .select(col(labelCol), col("n_added"), col("n_total_after"))
+  }
 
   /** LSH-bucketed near-dup via MLlib BucketedRandomProjectionLSH: random
     * hyperplane projections bucket similar vectors together, and
