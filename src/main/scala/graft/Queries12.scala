@@ -158,13 +158,262 @@ object Queries12 {
        |FROM l3 ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------- expanded second-pass BM25
+  /** The PRF loop CLOSED: second-pass BM25@10 probing with each query's
+    * original terms ∪ its q134 expansion terms — the retrieval run the
+    * expansion table exists to feed. One postings build serves the
+    * feedback pass, the expansion weights and the final rank
+    * ([[graft.ops.Retrieval.bm25RankTerms]]); original and expansion
+    * term sets are disjoint by construction (the expansion anti-joins
+    * the query's own terms), so the probe union is exact in both
+    * engines. */
+  val q137ExpandedBm25: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val queries = d.filter(col("doc_id") % 50 === 7L)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val p = Retrieval.postings(d, "doc_id", "text")
+    val orig = Retrieval.queryTerms(queries, "q_id", "q_text")
+    // BM25 scores are additive over disjoint probe sets, so the first
+    // pass's UN-truncated score table is half of the expanded answer:
+    // rank its top-5 as the feedback set, probe ONLY the (≤3 per query)
+    // expansion terms in pass two, and sum — the original probe set is
+    // never re-joined (the expensive join at degenerate-vocabulary worst
+    // case; see ops.Retrieval.bm25ScoresTerms)
+    val s1 = Retrieval.bm25ScoresTerms(p, "doc_id", orig, "q_id")
+      .localCheckpoint(eager = false)
+    val wfb = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    val fb = s1.withColumn("rank", row_number().over(wfb))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("doc_id"))
+    val exp = Retrieval.prfExpansionFromFeedback(p, "doc_id", fb, orig,
+        "q_id", nTerms = 3)
+      .select(col("q_id"), col("term").as("__term"))
+    val s2 = Retrieval.bm25ScoresTerms(p, "doc_id", exp, "q_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    s1.unionByName(s2)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("score_e6")).as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val q137Sql: String =
+    s"""WITH ${Queries11.bm25CtesShared(5)},
+       |fb AS MATERIALIZED (SELECT q_id, doc_id FROM lexrk),
+       |ex AS MATERIALIZED (SELECT f.q_id, t.term,
+       |    sum(t.tf * 1000000 // l.dl)::BIGINT AS weight_ppm
+       |  FROM fb f JOIN tf t USING (doc_id) JOIN dl l USING (doc_id)
+       |  GROUP BY 1, 2),
+       |fe AS (SELECT e.q_id, e.term, e.weight_ppm
+       |  FROM ex e LEFT JOIN qt q ON q.q_id = e.q_id AND q.term = e.term
+       |  WHERE q.term IS NULL),
+       |xt AS MATERIALIZED (SELECT q_id, term FROM (
+       |  SELECT q_id, term,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY weight_ppm DESC, term) AS rank
+       |  FROM fe) WHERE rank <= 3),
+       |eq AS MATERIALIZED (SELECT q_id, term FROM qt
+       |  UNION ALL SELECT q_id, term FROM xt),
+       |sc2 AS (SELECT q.q_id, w.doc_id, sum(w.c_e6)::BIGINT AS score_e6
+       |  FROM eq q JOIN wt w USING (term)
+       |  WHERE w.doc_id != q.q_id GROUP BY 1, 2),
+       |rk2 AS (SELECT q_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY score_e6 DESC, doc_id) AS rank
+       |  FROM sc2)
+       |SELECT q_id, doc_id, score_e6, rank::BIGINT AS rank
+       |FROM rk2 WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------- route A/B governance
+  /** The retrieval bake-off table: q135's weak-label audit run against
+    * all three routes — lexical BM25@10, semantic cosine-kNN@10, and the
+    * hybrid RRF@10 fusion of their top-20s — one row per (route, query),
+    * the evidence a deployment cites when it turns hybrid on. Routes
+    * share one postings build and one kNN scan; each audit joins
+    * shortlist-sized frames only. */
+  val q138RouteAb: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val queries = d.filter(col("doc_id") % 50 === 7L)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val p = Retrieval.postings(d, "doc_id", "text")
+    val lex20 = Retrieval.bm25RankFrom(p, "doc_id",
+        queries, "q_id", "q_text", k = 20)
+      .select(col("q_id"), col("doc_id").as("vec_id"), col("rank"))
+      .localCheckpoint(eager = false)
+    val qv = e.filter(col("vec_id") % 50 === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").as("__qlab"))
+    val sem20 = Similarity.knnJoin(e, "vec_id", "embedding",
+        qv.select(col("q_id"), col("qvec")), "q_id", "qvec", 20)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .localCheckpoint(eager = false)
+    val hyb = Retrieval.rrfFuse(Seq(lex20, sem20), "q_id", "vec_id", "rank", k = 10)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val rels = qv.select(col("q_id"), col("__qlab"))
+      .join(e.select(col("vec_id"), col("label")),
+        col("label") === col("__qlab") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint(eager = false)
+    def audit(route: String, ranked: DataFrame): DataFrame =
+      RankEval.ndcgAudit(ranked, "q_id", "vec_id", "rank", rels, k = 10)
+        .withColumn("route", lit(route))
+    audit("lexical", lex20.filter(col("rank") <= 10))
+      .unionByName(audit("semantic", sem20.filter(col("rank") <= 10)))
+      .unionByName(audit("hybrid", hyb))
+      .select(col("route"), col("q_id"), col("n_rel_at_k"), col("n_rel_total"),
+        col("mrr_ppm"), col("dcg_e6"), col("idcg_e6"), col("ndcg_ppm"))
+      .orderBy("route", "q_id")
+  }
+
+  val q138Sql: String = {
+    val gains = RankEval.dcgGainsE6(10).mkString(", ")
+    val cum = RankEval.idealCumE6(10).mkString(", ")
+    def auditSelect(route: String, src: String): String =
+      s"""SELECT '$route' AS route, r.q_id,
+         |    count(l.vec_id)::BIGINT AS n_rel_at_k,
+         |    coalesce(any_value(t.n_rel_total), 0)::BIGINT AS n_rel_total,
+         |    coalesce(1000000 // min(CASE WHEN l.vec_id IS NOT NULL THEN r.rank END), 0)::BIGINT AS mrr_ppm,
+         |    coalesce(sum(CASE WHEN l.vec_id IS NOT NULL
+         |      THEN (SELECT gains FROM g)[r.rank::INT] END), 0)::BIGINT AS dcg_e6,
+         |    (CASE WHEN coalesce(any_value(t.n_rel_total), 0) = 0 THEN 0
+         |          ELSE (SELECT cum FROM g)[least(any_value(t.n_rel_total), 10)::INT]
+         |     END)::BIGINT AS idcg_e6,
+         |    (CASE WHEN coalesce(any_value(t.n_rel_total), 0) = 0 THEN 0
+         |          ELSE coalesce(sum(CASE WHEN l.vec_id IS NOT NULL
+         |                 THEN (SELECT gains FROM g)[r.rank::INT] END), 0)
+         |               * 1000000 // (SELECT cum FROM g)[least(any_value(t.n_rel_total), 10)::INT]
+         |     END)::BIGINT AS ndcg_ppm
+         |  FROM $src r
+         |  LEFT JOIN rels l ON l.q_id = r.q_id AND l.vec_id = r.vec_id
+         |  LEFT JOIN tot t ON t.q_id = r.q_id
+         |  GROUP BY r.q_id""".stripMargin
+    s"""WITH ${Queries11.bm25CtesShared(20)},
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qvec, label AS qlab
+       |  FROM embeddings WHERE vec_id % 50 = 7),
+       |sem AS MATERIALIZED (SELECT q_id, vec_id, rank FROM (
+       |  SELECT q.q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+       |      e.vec_id) AS rank
+       |  FROM embeddings e, qs q WHERE e.vec_id != q.q_id) WHERE rank <= 20),
+       |lex AS MATERIALIZED (SELECT q_id, doc_id AS vec_id, rank FROM lexrk),
+       |pts AS (SELECT q_id, vec_id, 1000000 // (60 + rank) AS pts FROM lex
+       |  UNION ALL SELECT q_id, vec_id, 1000000 // (60 + rank) FROM sem),
+       |hyb AS MATERIALIZED (SELECT q_id, vec_id, rank FROM (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf_ppm DESC, vec_id) AS rank
+       |  FROM (SELECT q_id, vec_id, sum(pts)::BIGINT AS rrf_ppm
+       |        FROM pts GROUP BY 1, 2)) WHERE rank <= 10),
+       |rels AS MATERIALIZED (SELECT q.q_id, e.vec_id
+       |  FROM qs q JOIN embeddings e ON e.label = q.qlab AND e.vec_id != q.q_id),
+       |tot AS MATERIALIZED (SELECT q_id, count(*)::BIGINT AS n_rel_total
+       |  FROM rels GROUP BY 1),
+       |g AS (SELECT [$gains] AS gains, [$cum] AS cum),
+       |lex10 AS (SELECT q_id, vec_id, rank FROM lex WHERE rank <= 10),
+       |sem10 AS (SELECT q_id, vec_id, rank FROM sem WHERE rank <= 10)
+       |${auditSelect("lexical", "lex10")}
+       |UNION ALL
+       |${auditSelect("semantic", "sem10")}
+       |UNION ALL
+       |${auditSelect("hybrid", "hyb")}
+       |ORDER BY route, q_id""".stripMargin
+  }
+
+  // --------------------------------------- embedding norm outlier gate
+  /** Pre-index embedding health check: integer squared norms against the
+    * corpus Tukey fences — see [[graft.ops.Embed.normOutlierGate]] (all
+    * quartile/fence arithmetic is dyadic-exact, so the verdict is
+    * engine-bitwise). */
+  val q139NormOutliers: Q = (spark, dir) =>
+    graft.ops.Embed.normOutlierGate(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val q139Sql: String =
+    """WITH n2 AS MATERIALIZED (SELECT vec_id,
+      |    sum(floor(x * 1000.0 + 0.5)::BIGINT * floor(x * 1000.0 + 0.5)::BIGINT)::BIGINT AS norm2_q
+      |  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+      |  GROUP BY 1),
+      |f AS (SELECT quantile_cont(norm2_q, 0.25) AS q1,
+      |    quantile_cont(norm2_q, 0.75) AS q3 FROM n2)
+      |SELECT vec_id, norm2_q,
+      |  (norm2_q::DOUBLE < q1 - 1.5 * (q3 - q1)) AS is_low,
+      |  (norm2_q::DOUBLE > q3 + 1.5 * (q3 - q1)) AS is_high
+      |FROM n2, f ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------- release PSI drift
+  /** Distribution drift between the q100 synthetic previous release and
+    * the current corpus: PSI over 16 token-count buckets — see
+    * [[graft.ops.Delta.psiReport]]. Complements q100's row-level diff
+    * with the statistical read a dataset release note cites. */
+  val q140ReleasePsi: Q = (spark, dir) => {
+    val cur = Tables.documents(spark, dir)
+    val prev = cur.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+    def bucketed(d: DataFrame): DataFrame = d.select(
+      expr(s"least(n_tokens div 16, 15)").as("len_bucket"))
+      .withColumn("len_bucket", col("len_bucket").cast("long"))
+    def withTokens(d: DataFrame): DataFrame =
+      d.select(graft.functions.TextFns.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Delta.psiReport(
+        bucketed(withTokens(prev)), bucketed(withTokens(cur)), "len_bucket")
+      .orderBy("len_bucket")
+  }
+
+  val q140Sql: String =
+    """WITH cur AS MATERIALIZED (SELECT doc_id, text FROM documents),
+      |prev AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || ' [v1]' ELSE text END AS text
+      |  FROM cur WHERE doc_id % 11 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000000, text FROM cur WHERE doc_id % 13 = 5),
+      |ba AS (SELECT least(nt // 16, 15)::BIGINT AS len_bucket, count(*)::BIGINT AS n
+      |  FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |        FROM prev) GROUP BY 1),
+      |bb AS (SELECT least(nt // 16, 15)::BIGINT AS len_bucket, count(*)::BIGINT AS n
+      |  FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |        FROM cur) GROUP BY 1),
+      |j AS (SELECT coalesce(ba.len_bucket, bb.len_bucket) AS len_bucket,
+      |    coalesce(ba.n, 0)::BIGINT AS n_prev, coalesce(bb.n, 0)::BIGINT AS n_cur
+      |  FROM ba FULL OUTER JOIN bb ON ba.len_bucket = bb.len_bucket),
+      |tot AS (SELECT sum(n_prev)::BIGINT AS ta, sum(n_cur)::BIGINT AS tb,
+      |    count(*)::BIGINT AS nb FROM j),
+      |p AS (SELECT len_bucket, n_prev, n_cur,
+      |    ((n_prev + 1) * 1000000 // (ta + nb))::BIGINT AS p_prev_ppm,
+      |    ((n_cur + 1) * 1000000 // (tb + nb))::BIGINT AS p_cur_ppm
+      |  FROM j, tot)
+      |SELECT len_bucket, n_prev, n_cur, p_prev_ppm, p_cur_ppm,
+      |  floor((p_prev_ppm - p_cur_ppm)::DOUBLE
+      |        * ln(p_prev_ppm::DOUBLE / p_cur_ppm::DOUBLE) + 0.5)::BIGINT AS psi_e6
+      |FROM p ORDER BY len_bucket""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q134_prf_expansion" -> q134PrfExpansion,
     "q135_retrieval_ndcg" -> q135RetrievalNdcg,
-    "q136_label_propagation" -> q136LabelPropagation)
+    "q136_label_propagation" -> q136LabelPropagation,
+    "q137_expanded_bm25" -> q137ExpandedBm25,
+    "q138_route_ab" -> q138RouteAb,
+    "q139_norm_outliers" -> q139NormOutliers,
+    "q140_release_psi" -> q140ReleasePsi)
 
   val oracle: Map[String, String] = Map(
     "q134_prf_expansion" -> q134Sql,
     "q135_retrieval_ndcg" -> q135Sql,
-    "q136_label_propagation" -> q136Sql)
+    "q136_label_propagation" -> q136Sql,
+    "q137_expanded_bm25" -> q137Sql,
+    "q138_route_ab" -> q138Sql,
+    "q139_norm_outliers" -> q139Sql,
+    "q140_release_psi" -> q140Sql)
 }

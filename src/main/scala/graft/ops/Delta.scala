@@ -48,4 +48,42 @@ object Delta {
             .otherwise("changed").as("status") +:
           carryCols.map(c => coalesce(col(s"__c_$c"), col(s"__p_$c")).as(c)): _*)
   }
+
+  /** Population-stability-index drift report between two releases of a
+    * bucketed statistic — the governance table a versioned dataset ships
+    * next to its [[releaseDiff]]: per bucket, the Laplace-smoothed share
+    * of each release in ppm and the bucket's PSI contribution
+    * `floor((p_prev − p_cur)·ln(p_prev/p_cur)·1 + 0.5)` in micro-units
+    * (sum the column for the headline PSI; < 0.1 stable, > 0.25 shifted,
+    * by the usual credit-scoring reading). Smoothing is add-one over the
+    * observed bucket union, so an empty-on-one-side bucket contributes a
+    * finite, engine-exact term instead of ±∞.
+    *
+    * Scale shape: each side collapses to a |buckets|-row aggregate before
+    * anything joins (map-side combined); the totals ride in as a
+    * broadcast 1-row frame. The single ln() per BUCKET is floored to
+    * micro-units (the q61/q130 libm discipline) — corpus size never
+    * touches a double.
+    *
+    * Output: (bucketCol, n_prev, n_cur, p_prev_ppm, p_cur_ppm, psi_e6). */
+  def psiReport(prev: DataFrame, cur: DataFrame, bucketCol: String): DataFrame = {
+    val a = prev.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_prev"))
+    val b = cur.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_cur"))
+    val j = a.join(b, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(eager = false)
+    val tot = j.agg(sum(col("n_prev")).as("__ta"), sum(col("n_cur")).as("__tb"),
+      count(lit(1)).as("__nb"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p_prev_ppm", expr("(n_prev + 1) * 1000000L div (__ta + __nb)"))
+      .withColumn("p_cur_ppm", expr("(n_cur + 1) * 1000000L div (__tb + __nb)"))
+      .withColumn("psi_e6",
+        floor((col("p_prev_ppm") - col("p_cur_ppm")).cast("double") *
+          log(col("p_prev_ppm").cast("double") / col("p_cur_ppm").cast("double"))
+          + 0.5).cast("long"))
+      .select(col(bucketCol), col("n_prev"), col("n_cur"),
+        col("p_prev_ppm"), col("p_cur_ppm"), col("psi_e6"))
+  }
 }

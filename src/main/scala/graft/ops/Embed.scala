@@ -150,4 +150,38 @@ object Embed {
     assign(lastCents).select(col("__id").as(idCol), col("j").as("cluster"),
       col("dist2"))
   }
+
+  /** Embedding-batch sanity gate: flag vectors whose squared L2 norm falls
+    * outside the Tukey fences `[q1 − 1.5·IQR, q3 + 1.5·IQR]` of the
+    * corpus — the standard pre-index health check (an embedding whose
+    * norm collapses toward 0 or explodes is a failed encode, and cosine
+    * silently renormalizes it into the index).
+    *
+    * Exactness: norms are integer — `Σ floor(x·quantScale + 0.5)²` longs
+    * (the q47 quantization convention) — and the quartiles come from
+    * [[Quantiles.profile]]'s histogram spelling (bounded by the value
+    * domain, never a per-group value buffer). For p = .25/.75 the type-7
+    * interpolation and the fence arithmetic are all multiples of 0.25 at
+    * magnitudes far under 2^53, so every double here is EXACT and the
+    * verdict is engine-bitwise (DuckDB mirrors via quantile_cont).
+    *
+    * Output per vector: (id, norm2_q, is_low, is_high). */
+  def normOutlierGate(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Double = 1000.0): DataFrame = {
+    val n2 = df
+      .select(col(idCol), explode(col(vecCol)).as("v"))
+      .withColumn("q", floor(col("v") * quantScale + 0.5).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("q") * col("q")).as("norm2_q"))
+    val fences = Quantiles.profile(
+        n2.withColumn("__all", lit(1)), "__all", "norm2_q", Seq(0.25, 0.75))
+      .select(element_at(col("quantiles"), 1).as("__q1"),
+        element_at(col("quantiles"), 2).as("__q3"))
+    n2.crossJoin(broadcast(fences)) // 1 row — statically bounded
+      .select(col(idCol), col("norm2_q"),
+        (col("norm2_q").cast("double") <
+          col("__q1") - lit(1.5) * (col("__q3") - col("__q1"))).as("is_low"),
+        (col("norm2_q").cast("double") >
+          col("__q3") + lit(1.5) * (col("__q3") - col("__q1"))).as("is_high"))
+  }
 }

@@ -64,12 +64,24 @@ object Retrieval {
   case class Postings(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
     stats: DataFrame)
 
-  def postings(docs: DataFrame, idCol: String, textCol: String): Postings = {
-    val tok = docs
-      .select(col(idCol), explode(graft.functions.TextFns.wordTokens(col(textCol))).as("__term"))
-      .filter(col("__term") =!= "")
-    val tf = tok.groupBy(col(idCol), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+  def postings(docs: DataFrame, idCol: String, textCol: String): Postings =
+    postingsFromTf(docs
+      .select(col(idCol), explode(graft.functions.TextFns.wordTokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c")), idCol, "__t", "__c")
+
+  /** Build the [[Postings]] bundle from an already-maintained term-
+    * frequency table — the bridge that lets a LIVE index serve queries:
+    * [[graft.streaming.Stream.postingsStream]] keeps (doc, term, tf)
+    * current as documents arrive, and every derived statistic (lengths,
+    * document frequencies, N, avgdl) recomputes from it at query time,
+    * so a batch-built and a stream-maintained index answer identically
+    * (parity-proven in StreamingSpec). */
+  def postingsFromTf(tfRaw: DataFrame, idCol: String, termCol: String,
+      tfCol: String): Postings = {
+    val tf = tfRaw
+      .select(col(idCol), col(termCol).as("__term"), col(tfCol).cast("long").as("__tf"))
       .localCheckpoint(eager = false)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
@@ -78,16 +90,47 @@ object Retrieval {
     Postings(tf, dl, dfreq, stats)
   }
 
-  /** [[bm25Rank]] over a pre-built [[Postings]] index. */
-  def bm25RankFrom(p: Postings, idCol: String,
-      queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import p.{tf, dl, dfreq, stats}
-    val qterms = queries
+  /** The DISTINCT (query, term) probe set of a free-text query frame. */
+  def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries
       .select(col(queryIdCol),
         explode(graft.functions.TextFns.wordTokens(col(queryTextCol))).as("__term"))
       .filter(col("__term") =!= "")
       .distinct()
+
+  /** [[bm25Rank]] over a pre-built [[Postings]] index. */
+  def bm25RankFrom(p: Postings, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RankTerms(p, idCol, queryTerms(queries, queryIdCol, queryTextCol),
+      queryIdCol, k, k1, b)
+
+  /** [[bm25Rank]] driven by an explicit (query, term) probe set — the
+    * entry point a query-EXPANSION pass needs: the second retrieval pass
+    * probes with original ∪ expansion terms ([[prfExpansionTerms]]), a
+    * set no query text spells. `qterms` must carry the term under the
+    * internal `__term` name (as [[queryTerms]] emits). */
+  def bm25RankTerms(p: Postings, idCol: String, qterms: DataFrame,
+      queryIdCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_e6").desc, col(idCol).asc)
+    bm25ScoresTerms(p, idCol, qterms, queryIdCol, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The UN-truncated BM25 score table for a (query, term) probe set —
+    * (queryIdCol, idCol, score_e6), one row per matching pair. Exposed
+    * because BM25 scores are ADDITIVE over disjoint probe sets: a
+    * second-pass expanded retrieval reuses the first pass's scores and
+    * probes only the (few) expansion terms, instead of re-probing the
+    * whole original set (q137 measured 6.3 → ~4 s on the worst-case
+    * fixture from exactly this reuse). */
+  def bm25ScoresTerms(p: Postings, idCol: String, qterms: DataFrame,
+      queryIdCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import p.{tf, dl, dfreq, stats}
     val tfD = col("__tf").cast("double")
     val dfD = col("__df").cast("double")
     val dlD = col("__dl").cast("double")
@@ -106,15 +149,11 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__term"),
         floor(idf * tfn * 1e6 + 0.5).cast("long").as("__c_e6"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score_e6").desc, col(idCol).asc)
     qterms
       .join(wt, Seq("__term"))
       .filter(col(idCol) =!= col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__c_e6")).as("score_e6"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
   }
 
   /** Pseudo-relevance-feedback query expansion (RM3-lite): take each
@@ -132,23 +171,33 @@ object Retrieval {
     * Output: (queryIdCol, term, weight_ppm, rank). */
   def prfExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      fbK: Int, nTerms: Int): DataFrame = {
+      fbK: Int, nTerms: Int): DataFrame =
     // one postings build serves both the first-pass rank and the
     // feedback-set term fetch — the corpus text is tokenized ONCE
-    val p = postings(docs, idCol, textCol)
-    val fb = bm25RankFrom(p, idCol, queries, queryIdCol, queryTextCol, fbK)
-      .select(col(queryIdCol), col(idCol))
-    val tf = p.tf
-    val dl = p.dl
-    val qterms = queries
-      .select(col(queryIdCol),
-        explode(graft.functions.TextFns.wordTokens(col(queryTextCol))).as("__term"))
-      .filter(col("__term") =!= "")
-      .distinct()
+    prfExpansionTermsFrom(postings(docs, idCol, textCol), idCol,
+      queries, queryIdCol, queryTextCol, fbK, nTerms)
+
+  /** [[prfExpansionTerms]] over a pre-built [[Postings]] index (shared
+    * with the surrounding retrieval passes). */
+  def prfExpansionTermsFrom(p: Postings, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      fbK: Int, nTerms: Int): DataFrame =
+    prfExpansionFromFeedback(p, idCol,
+      bm25RankFrom(p, idCol, queries, queryIdCol, queryTextCol, fbK)
+        .select(col(queryIdCol), col(idCol)),
+      queryTerms(queries, queryIdCol, queryTextCol), queryIdCol, nTerms)
+
+  /** The expansion-weighting tail of [[prfExpansionTerms]], decoupled
+    * from HOW the feedback set was ranked: `fb(queryIdCol, idCol)` is any
+    * per-query feedback shortlist, `qterms` the original probe set whose
+    * terms are excluded. Exposed so a score-reusing two-pass spelling
+    * (q137) can feed the shortlist it already ranked. */
+  def prfExpansionFromFeedback(p: Postings, idCol: String, fb: DataFrame,
+      qterms: DataFrame, queryIdCol: String, nTerms: Int): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("weight_ppm").desc, col("__term").asc)
-    fb.join(tf, Seq(idCol))
-      .join(dl, Seq(idCol))
+    fb.join(p.tf, Seq(idCol))
+      .join(p.dl, Seq(idCol))
       .select(col(queryIdCol), col("__term"),
         expr("__tf * 1000000L div __dl").as("__w"))
       .groupBy(col(queryIdCol), col("__term"))

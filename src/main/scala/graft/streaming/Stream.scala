@@ -323,6 +323,25 @@ object Stream {
   def enrichStream(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Live inverted-index maintenance: the (doc, term, tf) postings table
+    * kept current over an unbounded document stream — a running streaming
+    * aggregation (documents are immutable and ids unique, so counts only
+    * ever grow; no watermark needed in complete/update mode). The tokens
+    * follow the corpus-wide wordTokens contract, so the maintained table
+    * is EXACTLY what [[graft.ops.Retrieval.postingsFromTf]] consumes:
+    * query-time statistics (dl, df, N, avgdl) derive from it on read, and
+    * BM25 over the live index answers identically to a batch rebuild
+    * (parity-proven in StreamingSpec). At deploy scale the sink is a
+    * keyed store or a foreachBatch partition-overwrite, and the state is
+    * |vocab|·|docs-per-term| keys — the index itself, not a second copy. */
+  def postingsStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.functions.TextFns.wordTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Idempotent micro-batch sink via foreachBatch: each batch overwrites
     * its OWN directory (`batch=<id>`), so a replayed/retried batch
     * rewrites the same files instead of duplicating rows — the standard

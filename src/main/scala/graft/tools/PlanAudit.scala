@@ -42,7 +42,13 @@ object PlanAudit {
       // q134 inherits BM25's 1-row stats cross join through its feedback
       // pass; q135's ranking route broadcasts the bounded query sample
       // (the q19 class)
-      "q134_prf_expansion", "q135_retrieval_ndcg")
+      "q134_prf_expansion", "q135_retrieval_ndcg",
+      // q137 is q134's two-pass composition (same 1-row stats hint);
+      // q138 composes all three routes — BM25's stats + q19-class knn
+      "q137_expanded_bm25", "q138_route_ab",
+      // q139 cross-joins the 1-ROW Tukey-fence aggregate; q140 the
+      // 1-ROW release totals — both broadcast scalars by construction
+      "q139_norm_outliers", "q140_release_psi")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -118,7 +118,15 @@ object VerifyScaled {
       "q135_retrieval_ndcg" ->
         (() => graft.SparkEntry.queries("q135_retrieval_ndcg")(spark, sfDir)),
       "q136_label_propagation" ->
-        (() => graft.SparkEntry.queries("q136_label_propagation")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q136_label_propagation")(spark, sfDir)),
+      "q137_expanded_bm25" ->
+        (() => graft.SparkEntry.queries("q137_expanded_bm25")(spark, sfDir)),
+      "q138_route_ab" ->
+        (() => graft.SparkEntry.queries("q138_route_ab")(spark, sfDir)),
+      "q139_norm_outliers" ->
+        (() => graft.SparkEntry.queries("q139_norm_outliers")(spark, sfDir)),
+      "q140_release_psi" ->
+        (() => graft.SparkEntry.queries("q140_release_psi")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -161,7 +169,11 @@ object VerifyScaled {
       "q134_prf_expansion" -> graft.SparkEntry.oracleSql("q134_prf_expansion"),
       "q135_retrieval_ndcg" -> graft.SparkEntry.oracleSql("q135_retrieval_ndcg"),
       "q136_label_propagation" ->
-        graft.SparkEntry.oracleSql("q136_label_propagation"))
+        graft.SparkEntry.oracleSql("q136_label_propagation"),
+      "q137_expanded_bm25" -> graft.SparkEntry.oracleSql("q137_expanded_bm25"),
+      "q138_route_ab" -> graft.SparkEntry.oracleSql("q138_route_ab"),
+      "q139_norm_outliers" -> graft.SparkEntry.oracleSql("q139_norm_outliers"),
+      "q140_release_psi" -> graft.SparkEntry.oracleSql("q140_release_psi"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

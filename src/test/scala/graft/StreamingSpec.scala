@@ -244,4 +244,40 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("postingsStream: live index equals batch postings AND serves identical BM25") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsData = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry durian"), (4L, "banana banana banana"),
+      (5L, "durian apple"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.Stream.postingsStream(df, "doc_id", "text")
+      .writeStream.format("memory").queryName("live_postings")
+      .outputMode("complete").start()
+    try {
+      input.addData(docsData.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docsData.drop(2): _*)
+      q.processAllAvailable()
+      val live = spark.table("live_postings")
+      val batchDocs = docsData.toDF("doc_id", "text")
+      // 1) the maintained table IS the batch postings table
+      val batchTf = graft.ops.Retrieval.postings(batchDocs, "doc_id", "text").tf
+        .select($"doc_id", $"__term".as("term"), $"__tf".as("tf"))
+      assert(live.as[(Long, String, Long)].collect().toSet ==
+        batchTf.as[(Long, String, Long)].collect().toSet)
+      // 2) BM25 over the LIVE index answers exactly like a batch rebuild
+      val queries = Seq((1L, "apple banana apple")).toDF("q_id", "q_text")
+      val fromLive = graft.ops.Retrieval.bm25RankFrom(
+          graft.ops.Retrieval.postingsFromTf(live, "doc_id", "term", "tf"),
+          "doc_id", queries, "q_id", "q_text", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fromBatch = graft.ops.Retrieval.bm25Rank(batchDocs, "doc_id", "text",
+          queries, "q_id", "q_text", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fromLive == fromBatch && fromLive.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -60,6 +60,64 @@ class Wave13Spec extends SparkSpec {
       RankEval.idealCumE6(10).last, RankEval.idealCumE6(10).last, 1000000L)))
   }
 
+  test("bm25RankTerms: the term-frame entry point IS bm25Rank on query text") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry durian"), (4L, "banana banana banana"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "apple banana")).toDF("q_id", "q_text")
+    val p = Retrieval.postings(docs, "doc_id", "text")
+    val viaText = Retrieval.bm25RankFrom(p, "doc_id", q, "q_id", "q_text", 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaTerms = Retrieval.bm25RankTerms(p, "doc_id",
+        Retrieval.queryTerms(q, "q_id", "q_text"), "q_id", 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaText == viaTerms && viaText.nonEmpty)
+    // widening the probe set can only ADD score mass: every doc's score
+    // under (original + one extra matching term) dominates the original
+    val widened = Retrieval.bm25RankTerms(p, "doc_id",
+        Retrieval.queryTerms(q, "q_id", "q_text")
+          .unionByName(Seq((9L, "cherry")).toDF("q_id", "__term")), "q_id", 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    val base = viaText.map(r => r._2 -> r._3).toMap
+    assert(base.forall { case (d, s) => widened(d) >= s })
+    assert(widened(2L) > base(2L), "doc 2 gains from the cherry term")
+  }
+
+  test("normOutlierGate: hand-checked fences on a known norm distribution") {
+    // 9 unit-ish vectors (norm2 = 1e6 at quantScale 1000) + one collapsed
+    // and one exploded: quartiles sit inside the unit mass, so exactly
+    // the two pathological vectors are flagged
+    val rows = (1L to 9L).map(i => (i, Array(1.0f, 0.0f))) ++
+      Seq((10L, Array(0.001f, 0.0f)), (11L, Array(9.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.ops.Embed.normOutlierGate(df, "vec_id", "embedding")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (i <- 1L to 9L) assert(out(i) == ((1000000L, false, false)))
+    assert(out(10L) == ((1L, true, false)), "collapsed encode flagged low")
+    assert(out(11L) == ((81000000L, false, true)), "exploded encode flagged high")
+  }
+
+  test("psiReport: hand arithmetic incl. a bucket empty on one side") {
+    // prev: A x8, B x2; cur: A x5, C x5. union buckets {A,B,C}, Laplace:
+    //   ta=10, tb=10, nb=3 -> denom 13
+    //   A: pa=(9)*1e6//13=692307, pb=(6)*1e6//13=461538
+    //   B: pa=230769, pb=76923;  C: pa=76923, pb=461538
+    val prev = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).toDF("b")
+    val cur = (Seq.fill(5)("A") ++ Seq.fill(5)("C")).toDF("b")
+    val out = graft.ops.Delta.psiReport(prev, cur, "b")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def psi(pa: Long, pb: Long): Long =
+      math.floor((pa - pb).toDouble * math.log(pa.toDouble / pb.toDouble) + 0.5).toLong
+    assert(out("A") == (("A", 8L, 5L, 692307L, 461538L, psi(692307L, 461538L))))
+    assert(out("B") == (("B", 2L, 0L, 230769L, 76923L, psi(230769L, 76923L))))
+    assert(out("C") == (("C", 0L, 5L, 76923L, 461538L, psi(76923L, 461538L))))
+    // drift is positive in every shifted bucket — the headline PSI sums
+    assert(out.values.map(_._6).sum > 0L)
+  }
+
   test("labelPropagation: clamping, majority, tie-break, unreachable") {
     // seeds: 1->7, 2->9. edges: 3->{1,2} (tie -> smallest label 7);
     // 4->{1} (adopts 7); 5->{6} (6 unlabeled forever -> 5 stays -1);
