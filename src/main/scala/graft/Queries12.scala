@@ -399,6 +399,221 @@ object Queries12 {
       |        * ln(p_prev_ppm::DOUBLE / p_cur_ppm::DOUBLE) + 0.5)::BIGINT AS psi_e6
       |FROM p ORDER BY len_bucket""".stripMargin
 
+  /** The fixture text is punctuation-free, so the sentence family seeds
+    * deterministic terminators first: every 6-token run gains a trailing
+    * period (RE2-safe bounded repetition, identical left-to-right
+    * replacement semantics in both engines). */
+  private def sentenced(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+\\s+){5}\\S+)\\s+", "$1. ").as("text"))
+
+  private val SentencedSql: String =
+    """sd AS MATERIALIZED (SELECT doc_id,
+      |    regexp_replace(text, '((\S+\s+){5}\S+)\s+', '\1. ', 'g') AS text
+      |  FROM documents)""".stripMargin
+
+  // --------------------------------------------- sentence-aware chunks
+  /** RAG passage construction that never cuts a sentence: terminator-run
+    * split + offset-division packing at 16 tokens — see
+    * [[graft.ops.Chunk.sentenceChunks]]. */
+  val q141SentenceChunks: Q = (spark, dir) =>
+    graft.ops.Chunk.sentenceChunks(
+        sentenced(Tables.documents(spark, dir)), "doc_id", "text", maxTokens = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  val q141Sql: String =
+    s"""WITH $SentencedSql,
+       |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
+       |    FROM sd), unnest(generate_series(1, len(sl))) AS g(i)),
+       |sf AS (SELECT doc_id, pos, s,
+       |    len(string_split_regex(s, '\\s+'))::BIGINT AS n_tok
+       |  FROM se WHERE s <> ''),
+       |cm AS (SELECT doc_id, pos, s, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sf)
+       |SELECT doc_id, ((cum - n_tok) // 16)::BIGINT AS chunk_id,
+       |  string_agg(s, ' ' ORDER BY pos) AS chunk,
+       |  count(*)::BIGINT AS n_sentences,
+       |  sum(n_tok)::BIGINT AS n_tokens
+       |FROM cm GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------------- passage retrieval
+  /** Retrieval at the unit RAG actually serves: BM25 over sentence-packed
+    * PASSAGES (q141's chunks, passage_id = doc_id·10⁴ + chunk_id), top-5
+    * passages per query, the query's own document excluded. Whole-doc
+    * ranking (q130) finds the document; this finds the span to stuff in
+    * the prompt. */
+  val q142PassageRetrieval: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sd = sentenced(Tables.documents(spark, dir))
+    val passages = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
+      .select((col("doc_id") * 10000L + col("chunk_id")).as("passage_id"),
+        col("chunk"))
+    val queries = sd.filter(col("doc_id") % 50 === 7L)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val p = Retrieval.postings(passages, "passage_id", "chunk")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("passage_id").asc)
+    Retrieval.bm25ScoresTerms(p, "passage_id",
+        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id")
+      .filter(expr("passage_id div 10000L") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("passage_id"),
+        expr("passage_id div 10000L").as("doc_id"), col("score_e6"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q142Sql: String =
+    s"""WITH $SentencedSql,
+       |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
+       |    FROM sd), unnest(generate_series(1, len(sl))) AS g(i)),
+       |sf AS (SELECT doc_id, pos, s,
+       |    len(string_split_regex(s, '\\s+'))::BIGINT AS n_tok
+       |  FROM se WHERE s <> ''),
+       |cm AS (SELECT doc_id, pos, s, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sf),
+       |pg AS MATERIALIZED (SELECT (doc_id * 10000 + ((cum - n_tok) // 16))::BIGINT AS passage_id,
+       |    string_agg(s, ' ' ORDER BY pos) AS chunk
+       |  FROM cm GROUP BY doc_id, (cum - n_tok) // 16),
+       |tok AS MATERIALIZED (SELECT passage_id, tok AS term FROM (
+       |    SELECT passage_id, unnest(string_split_regex(lower(trim(chunk)), '\\s+')) AS tok
+       |    FROM pg) WHERE tok <> ''),
+       |tf AS MATERIALIZED (SELECT passage_id, term, count(*)::BIGINT AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT passage_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |dfreq AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs,
+       |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+       |  FROM dl),
+       |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, tok AS term FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM sd WHERE doc_id % 50 = 7) WHERE tok <> ''),
+       |wt AS MATERIALIZED (SELECT t.passage_id, t.term,
+       |    floor(
+       |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
+       |      * ((t.tf::DOUBLE * (1.2 + 1.0))
+       |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
+       |      * 1e6 + 0.5)::BIGINT AS c_e6
+       |  FROM tf t JOIN dfreq f USING (term)
+       |  JOIN dl l ON l.passage_id = t.passage_id CROSS JOIN st),
+       |sc AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
+       |  FROM qt q JOIN wt w USING (term)
+       |  WHERE w.passage_id != q.q_id AND w.passage_id // 10000 != q.q_id
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT q_id, passage_id, score_e6,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY score_e6 DESC, passage_id) AS rank
+       |  FROM sc)
+       |SELECT q_id, passage_id, (passage_id // 10000)::BIGINT AS doc_id,
+       |  score_e6, rank::BIGINT AS rank
+       |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------- budgeted passage-RAG capstone
+  /** The passage-granular serving loop end to end: q142's ranked passages
+    * truncated to a 48-token context budget (rank-ordered prefix — the
+    * standard "fill the context window top-down" rule), then one prompt
+    * per query assembled in-plan ([[graft.ops.Rag.assemblePrompts]]).
+    * Output: (q_id, n_passages, n_context_tokens, prompt) — prompt text
+    * hashes, so the WHOLE serving artifact is oracle-checked. */
+  val q143PassageContext: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sd = sentenced(Tables.documents(spark, dir))
+    val chunks = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
+      .select((col("doc_id") * 10000L + col("chunk_id")).as("passage_id"),
+        col("chunk"), col("n_tokens"))
+      .localCheckpoint(eager = false)
+    val queries = sd.filter(col("doc_id") % 50 === 7L)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val p = Retrieval.postings(chunks, "passage_id", "chunk")
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("passage_id").asc)
+    val ranked = Retrieval.bm25ScoresTerms(p, "passage_id",
+        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id")
+      .filter(expr("passage_id div 10000L") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 5)
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgeted = ranked
+      .join(chunks.select(col("passage_id"), col("chunk"), col("n_tokens")),
+        Seq("passage_id"))
+      .withColumn("__cum", sum(col("n_tokens")).over(wb))
+      .filter(col("__cum") <= 48L)
+    graft.ops.Rag.assemblePrompts(
+        budgeted.join(queries, Seq("q_id")),
+        "q_id", "rank", "chunk", "q_text")
+      .join(budgeted.groupBy(col("q_id"))
+        .agg(sum(col("n_tokens")).as("n_context_tokens")), Seq("q_id"))
+      .select(col("q_id"), col("n_passages"), col("n_context_tokens"),
+        col("prompt"))
+      .orderBy("q_id")
+  }
+
+  val q143Sql: String =
+    s"""WITH $SentencedSql,
+       |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
+       |    FROM sd), unnest(generate_series(1, len(sl))) AS g(i)),
+       |sf AS (SELECT doc_id, pos, s,
+       |    len(string_split_regex(s, '\\s+'))::BIGINT AS n_tok
+       |  FROM se WHERE s <> ''),
+       |cm AS (SELECT doc_id, pos, s, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sf),
+       |pg AS MATERIALIZED (SELECT (doc_id * 10000 + ((cum - n_tok) // 16))::BIGINT AS passage_id,
+       |    string_agg(s, ' ' ORDER BY pos) AS chunk,
+       |    sum(n_tok)::BIGINT AS n_tokens
+       |  FROM cm GROUP BY doc_id, (cum - n_tok) // 16),
+       |tok AS MATERIALIZED (SELECT passage_id, tok AS term FROM (
+       |    SELECT passage_id, unnest(string_split_regex(lower(trim(chunk)), '\\s+')) AS tok
+       |    FROM pg) WHERE tok <> ''),
+       |tf AS MATERIALIZED (SELECT passage_id, term, count(*)::BIGINT AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT passage_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |dfreq AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs,
+       |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+       |  FROM dl),
+       |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, tok AS term FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |    FROM sd WHERE doc_id % 50 = 7) WHERE tok <> ''),
+       |wt AS MATERIALIZED (SELECT t.passage_id, t.term,
+       |    floor(
+       |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
+       |      * ((t.tf::DOUBLE * (1.2 + 1.0))
+       |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
+       |      * 1e6 + 0.5)::BIGINT AS c_e6
+       |  FROM tf t JOIN dfreq f USING (term)
+       |  JOIN dl l ON l.passage_id = t.passage_id CROSS JOIN st),
+       |sc AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
+       |  FROM qt q JOIN wt w USING (term)
+       |  WHERE w.passage_id // 10000 != q.q_id GROUP BY 1, 2),
+       |rk AS MATERIALIZED (SELECT q_id, passage_id, rank FROM (
+       |  SELECT q_id, passage_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY score_e6 DESC, passage_id) AS rank
+       |  FROM sc) WHERE rank <= 5),
+       |bj AS MATERIALIZED (SELECT r.q_id, r.rank, p.chunk, p.n_tokens,
+       |    sum(p.n_tokens) OVER (PARTITION BY r.q_id ORDER BY r.rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM rk r JOIN pg p USING (passage_id)),
+       |bd AS (SELECT q_id, rank, chunk, n_tokens FROM bj WHERE cum <= 48)
+       |SELECT b.q_id,
+       |  count(*)::BIGINT AS n_passages,
+       |  sum(b.n_tokens)::BIGINT AS n_context_tokens,
+       |  'Context:' || chr(10) ||
+       |    string_agg(b.chunk, chr(10) || '---' || chr(10) ORDER BY b.rank) ||
+       |    chr(10) || chr(10) || 'Question: ' || any_value(q.text) AS prompt
+       |FROM bd b JOIN sd q ON q.doc_id = b.q_id
+       |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q134_prf_expansion" -> q134PrfExpansion,
     "q135_retrieval_ndcg" -> q135RetrievalNdcg,
@@ -406,7 +621,10 @@ object Queries12 {
     "q137_expanded_bm25" -> q137ExpandedBm25,
     "q138_route_ab" -> q138RouteAb,
     "q139_norm_outliers" -> q139NormOutliers,
-    "q140_release_psi" -> q140ReleasePsi)
+    "q140_release_psi" -> q140ReleasePsi,
+    "q141_sentence_chunks" -> q141SentenceChunks,
+    "q142_passage_retrieval" -> q142PassageRetrieval,
+    "q143_passage_context" -> q143PassageContext)
 
   val oracle: Map[String, String] = Map(
     "q134_prf_expansion" -> q134Sql,
@@ -415,5 +633,8 @@ object Queries12 {
     "q137_expanded_bm25" -> q137Sql,
     "q138_route_ab" -> q138Sql,
     "q139_norm_outliers" -> q139Sql,
-    "q140_release_psi" -> q140Sql)
+    "q140_release_psi" -> q140Sql,
+    "q141_sentence_chunks" -> q141Sql,
+    "q142_passage_retrieval" -> q142Sql,
+    "q143_passage_context" -> q143Sql)
 }

@@ -27,6 +27,45 @@ object Chunk {
         col(textCol).substr(col("chunk_start"), lit(size)).as("chunk"))
   }
 
+  /** Sentence-aware chunking — the RAG passage unit that never cuts a
+    * sentence in half: split on terminator boundaries (runs of
+    * `[^.!?]+` with their trailing terminators — no lookbehind, so the
+    * same RE2-safe pattern runs in any engine), then pack consecutive
+    * sentences into chunks by the offset-division rule (`chunk_id =
+    * (cum_tokens − n_tok) div maxTokens`, the q62 packing convention):
+    * a sentence longer than `maxTokens` still lands whole in one chunk
+    * — passage integrity beats the cap, and the fill report downstream
+    * sees the overflow.
+    *
+    * Scale shape: one extract + posexplode of the corpus text, one
+    * per-document window (partitioned by the id — parallel across
+    * documents), one hash aggregation; the chunk text reassembles with
+    * a sorted in-group collect (the A1 discipline). Output: (id,
+    * chunk_id, chunk, n_sentences, n_tokens). */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sent = df
+      .select(col(idCol), posexplode(expr(
+        s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)")).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), trim(col("s")).as("s"))
+      .filter(col("s") =!= "")
+      .withColumn("n_tok",
+        org.apache.spark.sql.functions.size(split(col("s"), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sent
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tok) div ${maxTokens}L"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")), " ").as("chunk"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Token-based overlapping chunks: windows of `size` whitespace tokens
     * starting every `step` tokens, re-joined with single spaces (the usual
     * RAG chunking unit). Same codegen'd explode/slice shape as

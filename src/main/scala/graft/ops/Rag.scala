@@ -70,6 +70,26 @@ object Rag {
         lit("Question: "), lit(question)).as("prompt"))
   }
 
+  /** Batch-mode [[assemblePrompt]]: one prompt PER QUERY from a ranked
+    * context frame — the shape an offline RAG evaluation run needs
+    * (thousands of questions prompted in one plan, not a driver loop).
+    * Context passages join in rank order; the question text rides in as
+    * a column. Output: (queryIdCol, n_passages, prompt). */
+  def assemblePrompts(ctx: DataFrame, queryIdCol: String, rankCol: String,
+      textCol: String, questionCol: String): DataFrame =
+    ctx.groupBy(col(queryIdCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(rankCol), col(textCol)))),
+            p => p.getField(textCol)),
+          "\n---\n").as("__context"),
+        first(col(questionCol)).as("__q"))
+      .select(col(queryIdCol), col("n_passages"),
+        concat(lit("Context:\n"), col("__context"),
+          lit("\n\nQuestion: "), col("__q")).as("prompt"))
+
   /** Serving-loop conversation state (reference: app.py:150-159 seeds
     * `dialogue_history` per session; app.py:77-91 folds it into the prompt
     * as "\nUser: q\nAssistant: r" blocks before the current question).

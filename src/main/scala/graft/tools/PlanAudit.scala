@@ -48,7 +48,9 @@ object PlanAudit {
       "q137_expanded_bm25", "q138_route_ab",
       // q139 cross-joins the 1-ROW Tukey-fence aggregate; q140 the
       // 1-ROW release totals — both broadcast scalars by construction
-      "q139_norm_outliers", "q140_release_psi")
+      "q139_norm_outliers", "q140_release_psi",
+      // q142 is BM25 over passages — the same 1-row stats cross join
+      "q142_passage_retrieval")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -126,7 +126,13 @@ object VerifyScaled {
       "q139_norm_outliers" ->
         (() => graft.SparkEntry.queries("q139_norm_outliers")(spark, sfDir)),
       "q140_release_psi" ->
-        (() => graft.SparkEntry.queries("q140_release_psi")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q140_release_psi")(spark, sfDir)),
+      "q141_sentence_chunks" ->
+        (() => graft.SparkEntry.queries("q141_sentence_chunks")(spark, sfDir)),
+      "q142_passage_retrieval" ->
+        (() => graft.SparkEntry.queries("q142_passage_retrieval")(spark, sfDir)),
+      "q143_passage_context" ->
+        (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -173,7 +179,12 @@ object VerifyScaled {
       "q137_expanded_bm25" -> graft.SparkEntry.oracleSql("q137_expanded_bm25"),
       "q138_route_ab" -> graft.SparkEntry.oracleSql("q138_route_ab"),
       "q139_norm_outliers" -> graft.SparkEntry.oracleSql("q139_norm_outliers"),
-      "q140_release_psi" -> graft.SparkEntry.oracleSql("q140_release_psi"))
+      "q140_release_psi" -> graft.SparkEntry.oracleSql("q140_release_psi"),
+      "q141_sentence_chunks" -> graft.SparkEntry.oracleSql("q141_sentence_chunks"),
+      "q142_passage_retrieval" ->
+        graft.SparkEntry.oracleSql("q142_passage_retrieval"),
+      "q143_passage_context" ->
+        graft.SparkEntry.oracleSql("q143_passage_context"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

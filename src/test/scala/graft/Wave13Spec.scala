@@ -118,6 +118,25 @@ class Wave13Spec extends SparkSpec {
     assert(out.values.map(_._6).sum > 0L)
   }
 
+  test("sentenceChunks: boundaries respected, long sentences never split") {
+    val docs = Seq(
+      // 3+4+3 tokens at cap 6: s1+s2 overflow into chunk 0/0? cum=3,7,10
+      // chunk_id = (cum - n_tok) div 6 -> s1:0, s2:0, s3:1
+      (1L, "One two three. Four five six seven! Eight nine ten?"),
+      // a single 9-token sentence at cap 6 stays WHOLE in chunk 0
+      (2L, "a b c d e f g h i"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.Chunk.sentenceChunks(docs, "doc_id", "text", 6)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 0L)) ==
+      (("One two three. Four five six seven!", 2L, 7L)))
+    assert(out((1L, 1L)) == (("Eight nine ten?", 1L, 3L)))
+    assert(out((2L, 0L)) == (("a b c d e f g h i", 1L, 9L)),
+      "passage integrity beats the cap")
+    assert(!out.keySet.exists(_._1 == 3L), "empty text yields no chunks")
+  }
+
   test("labelPropagation: clamping, majority, tie-break, unreachable") {
     // seeds: 1->7, 2->9. edges: 3->{1,2} (tie -> smallest label 7);
     // 4->{1} (adopts 7); 5->{6} (6 unlabeled forever -> 5 stays -1);
