@@ -614,6 +614,44 @@ object Queries12 {
        |FROM bd b JOIN sd q ON q.doc_id = b.q_id
        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
 
+  // --------------------------------------- multimodal sequence packing
+  /** Vision-language capacity planning: each document attaches `doc_id %
+    * 3` images at 64 patch-tokens each, and documents pack into 512-token
+    * sequences per source — see
+    * [[graft.ops.Multimodal.interleavedPacking]]. The image-share column
+    * is the governance signal (image-heavy packs starve the text loss). */
+  val q144MultimodalPacking: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    graft.ops.Multimodal.interleavedPacking(
+        d.select(col("source"), col("doc_id"),
+          graft.functions.TextFns.tokenCount(col("text")).as("n_text_tok"),
+          (col("doc_id") % 3).as("n_images")),
+        "source", "doc_id", "n_text_tok", "n_images",
+        imageTokens = 64, capacity = 512)
+      .orderBy("source", "pack_id")
+  }
+
+  val q144Sql: String =
+    """WITH c AS (SELECT source, doc_id,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |          ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tt,
+      |    ((doc_id % 3) * 64)::BIGINT AS it
+      |  FROM documents),
+      |m AS (SELECT source, doc_id, tt, it, tt + it AS cost,
+      |    sum(tt + it) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c)
+      |SELECT source, ((cum - cost) // 512)::BIGINT AS pack_id,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(tt)::BIGINT AS n_text_tokens,
+      |  sum(it)::BIGINT AS n_image_tokens,
+      |  ((sum(tt) + sum(it)) * 1000000 // 512)::BIGINT AS fill_ppm,
+      |  (CASE WHEN sum(tt) + sum(it) = 0 THEN 0
+      |        ELSE sum(it) * 1000000 // (sum(tt) + sum(it))
+      |   END)::BIGINT AS image_share_ppm
+      |FROM m GROUP BY source, (cum - cost) // 512
+      |ORDER BY source, pack_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q134_prf_expansion" -> q134PrfExpansion,
     "q135_retrieval_ndcg" -> q135RetrievalNdcg,
@@ -624,7 +662,8 @@ object Queries12 {
     "q140_release_psi" -> q140ReleasePsi,
     "q141_sentence_chunks" -> q141SentenceChunks,
     "q142_passage_retrieval" -> q142PassageRetrieval,
-    "q143_passage_context" -> q143PassageContext)
+    "q143_passage_context" -> q143PassageContext,
+    "q144_multimodal_packing" -> q144MultimodalPacking)
 
   val oracle: Map[String, String] = Map(
     "q134_prf_expansion" -> q134Sql,
@@ -636,5 +675,6 @@ object Queries12 {
     "q140_release_psi" -> q140Sql,
     "q141_sentence_chunks" -> q141Sql,
     "q142_passage_retrieval" -> q142Sql,
-    "q143_passage_context" -> q143Sql)
+    "q143_passage_context" -> q143Sql,
+    "q144_multimodal_packing" -> q144Sql)
 }

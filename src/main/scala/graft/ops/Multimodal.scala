@@ -82,6 +82,49 @@ object Multimodal {
       .withColumn("aspect_changed",
         (col("orig_width") * newHeight) =!= (col("orig_height") * newWidth))
 
+  /** Interleaved multimodal sequence packing: a document's sequence cost
+    * is its text tokens PLUS a fixed patch budget per attached image
+    * (`imageTokens` — how vision-language training actually spends
+    * sequence length), and documents pack into `capacity`-token sequences
+    * per `partCol` shard by the offset-division rule (the q62 convention:
+    * `pack_id = (cum − cost) div capacity`, so an over-cap document still
+    * lands whole). The output is the capacity-planning table a
+    * multimodal run reads: per pack, the document count, the text/image
+    * token split, the fill ratio and the image share — image-heavy packs
+    * are the ones that starve the text loss.
+    *
+    * Scale shape: one per-shard window cumsum (parallel across shards),
+    * one hash aggregation. Input contract: `df(partCol, idCol,
+    * textTokCol, nImagesCol)` — the caller decides how images attach
+    * (an asset join, a metadata column); packing never reads content
+    * bytes. */
+  def interleavedPacking(df: DataFrame, partCol: String, idCol: String,
+      textTokCol: String, nImagesCol: String, imageTokens: Int,
+      capacity: Int): DataFrame = {
+    require(imageTokens >= 0 && capacity > 0, "bad budget parameters")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(partCol), col(idCol),
+        col(textTokCol).cast("long").as("__tt"),
+        (col(nImagesCol).cast("long") * imageTokens).as("__it"))
+      .withColumn("__cost", col("__tt") + col("__it"))
+      .withColumn("__cum", sum(col("__cost")).over(w))
+      .groupBy(col(partCol),
+        expr(s"(__cum - __cost) div ${capacity}L").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tt")).as("n_text_tokens"),
+        sum(col("__it")).as("n_image_tokens"))
+      .withColumn("fill_ppm", expr(
+        s"(n_text_tokens + n_image_tokens) * 1000000L div ${capacity}L"))
+      .withColumn("image_share_ppm",
+        // a pack of zero-cost documents (empty text, no images) has no
+        // tokens to split — 0 by convention, not a division error
+        when(col("n_text_tokens") + col("n_image_tokens") === 0L, lit(0L))
+          .otherwise(expr(
+            "n_image_tokens * 1000000L div (n_text_tokens + n_image_tokens)")))
+  }
+
   /** Frame-sampling expansion for video-like assets: one row per sampled
     * frame at `everyNBytes` stride (stand-in for a time stride), with the
     * frame's byte slice as content. Pure codegen'd explode — the real

@@ -132,7 +132,9 @@ object VerifyScaled {
       "q142_passage_retrieval" ->
         (() => graft.SparkEntry.queries("q142_passage_retrieval")(spark, sfDir)),
       "q143_passage_context" ->
-        (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)),
+      "q144_multimodal_packing" ->
+        (() => graft.SparkEntry.queries("q144_multimodal_packing")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -184,7 +186,9 @@ object VerifyScaled {
       "q142_passage_retrieval" ->
         graft.SparkEntry.oracleSql("q142_passage_retrieval"),
       "q143_passage_context" ->
-        graft.SparkEntry.oracleSql("q143_passage_context"))
+        graft.SparkEntry.oracleSql("q143_passage_context"),
+      "q144_multimodal_packing" ->
+        graft.SparkEntry.oracleSql("q144_multimodal_packing"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -137,6 +137,23 @@ class Wave13Spec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 3L), "empty text yields no chunks")
   }
 
+  test("interleavedPacking: image patch budget, whole-doc integrity, zero-cost packs") {
+    // shard A at capacity 100: doc1 text 40 + 1 img (64) = 104 (> cap,
+    // lands whole in pack 0); doc2 cost 30 -> cum 134 -> pack 1;
+    // doc3 cost 80 -> cum 214 -> pack 1 (134 div 100)
+    val df = Seq(
+      ("A", 1L, 40L, 1L), ("A", 2L, 30L, 0L), ("A", 3L, 16L, 1L),
+      ("B", 4L, 0L, 0L)) // zero-cost doc: share is 0, not a div error
+      .toDF("source", "doc_id", "n_text_tok", "n_images")
+    val out = graft.ops.Multimodal.interleavedPacking(df, "source", "doc_id",
+        "n_text_tok", "n_images", imageTokens = 64, capacity = 100)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(("A", 0L)) == ((1L, 40L, 64L, 1040000L, 615384L)))
+    assert(out(("A", 1L)) == ((2L, 46L, 64L, 1100000L, 581818L)))
+    assert(out(("B", 0L)) == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("labelPropagation: clamping, majority, tie-break, unreachable") {
     // seeds: 1->7, 2->9. edges: 3->{1,2} (tie -> smallest label 7);
     // 4->{1} (adopts 7); 5->{6} (6 unlabeled forever -> 5 stays -1);
