@@ -7,12 +7,17 @@ import graft.io.Tables
 import graft.ops.{Graph, RankEval, Retrieval, Similarity}
 
 /** Twelfth query wave: the evaluation-and-governance layer over the wave-11
-  * retrieval stack — pseudo-relevance-feedback query expansion (q134, the
-  * second-pass retrieval input), weak-label nDCG/MRR retrieval audit
-  * (q135), and clamped label propagation over the kNN graph (q136,
-  * semi-supervised curation). Same determinism rules as [[Queries]]; the
-  * DCG gain tables are driver-computed integer literals shared between the
-  * Spark plan and the oracle SQL, so no libm call survives to run time.
+  * retrieval stack, plus the data-prep closers — PRF query expansion
+  * (q134) and the score-reusing expanded second pass it feeds (q137),
+  * weak-label nDCG/MRR retrieval audit (q135) and the three-route A/B
+  * bake-off (q138), clamped kNN label propagation (q136), embedding-norm
+  * outlier gating (q139), release PSI drift (q140), sentence-aware
+  * chunking (q141) with passage-level BM25 (q142) and the budgeted
+  * passage-context serving capstone (q143), interleaved multimodal
+  * sequence packing (q144), and SFT conversation rendering with loss-mask
+  * spans (q145). Same determinism rules as [[Queries]]; the DCG gain
+  * tables are driver-computed integer literals shared between the Spark
+  * plan and the oracle SQL, so no libm call survives to run time.
   */
 object Queries12 {
 
@@ -652,6 +657,49 @@ object Queries12 {
       |FROM m GROUP BY source, (cum - cost) // 512
       |ORDER BY source, pack_id""".stripMargin
 
+  // --------------------------------------------- SFT example rendering
+  /** SFT data prep: groups of four documents play four-turn user/assistant
+    * conversations (conv = doc_id div 4, role by parity), rendered to one
+    * training string each with exact assistant-text character spans for
+    * the loss mask — see [[graft.ops.Sft.renderConversations]]. The whole
+    * artifact (template string INCLUDED) hashes against the oracle. */
+  val q145SftRender: Q = (spark, dir) => {
+    val turns = Tables.documents(spark, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      (col("doc_id") % 4).as("turn"),
+      when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+        .as("role"),
+      col("text"))
+    graft.ops.Sft.renderConversations(turns, "conv_id", "turn", "role", "text")
+      .orderBy("conv_id")
+  }
+
+  val q145Sql: String =
+    """WITH t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text
+      |  FROM documents),
+      |c AS (SELECT conv_id, turn, role, text,
+      |    '<|' || role || '|>' || chr(10) AS hdr,
+      |    '<|' || role || '|>' || chr(10) || text || chr(10) AS block
+      |  FROM t),
+      |d AS (SELECT conv_id, turn, role, text, hdr, block,
+      |    sum(length(block)) OVER (PARTITION BY conv_id ORDER BY turn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c),
+      |e AS (SELECT conv_id, turn, role, block,
+      |    (cum - length(block) + length(hdr) + 1)::BIGINT AS ts,
+      |    (cum - length(block) + length(hdr) + length(text))::BIGINT AS te
+      |  FROM d)
+      |SELECT conv_id::BIGINT AS conv_id,
+      |  count(*)::BIGINT AS n_turns,
+      |  sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_assistant_turns,
+      |  string_agg(block, '' ORDER BY turn) AS rendered,
+      |  coalesce(string_agg(CASE WHEN role = 'assistant'
+      |      THEN ts || '-' || te END, ',' ORDER BY turn), '') AS assistant_spans
+      |FROM e GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q134_prf_expansion" -> q134PrfExpansion,
     "q135_retrieval_ndcg" -> q135RetrievalNdcg,
@@ -663,7 +711,8 @@ object Queries12 {
     "q141_sentence_chunks" -> q141SentenceChunks,
     "q142_passage_retrieval" -> q142PassageRetrieval,
     "q143_passage_context" -> q143PassageContext,
-    "q144_multimodal_packing" -> q144MultimodalPacking)
+    "q144_multimodal_packing" -> q144MultimodalPacking,
+    "q145_sft_render" -> q145SftRender)
 
   val oracle: Map[String, String] = Map(
     "q134_prf_expansion" -> q134Sql,
@@ -676,5 +725,6 @@ object Queries12 {
     "q141_sentence_chunks" -> q141Sql,
     "q142_passage_retrieval" -> q142Sql,
     "q143_passage_context" -> q143Sql,
-    "q144_multimodal_packing" -> q144Sql)
+    "q144_multimodal_packing" -> q144Sql,
+    "q145_sft_render" -> q145Sql)
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning data preparation — the step between a cleaned
+  * conversation corpus (the reference's Q&A pairs are exactly this) and a
+  * trainable example: render each conversation to one training string
+  * under a chat template, and emit the ASSISTANT character spans a loss
+  * mask needs (SFT computes loss only on assistant tokens; everything
+  * else is context). Offsets are exact integers computed in-plan, so the
+  * artifact is engine-checkable end to end — no tokenizer in the loop
+  * (char spans convert to token spans downstream via q125's encoder).
+  */
+object Sft {
+
+  /** Render `turns(convIdCol, turnCol, roleCol, textCol)` to one row per
+    * conversation under the template
+    * `<|role|>\n{text}\n` per turn, turns in `turnCol` order:
+    *
+    *   - `rendered` — the concatenated training string;
+    *   - `assistant_spans` — "start-end" 1-based inclusive character
+    *     spans of each assistant turn's TEXT (not its header), joined
+    *     with "," in turn order — exactly the mask a trainer applies
+    *     ("" when a conversation has no assistant turn; an empty
+    *     assistant text yields the degenerate span start-(start−1)).
+    *
+    * Scale shape: one per-conversation window cumsum over block lengths
+    * (parallel across conversations), one hash aggregation with sorted
+    * in-group collects (the A1 discipline) — conversations never leave
+    * their partition, and the corpus text is touched once. */
+  def renderConversations(turns: DataFrame, convIdCol: String,
+      turnCol: String, roleCol: String, textCol: String): DataFrame = {
+    val hdr = concat(lit("<|"), col(roleCol), lit("|>\n"))
+    val w = Window.partitionBy(col(convIdCol)).orderBy(col(turnCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = turns
+      .select(col(convIdCol), col(turnCol), col(roleCol), col(textCol))
+      .withColumn("__hlen", length(hdr).cast("long"))
+      .withColumn("__block", concat(hdr, col(textCol), lit("\n")))
+      .withColumn("__blen", length(col("__block")).cast("long"))
+      .withColumn("__cum", sum(col("__blen")).over(w))
+      .withColumn("__ts", col("__cum") - col("__blen") + col("__hlen") + 1L)
+      .withColumn("__te",
+        col("__cum") - col("__blen") + col("__hlen") + length(col(textCol)))
+    t.groupBy(col(convIdCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        count(when(col(roleCol) === "assistant", 1)).as("n_assistant_turns"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(turnCol), col("__block")))),
+            x => x.getField("__block")), "").as("rendered"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col(roleCol) === "assistant",
+              struct(col(turnCol),
+                concat(col("__ts").cast("string"), lit("-"),
+                  col("__te").cast("string")).as("__sp"))))),
+            x => x.getField("__sp")), ",").as("assistant_spans"))
+  }
+}

@@ -134,7 +134,9 @@ object VerifyScaled {
       "q143_passage_context" ->
         (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)),
       "q144_multimodal_packing" ->
-        (() => graft.SparkEntry.queries("q144_multimodal_packing")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q144_multimodal_packing")(spark, sfDir)),
+      "q145_sft_render" ->
+        (() => graft.SparkEntry.queries("q145_sft_render")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -188,7 +190,8 @@ object VerifyScaled {
       "q143_passage_context" ->
         graft.SparkEntry.oracleSql("q143_passage_context"),
       "q144_multimodal_packing" ->
-        graft.SparkEntry.oracleSql("q144_multimodal_packing"))
+        graft.SparkEntry.oracleSql("q144_multimodal_packing"),
+      "q145_sft_render" -> graft.SparkEntry.oracleSql("q145_sft_render"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -305,4 +305,67 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val sentTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 10)
+    sents <- Gen.listOfN(n, for {
+      w <- Gen.chooseNum(1, 6)
+      ws <- Gen.listOfN(w, Gen.alphaLowerStr.map(_.take(4)).suchThat(_.nonEmpty))
+      term <- Gen.oneOf(".", "!", "?", "")
+    } yield ws.mkString(" ") + term)
+  } yield sents.mkString(" ")
+
+  test("sentenceChunks conserves every sentence exactly once, in order") {
+    forAll(Gen.listOfN(4, sentTextGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Chunk.sentenceChunks(docs, "doc_id", "text", 5)
+        .as[(Long, Long, String, Long, Long)].collect()
+      // reassembling chunks in chunk order reproduces the sentence stream
+      val rebuilt = out.groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+      for ((t, i) <- texts.zipWithIndex) {
+        val expected = "[^.!?]+[.!?]*".r.findAllIn(t)
+          .map(_.trim).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt.getOrElse(i.toLong, "") == expected, s"doc $i: '$t'")
+      }
+      // token accounting: chunk token sums equal the per-sentence sums
+      for ((id, rows) <- out.groupBy(_._1)) {
+        val total = rows.map(_._5).sum
+        val expect = "[^.!?]+[.!?]*".r.findAllIn(texts(id.toInt))
+          .map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+").length.toLong).sum
+        assert(total == expect)
+      }
+    }
+  }
+
+  test("interleavedPacking conserves tokens and respects per-shard density") {
+    val rowGen = for {
+      src <- Gen.oneOf("a", "b")
+      tt <- Gen.chooseNum(0L, 40L)
+      ni <- Gen.chooseNum(0L, 3L)
+    } yield (src, tt, ni)
+    forAll(Gen.listOfN(12, rowGen)) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((s, tt, ni), i) => (s, i.toLong, tt, ni) }
+        .toDF("source", "doc_id", "n_text_tok", "n_images")
+      val out = graft.ops.Multimodal.interleavedPacking(df, "source",
+          "doc_id", "n_text_tok", "n_images", imageTokens = 10, capacity = 50)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      // conservation: no token created or lost by packing
+      assert(out.map(r => r._4 + r._5).sum ==
+        rows.map { case (_, tt, ni) => tt + ni * 10 }.sum)
+      assert(out.map(_._3).sum == rows.length)
+      // offset-division shape: pack ids start at 0 and advance by at most
+      // ceil(maxCost/capacity) — an over-cap document (up to 70 tokens
+      // here against capacity 50) may legitimately skip ONE id, never more
+      for ((_, packs) <- out.groupBy(_._1)) {
+        val ids = packs.map(_._2).sorted
+        assert(ids.head == 0L &&
+          ids.zip(ids.tail).forall(p => p._2 - p._1 >= 1L && p._2 - p._1 <= 2L),
+          s"pack ids not offset-division-shaped: ${ids.toSeq}")
+      }
+    }
+  }
 }

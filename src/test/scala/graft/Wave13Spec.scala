@@ -154,6 +154,32 @@ class Wave13Spec extends SparkSpec {
     assert(out(("B", 0L)) == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("renderConversations: spans address exactly the assistant text") {
+    val turns = Seq(
+      (1L, 0L, "user", "hi"),
+      (1L, 1L, "assistant", "hello!"),
+      (1L, 2L, "user", "bye"),
+      (1L, 3L, "assistant", ""), // empty assistant turn: degenerate span
+      (2L, 0L, "user", "solo")) // no assistant at all
+      .toDF("conv_id", "turn", "role", "text")
+    val out = graft.ops.Sft.renderConversations(turns, "conv_id", "turn",
+        "role", "text")
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, na1, rendered, spans) = out(1L)
+    assert(n1 == 4L && na1 == 2L)
+    assert(rendered ==
+      "<|user|>\nhi\n<|assistant|>\nhello!\n<|user|>\nbye\n<|assistant|>\n\n")
+    // every span must slice exactly its assistant text out of `rendered`
+    val parsed = spans.split(",").map { s =>
+      val Array(a, b) = s.split("-"); (a.toInt, b.toInt)
+    }
+    assert(parsed.length == 2)
+    assert(rendered.substring(parsed(0)._1 - 1, parsed(0)._2) == "hello!")
+    assert(parsed(1)._2 == parsed(1)._1 - 1, "empty text -> degenerate span")
+    assert(out(2L)._3 == 0L && out(2L)._5 == "", "no assistant, no spans")
+  }
+
   test("labelPropagation: clamping, majority, tie-break, unreachable") {
     // seeds: 1->7, 2->9. edges: 3->{1,2} (tie -> smallest label 7);
     // 4->{1} (adopts 7); 5->{6} (6 unlabeled forever -> 5 stays -1);
