@@ -49,8 +49,12 @@ object PlanAudit {
       // q139 cross-joins the 1-ROW Tukey-fence aggregate; q140 the
       // 1-ROW release totals — both broadcast scalars by construction
       "q139_norm_outliers", "q140_release_psi",
-      // q142 is BM25 over passages — the same 1-row stats cross join
-      "q142_passage_retrieval")
+      // q142/q143 are BM25 over passages — the same 1-row stats cross join
+      "q142_passage_retrieval", "q143_passage_context",
+      // q122 cross-joins the broadcast ≤nlist centroid table into the
+      // recall audit's probe routing (the q37 class); q128 cross-joins
+      // the 1-ROW train-split token grand total (the q90 scalar class)
+      "q122_ivf_recall", "q128_trigram_backoff")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution
