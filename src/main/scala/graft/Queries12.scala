@@ -700,6 +700,63 @@ object Queries12 {
       |      THEN ts || '-' || te END, ',' ORDER BY turn), '') AS assistant_spans
       |FROM e GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
+  // --------------------------------------- needle-in-haystack placement
+  /** Long-context eval synthesis: groups of 8 documents form haystacks,
+    * the needle is the document at position `haystack_id % 8` (clamped to
+    * the group size), and the report gives each needle's exact token
+    * DEPTH — the controlled variable of a needle-in-a-haystack eval
+    * (recall is plotted against depth, so the synthesis must cover depths
+    * uniformly; the depth_bucket column is that coverage view). One
+    * per-haystack window cumsum, one aggregation — the q62 packing
+    * machinery pointed at eval construction. */
+  val q146NeedleDepth: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(
+      expr("doc_id div 8").as("haystack_id"),
+      col("doc_id"),
+      graft.functions.TextFns.tokenCount(col("text")).as("n_tok"))
+    val w = Window.partitionBy(col("haystack_id")).orderBy(col("doc_id").asc)
+    val t = d
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("before_tok",
+        coalesce(sum(col("n_tok")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val g = t.groupBy(col("haystack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    t.join(g, Seq("haystack_id"))
+      .filter(col("pos") === least(col("haystack_id") % 8, col("n_docs") - 1L))
+      .select(col("haystack_id"), col("n_docs"), col("n_tokens"),
+        col("doc_id").as("needle_doc_id"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("before_tok * 1000000L div n_tokens"))
+          .as("needle_depth_ppm"))
+      .withColumn("depth_bucket", expr("needle_depth_ppm div 125000L"))
+      .orderBy("haystack_id")
+  }
+
+  val q146Sql: String =
+    """WITH t AS (SELECT doc_id // 8 AS haystack_id, doc_id,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |          ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tok
+      |  FROM documents),
+      |r AS (SELECT haystack_id, doc_id, n_tok,
+      |    (row_number() OVER (PARTITION BY haystack_id ORDER BY doc_id) - 1)::BIGINT AS pos,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY haystack_id ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before_tok
+      |  FROM t),
+      |g AS (SELECT haystack_id, count(*)::BIGINT AS n_docs,
+      |    sum(n_tok)::BIGINT AS n_tokens
+      |  FROM t GROUP BY 1)
+      |SELECT r.haystack_id, g.n_docs, g.n_tokens,
+      |  r.doc_id AS needle_doc_id,
+      |  (CASE WHEN g.n_tokens = 0 THEN 0
+      |        ELSE r.before_tok * 1000000 // g.n_tokens END)::BIGINT AS needle_depth_ppm,
+      |  ((CASE WHEN g.n_tokens = 0 THEN 0
+      |         ELSE r.before_tok * 1000000 // g.n_tokens END) // 125000)::BIGINT AS depth_bucket
+      |FROM r JOIN g USING (haystack_id)
+      |WHERE r.pos = least(r.haystack_id % 8, g.n_docs - 1)
+      |ORDER BY r.haystack_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q134_prf_expansion" -> q134PrfExpansion,
     "q135_retrieval_ndcg" -> q135RetrievalNdcg,
@@ -712,7 +769,8 @@ object Queries12 {
     "q142_passage_retrieval" -> q142PassageRetrieval,
     "q143_passage_context" -> q143PassageContext,
     "q144_multimodal_packing" -> q144MultimodalPacking,
-    "q145_sft_render" -> q145SftRender)
+    "q145_sft_render" -> q145SftRender,
+    "q146_needle_depth" -> q146NeedleDepth)
 
   val oracle: Map[String, String] = Map(
     "q134_prf_expansion" -> q134Sql,
@@ -726,5 +784,6 @@ object Queries12 {
     "q142_passage_retrieval" -> q142Sql,
     "q143_passage_context" -> q143Sql,
     "q144_multimodal_packing" -> q144Sql,
-    "q145_sft_render" -> q145Sql)
+    "q145_sft_render" -> q145Sql,
+    "q146_needle_depth" -> q146Sql)
 }

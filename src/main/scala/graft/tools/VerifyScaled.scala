@@ -136,7 +136,9 @@ object VerifyScaled {
       "q144_multimodal_packing" ->
         (() => graft.SparkEntry.queries("q144_multimodal_packing")(spark, sfDir)),
       "q145_sft_render" ->
-        (() => graft.SparkEntry.queries("q145_sft_render")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q145_sft_render")(spark, sfDir)),
+      "q146_needle_depth" ->
+        (() => graft.SparkEntry.queries("q146_needle_depth")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -191,7 +193,8 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q143_passage_context"),
       "q144_multimodal_packing" ->
         graft.SparkEntry.oracleSql("q144_multimodal_packing"),
-      "q145_sft_render" -> graft.SparkEntry.oracleSql("q145_sft_render"))
+      "q145_sft_render" -> graft.SparkEntry.oracleSql("q145_sft_render"),
+      "q146_needle_depth" -> graft.SparkEntry.oracleSql("q146_needle_depth"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
