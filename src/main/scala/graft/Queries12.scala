@@ -471,8 +471,13 @@ object Queries12 {
       .orderBy("q_id", "rank")
   }
 
-  val q142Sql: String =
-    s"""WITH $SentencedSql,
+  /** Shared passage-BM25 oracle prefix (q142/q143): the sentence-chunk
+    * passages (`pg`, with per-passage token counts), the passage postings
+    * index, the query term probe and the summed scores `sc` — the SQL
+    * face of `Chunk.sentenceChunks` + `Retrieval.postings` +
+    * `bm25ScoresTerms` over passages. */
+  private val PassageScoreCtes: String =
+    s"""$SentencedSql,
        |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
        |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
        |    FROM sd), unnest(generate_series(1, len(sl))) AS g(i)),
@@ -484,7 +489,8 @@ object Queries12 {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM sf),
        |pg AS MATERIALIZED (SELECT (doc_id * 10000 + ((cum - n_tok) // 16))::BIGINT AS passage_id,
-       |    string_agg(s, ' ' ORDER BY pos) AS chunk
+       |    string_agg(s, ' ' ORDER BY pos) AS chunk,
+       |    sum(n_tok)::BIGINT AS n_tokens
        |  FROM cm GROUP BY doc_id, (cum - n_tok) // 16),
        |tok AS MATERIALIZED (SELECT passage_id, tok AS term FROM (
        |    SELECT passage_id, unnest(string_split_regex(lower(trim(chunk)), '\\s+')) AS tok
@@ -510,7 +516,10 @@ object Queries12 {
        |sc AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
        |  FROM qt q JOIN wt w USING (term)
        |  WHERE w.passage_id != q.q_id AND w.passage_id // 10000 != q.q_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val q142Sql: String =
+    s"""WITH $PassageScoreCtes,
        |rk AS (SELECT q_id, passage_id, score_e6,
        |    row_number() OVER (PARTITION BY q_id
        |                       ORDER BY score_e6 DESC, passage_id) AS rank
@@ -561,45 +570,7 @@ object Queries12 {
   }
 
   val q143Sql: String =
-    s"""WITH $SentencedSql,
-       |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
-       |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
-       |    FROM sd), unnest(generate_series(1, len(sl))) AS g(i)),
-       |sf AS (SELECT doc_id, pos, s,
-       |    len(string_split_regex(s, '\\s+'))::BIGINT AS n_tok
-       |  FROM se WHERE s <> ''),
-       |cm AS (SELECT doc_id, pos, s, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM sf),
-       |pg AS MATERIALIZED (SELECT (doc_id * 10000 + ((cum - n_tok) // 16))::BIGINT AS passage_id,
-       |    string_agg(s, ' ' ORDER BY pos) AS chunk,
-       |    sum(n_tok)::BIGINT AS n_tokens
-       |  FROM cm GROUP BY doc_id, (cum - n_tok) // 16),
-       |tok AS MATERIALIZED (SELECT passage_id, tok AS term FROM (
-       |    SELECT passage_id, unnest(string_split_regex(lower(trim(chunk)), '\\s+')) AS tok
-       |    FROM pg) WHERE tok <> ''),
-       |tf AS MATERIALIZED (SELECT passage_id, term, count(*)::BIGINT AS tf
-       |  FROM tok GROUP BY 1, 2),
-       |dl AS MATERIALIZED (SELECT passage_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-       |dfreq AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-       |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs,
-       |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-       |  FROM dl),
-       |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, tok AS term FROM (
-       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |    FROM sd WHERE doc_id % 50 = 7) WHERE tok <> ''),
-       |wt AS MATERIALIZED (SELECT t.passage_id, t.term,
-       |    floor(
-       |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
-       |      * ((t.tf::DOUBLE * (1.2 + 1.0))
-       |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
-       |      * 1e6 + 0.5)::BIGINT AS c_e6
-       |  FROM tf t JOIN dfreq f USING (term)
-       |  JOIN dl l ON l.passage_id = t.passage_id CROSS JOIN st),
-       |sc AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
-       |  FROM qt q JOIN wt w USING (term)
-       |  WHERE w.passage_id // 10000 != q.q_id GROUP BY 1, 2),
+    s"""WITH $PassageScoreCtes,
        |rk AS MATERIALIZED (SELECT q_id, passage_id, rank FROM (
        |  SELECT q_id, passage_id,
        |    row_number() OVER (PARTITION BY q_id
