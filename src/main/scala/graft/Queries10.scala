@@ -17,7 +17,7 @@ object Queries10 {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val Rounds = 6
+  private[graft] val Rounds = 6
 
   // ------------------------------------------------- BPE merge learning
   /** The learned merge table: `Rounds` rounds of (most frequent adjacent
@@ -67,7 +67,7 @@ object Queries10 {
     * dropped) → per-code-point initial symbols + `</w>` → `Rounds`
     * unrolled merge rounds. `docFilter` (a full `WHERE ...` clause)
     * restricts the TRAINING corpus — q125 trains on a split. */
-  private def trainCtes(docFilter: String = ""): String = {
+  private[graft] def trainCtes(docFilter: String = ""): String = {
     val rounds = (1 to Rounds).map(roundSql).mkString(",\n")
     s"""wc AS MATERIALIZED (SELECT tok AS w, count(*)::BIGINT AS cnt
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -145,7 +145,7 @@ object Queries10 {
     * already-learned `m$k` to `ov${k - 1}` (no winner selection — the
     * merge table is fixed at training), same gaps-and-islands greedy
     * selection as [[roundSql]]. */
-  private def segRoundSql(k: Int): String = {
+  private[graft] def segRoundSql(k: Int): String = {
     val prev = s"ov${k - 1}"
     s"""sp$k AS MATERIALIZED (SELECT w, string_split(sym, ' ') AS syms FROM $prev),
        |pp$k AS MATERIALIZED (SELECT w, syms, i, syms[i] AS s

@@ -54,9 +54,185 @@ object Queries13 {
        |WHERE c.rb <= 4 AND c.quality_e6 - r.quality_e6 >= 10000
        |ORDER BY c.prompt_id, c.doc_id""".stripMargin
 
+  // --------------------------------------- BPE vocabulary pruning
+  private val Rounds = Queries10.Rounds
+
+  /** Usage-based tokenizer pruning: train on the 90% split (the q125
+    * split), count how often each learned merge FIRES when the held-out
+    * 10% is encoded ([[graft.ops.Bpe.mergeUsage]]), keep the 3 most-used
+    * merges plus their producer closure
+    * ([[graft.ops.Bpe.pruneByUsage]]). Output: the annotated merge
+    * table — the artifact a vocab-budget review reads. */
+  val q148VocabPrune: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val (mergesDf, _) = graft.ops.Bpe.learn(
+      docs.filter(col("doc_id") % 10 =!= 3L), "text", Rounds)
+    val ms = graft.ops.Bpe.mergeSeq(mergesDf)
+    val usage = graft.ops.Bpe.mergeUsage(
+      docs.filter(col("doc_id") % 10 === 3L), "text", ms)
+    graft.ops.Bpe.pruneByUsage(mergesDf, usage, keep = 3)
+      .orderBy("merge_round")
+  }
+
+  /** Shared pruning oracle prefix: the q125 training chain (90% split) →
+    * the held-out word frame `hw` → the full encode chain `ov1..ovR`
+    * (ALL held-out words, not just OOV — usage needs every application)
+    * → per-round usage `us` → the kept set `k$R` (top-3 seeds + producer
+    * closure, unrolled `R` fixpoint steps — closure depth is bounded by
+    * the merge count). */
+  private val PruneCtes: String = {
+    val segRounds = (1 to Rounds).map(Queries10.segRoundSql).mkString(",\n")
+    val usage = (1 to Rounds).map(k =>
+      s"""SELECT $k::BIGINT AS merge_round,
+         |    (SELECT coalesce(sum(h.cnt), 0) FROM cc$k c
+         |     JOIN hw h USING (w))::BIGINT AS n_applied""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val allm = (1 to Rounds).map(k =>
+      s"SELECT $k::BIGINT AS merge_round, l, r FROM m$k")
+      .mkString("\n  UNION ALL\n  ")
+    val closure = (1 to Rounds).map(i =>
+      s"""k$i AS (SELECT merge_round FROM k${i - 1} UNION
+         |  SELECT m2.merge_round FROM allm m2
+         |  JOIN allm m1 ON m2.merge_round < m1.merge_round
+         |    AND (m2.l || m2.r = m1.l OR m2.l || m2.r = m1.r)
+         |  JOIN k${i - 1} kk ON kk.merge_round = m1.merge_round)""".stripMargin)
+      .mkString(",\n")
+    s"""${Queries10.trainCtes("WHERE doc_id % 10 != 3")},
+       |hw AS MATERIALIZED (SELECT tok AS w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |        FROM documents WHERE doc_id % 10 = 3)
+       |  WHERE tok <> '' GROUP BY 1),
+       |ov0 AS MATERIALIZED (SELECT w,
+       |    regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+       |  FROM hw),
+       |$segRounds,
+       |us AS MATERIALIZED (
+       |  $usage),
+       |allm AS MATERIALIZED (
+       |  $allm),
+       |sd AS (SELECT merge_round,
+       |    row_number() OVER (ORDER BY n_applied DESC, merge_round) AS rr
+       |  FROM us),
+       |k0 AS (SELECT merge_round FROM sd WHERE rr <= 3),
+       |$closure""".stripMargin
+  }
+
+  val q148Sql: String =
+    s"""WITH $PruneCtes
+       |SELECT a.merge_round, a.l AS left_sym, a.r AS right_sym,
+       |  u.n_applied,
+       |  (a.merge_round IN (SELECT merge_round FROM k$Rounds)) AS kept
+       |FROM allm a JOIN us u USING (merge_round)
+       |ORDER BY a.merge_round""".stripMargin
+
+  /** One PRUNED encode round: [[Queries10.segRoundSql]]'s structure with
+    * the round's merge gated on kept-set membership (`pm$$k`) — a pruned
+    * round matches no positions and passes the symbol state through
+    * unchanged, so the chain shape stays static while the kept set stays
+    * data-dependent. */
+  private def prunedRoundSql(k: Int): String = {
+    val prev = s"pv${k - 1}"
+    s"""pm$k AS MATERIALIZED (SELECT l, r FROM m$k
+       |  WHERE $k IN (SELECT merge_round FROM k$Rounds)),
+       |qp$k AS MATERIALIZED (SELECT w, string_split(sym, ' ') AS syms FROM $prev),
+       |qq$k AS MATERIALIZED (SELECT w, syms, i, syms[i] AS s
+       |  FROM qp$k, unnest(generate_series(1, len(syms))) AS g(i)),
+       |qd$k AS MATERIALIZED (SELECT p.w, p.i FROM qq$k p, pm$k m
+       |  WHERE p.i < len(p.syms) AND p.s = m.l AND p.syms[p.i + 1] = m.r),
+       |qi$k AS MATERIALIZED (SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |  FROM (SELECT w, i,
+       |          i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+       |        FROM qd$k)),
+       |qc$k AS MATERIALIZED (SELECT w, i FROM qi$k WHERE rn % 2 = 1),
+       |pv$k AS MATERIALIZED (SELECT q.w, string_agg(q.o, ' ' ORDER BY q.i) AS sym
+       |  FROM (SELECT p.w, p.i,
+       |          CASE WHEN c1.i IS NOT NULL THEN (SELECT l || r FROM pm$k)
+       |               ELSE p.s END AS o
+       |        FROM qq$k p
+       |        LEFT JOIN qc$k c1 ON c1.w = p.w AND c1.i = p.i
+       |        LEFT JOIN qc$k c2 ON c2.w = p.w AND c2.i = p.i - 1
+       |        WHERE c2.i IS NULL) q
+       |  GROUP BY q.w)""".stripMargin
+  }
+
+  /** The pruning IMPACT report: re-encode the held-out split under the
+    * kept merges only and compare against the full tokenizer — per
+    * held-out document, token count, symbol totals under both merge
+    * tables, and `inflation_ppm = n_sym_pruned · 1e6 div n_sym_full`
+    * (≥ 1e6 by construction: pruning can only lengthen encodings). The
+    * cost-model every vocab-budget decision weighs: artifact size saved
+    * vs sequence length paid. */
+  val q149PruneImpact: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val held = docs.filter(col("doc_id") % 10 === 3L)
+    val (mergesDf, _) = graft.ops.Bpe.learn(
+      docs.filter(col("doc_id") % 10 =!= 3L), "text", Rounds)
+    val ms = graft.ops.Bpe.mergeSeq(mergesDf)
+    val usage = graft.ops.Bpe.mergeUsage(held, "text", ms)
+    // kept-round collect: loop control over the artifact-sized merge
+    // table (the mergeSeq contract), not data movement
+    val keptRounds = graft.ops.Bpe.pruneByUsage(mergesDf, usage, keep = 3)
+      .filter(col("kept")).select(col("merge_round"))
+      .collect().map(_.getLong(0)).toSet
+    val keptMs = ms.zipWithIndex.collect {
+      case (p, i) if keptRounds(i + 1L) => p }
+    // one tokenization pass feeds BOTH encode chains
+    val hv = graft.ops.Vocab.wordCounts(held, "text")
+      .select(col("word").as("w")).localCheckpoint(false)
+    val full = graft.ops.Bpe.segmentWords(hv, "w", ms)
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("n_full"))
+    val pruned = graft.ops.Bpe.segmentWords(hv, "w", keptMs)
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("n_pruned"))
+    val toks = held.select(col("doc_id"),
+      explode(filter(graft.functions.TextFns.wordTokens(col("text")),
+        t => t =!= "")).as("w"))
+    val agg = toks.join(full, Seq("w")).join(pruned, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_full")).as("n_sym_full"),
+        sum(col("n_pruned")).as("n_sym_pruned"))
+    held.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_sym_full"), lit(0L)).as("n_sym_full"),
+        coalesce(col("n_sym_pruned"), lit(0L)).as("n_sym_pruned"))
+      .withColumn("inflation_ppm",
+        when(col("n_sym_full") === 0L, lit(0L))
+          .otherwise(expr("n_sym_pruned * 1000000L div n_sym_full")))
+      .orderBy("doc_id")
+  }
+
+  val q149Sql: String = {
+    val prunedRounds = (1 to Rounds).map(prunedRoundSql).mkString(",\n")
+    s"""WITH $PruneCtes,
+       |pv0 AS (SELECT w, sym FROM ov0),
+       |$prunedRounds,
+       |fc AS (SELECT w, len(string_split(sym, ' '))::BIGINT AS n_full FROM ov$Rounds),
+       |pc AS (SELECT w, len(string_split(sym, ' '))::BIGINT AS n_pruned FROM pv$Rounds),
+       |ht AS MATERIALIZED (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents WHERE doc_id % 10 = 3) WHERE w <> ''),
+       |ag AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(f.n_full)::BIGINT AS n_sym_full,
+       |    sum(p.n_pruned)::BIGINT AS n_sym_pruned
+       |  FROM ht t JOIN fc f USING (w) JOIN pc p USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(a.n_sym_full, 0)::BIGINT AS n_sym_full,
+       |  coalesce(a.n_sym_pruned, 0)::BIGINT AS n_sym_pruned,
+       |  (CASE WHEN coalesce(a.n_sym_full, 0) = 0 THEN 0
+       |        ELSE a.n_sym_pruned * 1000000 // a.n_sym_full END)::BIGINT AS inflation_ppm
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 3) d
+       |LEFT JOIN ag a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
-    "q147_preference_pairs" -> q147PreferencePairs)
+    "q147_preference_pairs" -> q147PreferencePairs,
+    "q148_vocab_prune" -> q148VocabPrune,
+    "q149_prune_impact" -> q149PruneImpact)
 
   val oracle: Map[String, String] = Map(
-    "q147_preference_pairs" -> q147Sql)
+    "q147_preference_pairs" -> q147Sql,
+    "q148_vocab_prune" -> q148Sql,
+    "q149_prune_impact" -> q149Sql)
 }

@@ -229,9 +229,7 @@ object Bpe {
     * — the same class as the training loop's winner rows, not data. */
   def segmentCorpus(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, finalWords: DataFrame): DataFrame = {
-    val ms = merges.orderBy(col("merge_round"))
-      .select(col("left_sym"), col("right_sym")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val ms = mergeSeq(merges)
     val toks = df.select(col(idCol),
       explode(filter(graft.functions.TextFns.wordTokens(col(textCol)),
         t => t =!= "")).as("w"))
@@ -255,6 +253,94 @@ object Bpe {
       .withColumn("sym_per_token_ppm",
         when(col("n_tokens") === 0L, lit(0L))
           .otherwise(expr("n_sym * 1000000L div n_tokens")))
+  }
+
+  /** The learned merge table as the ordered (left, right) pair list
+    * [[segmentWords]] consumes. Collected to the driver: the merge table
+    * IS the tokenizer artifact — ≤ rounds rows by [[learn]]'s contract —
+    * the same class as the training loop's winner rows, not data. */
+  def mergeSeq(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("merge_round"))
+      .select(col("left_sym"), col("right_sym")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Per-merge application counts over a scoring corpus — the usage
+    * signal vocabulary pruning reads: how many times does merge k
+    * actually FIRE when this corpus is encoded? A merge the deployment
+    * corpus never exercises is dead weight in the tokenizer artifact
+    * (and in every inference-time merge scan).
+    *
+    * Count identity: one application of merge k shrinks a word's symbol
+    * string by exactly one, so per word the round-k application count is
+    * `n_sym(before round k) − n_sym(after round k)`, weighted by the
+    * word's corpus frequency. That makes the whole R-round count ONE
+    * map-only pass over the |vocab| frame — the R chained merge kernels
+    * and the R+1 symbol-count columns fuse into a single codegen stage
+    * (the [[segmentWords]] CollapseProject discipline) — followed by one
+    * scalar aggregation. The corpus is touched once ([[Vocab.wordCounts]]).
+    *
+    * Output: (`merge_round`, `n_applied`), one row per merge, in order. */
+  def mergeUsage(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "usage of an empty merge table is no table")
+    var cur = Vocab.wordCounts(df, textCol)
+      .select(col("cnt"), initialSym(col("word")).as("sym0"))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      cur = cur.withColumn(s"sym${i + 1}",
+        BpeExprs.bpeMergePair(col(s"sym$i"), lit(l), lit(r)))
+    }
+    val sized = (0 to merges.size).foldLeft(cur) { (d, i) =>
+      d.withColumn(s"__n$i", size(split(col(s"sym$i"), " ")).cast("long"))
+    }
+    val aggs = (1 to merges.size).map(i =>
+      sum(col("cnt") * (col(s"__n${i - 1}") - col(s"__n$i"))).as(s"__u$i"))
+    val one = sized.agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 to merges.size)
+      .map(i => s"${i}L, coalesce(__u$i, 0L)").mkString(", ")
+    one.selectExpr(
+      s"stack(${merges.size}, $stacked) AS (merge_round, n_applied)")
+  }
+
+  /** Usage-based vocabulary pruning with dependency closure: seed the
+    * kept set with the `keep` most-used merges (ties → earliest round),
+    * then close over producers — a kept merge's input symbols keep EVERY
+    * earlier merge whose output is that exact string, to a fixpoint — so
+    * the pruned merge list can always be applied in learning order
+    * without dangling inputs. (The closure is conservative: two distinct
+    * merges can produce the same string, and both stay; correctness over
+    * minimality.)
+    *
+    * Driver-side by design: the merge table is the tokenizer artifact
+    * (≤ rounds rows — the [[mergeSeq]] contract), and the closure is a
+    * fixpoint over those rows, not over data.
+    *
+    * Output: the full merge table annotated — (`merge_round`, `left_sym`,
+    * `right_sym`, `n_applied`, `kept`). */
+  def pruneByUsage(merges: DataFrame, usage: DataFrame,
+      keep: Int): DataFrame = {
+    require(keep >= 1)
+    val spark = merges.sparkSession
+    import spark.implicits._
+    val m = merges.select(col("merge_round"), col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val u = usage.select(col("merge_round"), col("n_applied"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = m.map(_._1).sortBy(rnd => (-u.getOrElse(rnd, 0L), rnd))
+      .take(keep).toSet
+    var kept = seeds
+    var grown = true
+    while (grown) {
+      val inputs = m.filter(x => kept(x._1))
+      val add = m.collect { case (j, l, r)
+          if !kept(j) && inputs.exists { case (k, lk, rk) =>
+            j < k && (l + r == lk || l + r == rk) } => j }
+      grown = add.nonEmpty
+      kept ++= add
+    }
+    m.toSeq.map { case (rnd, l, r) =>
+      (rnd, l, r, u.getOrElse(rnd, 0L), kept(rnd)) }
+      .toDF("merge_round", "left_sym", "right_sym", "n_applied", "kept")
   }
 
   /** Declarative reference spelling of ONE merge application — the
