@@ -226,13 +226,160 @@ object Queries13 {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --------------------------------------- product quantization (PQ)
+  private val PqSubDim = 16 // 64-dim embeddings → m = 4 subspaces
+  private val PqK = 8
+  private val PqRounds = 3
+  private val PqTopK = 10
+
+  /** PQ codebook health report: train per-subspace codebooks
+    * ([[graft.ops.Pq.codebooks]] — one grouped integer Lloyd's over all
+    * subspaces), encode the corpus, and report per (subspace, code) the
+    * population and total quantization distortion — the table an index
+    * operator reads before shipping a codebook (empty or overloaded
+    * codes mean a bad split). */
+  val q150PqCodebook: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val cents = graft.ops.Pq.codebooks(e, "vec_id", "embedding",
+      PqSubDim, PqK, PqRounds)
+    graft.ops.Pq.encode(e, "vec_id", "embedding", cents, PqSubDim)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist2")).as("distortion"))
+      .orderBy("sub", "code")
+  }
+
+  /** Shared PQ oracle prefix: quantized sub-vector points, md5-scatter
+    * seeds, `PqRounds` unrolled grouped-Lloyd's cycles (the q31 chain
+    * with (sub) riding every key), final encode `fin`. */
+  private val PqCtes: String = {
+    def assignSql(cents: String): String =
+      s"""SELECT id, sub, j, dist2 FROM (
+         |    SELECT id, sub, j, dist2,
+         |      row_number() OVER (PARTITION BY id, sub ORDER BY dist2, j) AS rk
+         |    FROM (SELECT p.id, p.sub, c.j,
+         |            sum((p.q - c.c) * (p.q - c.c))::BIGINT AS dist2
+         |          FROM pts p JOIN $cents c ON c.sub = p.sub AND c.dloc = p.dloc
+         |          GROUP BY 1, 2, 3)) WHERE rk = 1""".stripMargin
+    val roundsSql = (1 until PqRounds).map { r =>
+      s"""a$r AS MATERIALIZED (${assignSql(s"c${r - 1}")}),
+         |c$r AS MATERIALIZED (SELECT sub, j, dloc,
+         |    ((s - ((s % n) + n) % n) // n)::BIGINT AS c
+         |  FROM (SELECT a.sub, a.j, p.dloc, sum(p.q)::BIGINT AS s,
+         |          count(*)::BIGINT AS n
+         |        FROM pts p JOIN a$r a ON a.id = p.id AND a.sub = p.sub
+         |        GROUP BY 1, 2, 3)),""".stripMargin
+    }.mkString("\n")
+    s"""pts AS MATERIALIZED (SELECT vec_id AS id,
+       |    ((d - 1) // $PqSubDim)::BIGINT AS sub,
+       |    ((d - 1) % $PqSubDim)::BIGINT AS dloc,
+       |    floor(embedding[d]::DOUBLE * 1000 + 0.5)::BIGINT AS q
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)),
+       |c0 AS MATERIALIZED (SELECT s.j, p.sub, p.dloc, p.q AS c
+       |  FROM (SELECT id,
+       |          (row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1)::BIGINT AS j
+       |        FROM (SELECT vec_id AS id FROM embeddings
+       |              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK)) s
+       |  JOIN pts p USING (id)),
+       |$roundsSql
+       |fin AS MATERIALIZED (${assignSql(s"c${PqRounds - 1}")})""".stripMargin
+  }
+
+  val q150Sql: String =
+    s"""WITH $PqCtes
+       |SELECT sub, j AS code, count(*)::BIGINT AS n_vectors,
+       |  sum(dist2)::BIGINT AS distortion
+       |FROM fin GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
+
+  /** ADC top-10 search: the q151 query sample (vec_id % 100 = 7 — a
+    * bounded sample by contract, the q122 discipline) scored against the
+    * PQ-encoded corpus via per-subspace distance tables — see
+    * [[graft.ops.Pq.adcTopK]]. The whole search is an equi-join on
+    * (subspace, code) + an integer sum; no float kernel touches the
+    * corpus. */
+  val q151PqAdcTopk: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val cents = graft.ops.Pq.codebooks(e, "vec_id", "embedding",
+      PqSubDim, PqK, PqRounds)
+    val codes = graft.ops.Pq.encode(e, "vec_id", "embedding", cents, PqSubDim)
+      .drop("dist2")
+    val queries = e.filter(col("vec_id") % 100L === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    graft.ops.Pq.adcTopK(codes, "vec_id", cents, queries, "q_id", "qvec",
+        PqSubDim, PqTopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Query-side oracle CTEs shared by q151/q152: distance tables `dt`,
+    * ADC scores `sc`, ADC ranking `rk`. */
+  private val PqAdcCtes: String =
+    s"""qs AS (SELECT id AS q_id, sub, dloc, q FROM pts WHERE id % 100 = 7),
+       |dt AS MATERIALIZED (SELECT s.q_id, s.sub, c.j AS code,
+       |    sum((s.q - c.c) * (s.q - c.c))::BIGINT AS pd
+       |  FROM qs s JOIN c${PqRounds - 1} c
+       |    ON c.sub = s.sub AND c.dloc = s.dloc
+       |  GROUP BY 1, 2, 3),
+       |sc AS MATERIALIZED (SELECT d.q_id, f.id AS vec_id,
+       |    sum(d.pd)::BIGINT AS adc_dist2
+       |  FROM fin f JOIN dt d ON d.sub = f.sub AND d.code = f.j
+       |  WHERE f.id != d.q_id GROUP BY 1, 2),
+       |rk AS (SELECT q_id, vec_id, adc_dist2,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY adc_dist2, vec_id) AS rank
+       |  FROM sc)""".stripMargin
+
+  val q151Sql: String =
+    s"""WITH $PqCtes,
+       |$PqAdcCtes
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, adc_dist2
+       |FROM rk WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+
+  /** PQ recall governance: ADC top-10 audited against exact integer-L2
+    * top-10 on the same quantized grid, per query, truncation-aware
+    * denominator — see [[graft.ops.Pq.recallAudit]]. The number that
+    * decides whether a codebook ships. */
+  val q152PqRecall: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") % 100L === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    graft.ops.Pq.recallAudit(e, "vec_id", "embedding", queries, "q_id",
+        "qvec", PqSubDim, PqK, PqRounds, PqTopK)
+      .orderBy("q_id")
+  }
+
+  val q152Sql: String =
+    s"""WITH $PqCtes,
+       |$PqAdcCtes,
+       |ex AS MATERIALIZED (SELECT s.q_id, p.id AS vec_id,
+       |    sum((p.q - s.q) * (p.q - s.q))::BIGINT AS dist2
+       |  FROM pts p JOIN qs s ON s.sub = p.sub AND s.dloc = p.dloc
+       |  WHERE p.id != s.q_id GROUP BY 1, 2),
+       |exr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dist2, vec_id) AS rank
+       |    FROM ex) WHERE rank <= $PqTopK),
+       |adcr AS (SELECT q_id, vec_id FROM rk WHERE rank <= $PqTopK),
+       |ne AS (SELECT q_id, count(*)::BIGINT AS n_exact FROM exr GROUP BY 1),
+       |nh AS (SELECT a.q_id, count(*)::BIGINT AS n_hits
+       |  FROM adcr a JOIN exr e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT ne.q_id, coalesce(nh.n_hits, 0)::BIGINT AS n_hits, ne.n_exact,
+       |  (coalesce(nh.n_hits, 0) * 1000000
+       |     // least($PqTopK, ne.n_exact))::BIGINT AS recall_ppm
+       |FROM ne LEFT JOIN nh USING (q_id) ORDER BY ne.q_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q147_preference_pairs" -> q147PreferencePairs,
     "q148_vocab_prune" -> q148VocabPrune,
-    "q149_prune_impact" -> q149PruneImpact)
+    "q149_prune_impact" -> q149PruneImpact,
+    "q150_pq_codebook" -> q150PqCodebook,
+    "q151_pq_adc_topk" -> q151PqAdcTopk,
+    "q152_pq_recall" -> q152PqRecall)
 
   val oracle: Map[String, String] = Map(
     "q147_preference_pairs" -> q147Sql,
     "q148_vocab_prune" -> q148Sql,
-    "q149_prune_impact" -> q149Sql)
+    "q149_prune_impact" -> q149Sql,
+    "q150_pq_codebook" -> q150Sql,
+    "q151_pq_adc_topk" -> q151Sql,
+    "q152_pq_recall" -> q152Sql)
 }
