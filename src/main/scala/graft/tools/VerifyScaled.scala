@@ -138,7 +138,24 @@ object VerifyScaled {
       "q145_sft_render" ->
         (() => graft.SparkEntry.queries("q145_sft_render")(spark, sfDir)),
       "q146_needle_depth" ->
-        (() => graft.SparkEntry.queries("q146_needle_depth")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q146_needle_depth")(spark, sfDir)),
+      // wave 13 needs no resolution retune: preference pairs are
+      // window+equi-join, the BPE-prune chains run on the vocab frame,
+      // and PQ's codebooks are statically bounded. q152's EXACT audit
+      // side is queries × corpus by design (the q122 class) — prove at
+      // 8× only
+      "q147_preference_pairs" ->
+        (() => graft.SparkEntry.queries("q147_preference_pairs")(spark, sfDir)),
+      "q148_vocab_prune" ->
+        (() => graft.SparkEntry.queries("q148_vocab_prune")(spark, sfDir)),
+      "q149_prune_impact" ->
+        (() => graft.SparkEntry.queries("q149_prune_impact")(spark, sfDir)),
+      "q150_pq_codebook" ->
+        (() => graft.SparkEntry.queries("q150_pq_codebook")(spark, sfDir)),
+      "q151_pq_adc_topk" ->
+        (() => graft.SparkEntry.queries("q151_pq_adc_topk")(spark, sfDir)),
+      "q152_pq_recall" ->
+        (() => graft.SparkEntry.queries("q152_pq_recall")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -194,7 +211,14 @@ object VerifyScaled {
       "q144_multimodal_packing" ->
         graft.SparkEntry.oracleSql("q144_multimodal_packing"),
       "q145_sft_render" -> graft.SparkEntry.oracleSql("q145_sft_render"),
-      "q146_needle_depth" -> graft.SparkEntry.oracleSql("q146_needle_depth"))
+      "q146_needle_depth" -> graft.SparkEntry.oracleSql("q146_needle_depth"),
+      "q147_preference_pairs" ->
+        graft.SparkEntry.oracleSql("q147_preference_pairs"),
+      "q148_vocab_prune" -> graft.SparkEntry.oracleSql("q148_vocab_prune"),
+      "q149_prune_impact" -> graft.SparkEntry.oracleSql("q149_prune_impact"),
+      "q150_pq_codebook" -> graft.SparkEntry.oracleSql("q150_pq_codebook"),
+      "q151_pq_adc_topk" -> graft.SparkEntry.oracleSql("q151_pq_adc_topk"),
+      "q152_pq_recall" -> graft.SparkEntry.oracleSql("q152_pq_recall"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
