@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ranked-retrieval evaluation — the governance table a retrieval stack
@@ -71,5 +71,43 @@ object RankEval {
           .otherwise(expr("dcg_e6 * 1000000L div idcg_e6")))
       .select(col(queryIdCol), col("n_rel_at_k"), col("n_rel_total"),
         col("mrr_ppm"), col("dcg_e6"), col("idcg_e6"), col("ndcg_ppm"))
+  }
+
+  /** Unbiased pass@k estimator (the HumanEval/codegen eval statistic:
+    * Chen et al. 2021, §2.1): per task with `n` samples of which `c` are
+    * correct, `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability that at
+    * least one of k drawn samples is correct, estimated without the
+    * naive-resampling bias.
+    *
+    * Integer-exact spelling: the binomial ratio telescopes to a falling-
+    * factorial quotient `Π_{i<k}(n−c−i) / Π_{i<k}(n−i)`, expanded here as
+    * literal products (k is a compile-time constant per output column), so
+    * `pass_k_ppm = 1e6 − (num · 1e6 div den)` uses only BIGINT arithmetic
+    * and hashes identically in any engine. Callers keep `n` small (samples
+    * per task — tens, not thousands); the products stay far below 2^63 for
+    * the k ≤ 10, n ≤ 100 regime this models.
+    *
+    * Tasks with fewer than `max(ks)` samples are dropped — the estimator
+    * is undefined for k > n, and a partially-defined row would force
+    * nullable columns into the eval artifact.
+    *
+    * Scale shape: one hash aggregate over the sample log keyed by the
+    * task (map-side combined counts), then per-task scalar arithmetic.
+    * Nothing downstream is larger than the task list. */
+  def passAtK(samples: DataFrame, taskCol: String, correct: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val agg = samples.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(correct, 1L).otherwise(0L)).as("n_correct"))
+      .filter(col("n_samples") >= ks.max.toLong)
+    ks.distinct.sorted.foldLeft(agg) { (d, k) =>
+      val num = (0 until k).map(i => s"(n_samples - n_correct - $i)").mkString(" * ")
+      val den = (0 until k).map(i => s"(n_samples - $i)").mkString(" * ")
+      d.withColumn(s"pass_${k}_ppm",
+        expr(s"CASE WHEN n_samples - n_correct >= $k " +
+          s"THEN 1000000L - (($num) * 1000000L div ($den)) " +
+          "ELSE 1000000L END").cast("long"))
+    }
   }
 }

@@ -59,4 +59,44 @@ object Sft {
                   col("__te").cast("string")).as("__sp"))))),
             x => x.getField("__sp")), ",").as("assistant_spans"))
   }
+
+  /** Prefix-cache savings report — the capacity-planning table a serving
+    * fleet with radix-prefix caching (vLLM-style automatic prefix reuse)
+    * reads: per route (a template / system-prompt family), how many
+    * prompts share how long a common prefix, and what fraction of prompt
+    * characters the cache absorbs.
+    *
+    * The route's shared prefix is the longest common prefix of ALL its
+    * prompts, computed as `LCP(min(prompt), max(prompt))` — the sorted-
+    * extremes identity (any divergence inside the set widens the
+    * min/max gap at least as much), so the whole report is ONE hash
+    * aggregation over the prompt log (min/max/count/sum, all map-side
+    * combined) followed by per-ROUTE scalar work on the ≤|routes|-row
+    * frame. The per-route LCP scan uses an interpreted HOF — bounded by
+    * route count, never prompt count, so it stays off the hot path.
+    *
+    * `saved_chars = (n_prompts − 1) · lcp_chars` — every prompt after the
+    * first reads its prefix from cache; `saved_ppm` normalizes by total
+    * prompt characters (integer div, 0-guarded). */
+  def prefixCacheReport(prompts: DataFrame, routeCol: String,
+      textCol: String): DataFrame = {
+    val agg = prompts.groupBy(col(routeCol))
+      .agg(count(lit(1)).as("n_prompts"),
+        sum(length(col(textCol))).cast("long").as("total_chars"),
+        min(col(textCol)).as("__mn"), max(col(textCol)).as("__mx"))
+    // sequence(1, 0) is DESCENDING in Spark — guard the empty-string case
+    // explicitly instead of relying on an empty range
+    val bound = least(length(col("__mn")), length(col("__mx")))
+    val lcp = when(bound === 0, lit(0L)).otherwise(
+      size(filter(sequence(lit(1), bound),
+        i => col("__mn").substr(lit(1), i) === col("__mx").substr(lit(1), i)))
+        .cast("long"))
+    agg.withColumn("lcp_chars", lcp)
+      .withColumn("saved_chars", (col("n_prompts") - 1L) * col("lcp_chars"))
+      .withColumn("saved_ppm",
+        when(col("total_chars") === 0L, lit(0L))
+          .otherwise(expr("saved_chars * 1000000L div total_chars")))
+      .select(col(routeCol), col("n_prompts"), col("total_chars"),
+        col("lcp_chars"), col("saved_chars"), col("saved_ppm"))
+  }
 }
