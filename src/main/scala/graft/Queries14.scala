@@ -94,11 +94,91 @@ object Queries14 {
        |   END)::BIGINT AS saved_ppm
        |FROM l ORDER BY route_id""".stripMargin
 
+  // ------------------------------------------ best-of-n rejection sampling
+  private val BonFloor = 400000L
+  private val BonN = 3
+
+  /** RFT-style best-of-3 selection: candidates group into prompts
+    * (doc_id % 25, the q147 grouping), reward is the q21 quality score,
+    * near-identical responses collapse by a 20-char normalized-prefix
+    * fingerprint — see [[graft.ops.Preference.bestOfN]]. */
+  val q155BestOfN: Q = (spark, dir) => {
+    val cand = Tables.documents(spark, dir).select(
+      (col("doc_id") % 25L).as("prompt_id"), col("doc_id"),
+      graft.functions.TextFns.qualityScoreMicro(col("text")).as("quality_e6"),
+      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 20)
+        .as("fp"))
+    graft.ops.Preference.bestOfN(cand, "prompt_id", "doc_id", "quality_e6",
+        "fp", minScore = BonFloor, n = BonN)
+      .select(col("prompt_id"), col("doc_id"), col("quality_e6"), col("rank"))
+      .orderBy("prompt_id", "rank")
+  }
+
+  val q155Sql: String =
+    s"""WITH cand AS (SELECT doc_id % 25 AS prompt_id, doc_id,
+       |    ${Queries2.QualitySqlExpr} AS quality_e6,
+       |    substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 20) AS fp
+       |  FROM documents),
+       |u AS (SELECT prompt_id, doc_id, quality_e6,
+       |    row_number() OVER (PARTITION BY prompt_id, fp
+       |                       ORDER BY quality_e6 DESC, doc_id ASC) AS rfp
+       |  FROM cand WHERE quality_e6 >= $BonFloor),
+       |r AS (SELECT prompt_id, doc_id, quality_e6,
+       |    row_number() OVER (PARTITION BY prompt_id
+       |                       ORDER BY quality_e6 DESC, doc_id ASC) AS rank
+       |  FROM u WHERE rfp = 1)
+       |SELECT prompt_id, doc_id, quality_e6, rank::BIGINT AS rank
+       |FROM r WHERE rank <= $BonN ORDER BY prompt_id, rank""".stripMargin
+
+  // ------------------------------------------------ DoReMi reweighting
+  private val DoremiRounds = 8
+  private val DoremiEta = 250000L
+
+  /** DoReMi-lite domain reweighting over the language strata: loss proxy
+    * is the quality deficit (1e6 − quality_e6), 8 multiplicative-weights
+    * rounds at η = 0.25 — see [[graft.ops.Mixture.doremiWeights]]. The
+    * output is the sampling-weight table a mixture run consumes. */
+  val q156DoremiWeights: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Mixture.doremiWeights(docs, "lang",
+        lit(1000000L) - graft.functions.TextFns.qualityScoreMicro(col("text")),
+        rounds = DoremiRounds, etaPpm = DoremiEta)
+      .orderBy("lang")
+  }
+
+  val q156Sql: String = {
+    val roundCtes = (1 to DoremiRounds).map { r =>
+      s"""w$r AS (SELECT lang, n_docs, loss_avg_e6, excess_e6,
+         |    (u * 1000000 // (sum(u) OVER ()))::BIGINT AS w
+         |  FROM (SELECT *, (w * (1000000 + $DoremiEta * excess_e6 // 1000000)
+         |                     // 1000000)::BIGINT AS u
+         |        FROM w${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(1000000 - ${Queries2.QualitySqlExpr})::BIGINT AS s
+       |  FROM documents GROUP BY 1),
+       |d1 AS (SELECT lang, n_docs, (s // n_docs)::BIGINT AS loss_avg_e6, s
+       |  FROM d0),
+       |e AS (SELECT lang, n_docs, loss_avg_e6,
+       |    greatest(0, loss_avg_e6 -
+       |      (SELECT (sum(s) // sum(n_docs))::BIGINT FROM d0))::BIGINT AS excess_e6
+       |  FROM d1),
+       |w0 AS (SELECT lang, n_docs, loss_avg_e6, excess_e6,
+       |    1000000::BIGINT AS w FROM e),
+       |$roundCtes
+       |SELECT lang, n_docs, loss_avg_e6, excess_e6, w AS weight_ppm
+       |FROM w$DoremiRounds ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q153_pass_at_k" -> q153PassAtK,
-    "q154_prefix_cache" -> q154PrefixCache)
+    "q154_prefix_cache" -> q154PrefixCache,
+    "q155_best_of_n" -> q155BestOfN,
+    "q156_doremi_weights" -> q156DoremiWeights)
 
   val oracle: Map[String, String] = Map(
     "q153_pass_at_k" -> q153Sql,
-    "q154_prefix_cache" -> q154Sql)
+    "q154_prefix_cache" -> q154Sql,
+    "q155_best_of_n" -> q155Sql,
+    "q156_doremi_weights" -> q156Sql)
 }

@@ -243,4 +243,52 @@ object Mixture {
       .withColumn("keep", draw < col("__thr_hex"))
       .drop("__thr", "__thr_hex")
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023), the deterministic
+    * integer-arithmetic core: domains whose average loss exceeds the
+    * corpus average get multiplicatively upweighted, `rounds` times, with
+    * renormalization to ppm after every round.
+    *
+    *   excess_e6 = max(0, domain_avg_loss − corpus_avg_loss)      (once)
+    *   u_r       = w_r · (1e6 + η_ppm · excess_e6 div 1e6) div 1e6
+    *   w_{r+1}   = u_r · 1e6 div Σ u_r                            (ppm)
+    *
+    * The real DoReMi recomputes excess loss per round under a reference
+    * model; here the loss column is a fixed per-row proxy (the caller
+    * binds perplexity, quality deficit, …), so the fixed-point shows the
+    * reweighting machinery while staying engine-exact: every step is
+    * BIGINT (no exp/log — the multiplicative-weights factor is the
+    * first-order expansion, which is what makes an exact oracle possible).
+    *
+    * Scale shape: ONE aggregation over the corpus (map-side combined sums
+    * keyed by domain), then `rounds` rounds of scalar arithmetic on the
+    * ≤|domains|-row frame — loop cost is independent of corpus size. The
+    * global sums ride a single-partition window over that bounded frame,
+    * never over data. Magnitudes: w ≤ 1e6, factor ≤ 1e6 + η_ppm, so
+    * u ≤ 1e6·(1e6+η) div 1e6 ≈ 2.1e6 and u·1e6 ≤ 2.1e12 — far under 2^63.
+    */
+  def doremiWeights(df: DataFrame, domainCol: String, lossE6: Column,
+      rounds: Int, etaPpm: Long): DataFrame = {
+    require(rounds >= 1 && etaPpm >= 0 && etaPpm <= 1000000L,
+      "rounds >= 1 and 0 <= etaPpm <= 1e6")
+    val g = Window.partitionBy() // ≤|domains| rows — single partition is the point
+    val dom = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(lossE6).as("__sum"))
+      .withColumn("loss_avg_e6", expr("__sum div n_docs"))
+      .withColumn("__gsum", sum(col("__sum")).over(g))
+      .withColumn("__gn", sum(col("n_docs")).over(g))
+      .withColumn("excess_e6",
+        greatest(lit(0L), col("loss_avg_e6") - expr("__gsum div __gn")))
+      .drop("__sum", "__gsum", "__gn")
+    val fin = (1 to rounds).foldLeft(dom.withColumn("weight_ppm", lit(1000000L))) {
+      (d, _) =>
+        d.withColumn("__u",
+            expr(s"weight_ppm * (1000000L + $etaPpm * excess_e6 div 1000000L) div 1000000L"))
+          .withColumn("__usum", sum(col("__u")).over(g))
+          .withColumn("weight_ppm", expr("__u * 1000000L div __usum"))
+          .drop("__u", "__usum")
+    }
+    fin.select(col(domainCol), col("n_docs"), col("loss_avg_e6"),
+      col("excess_e6"), col("weight_ppm"))
+  }
 }

@@ -64,4 +64,35 @@ object Preference {
       .filter(col("margin_e6") >= minMargin)
       .drop("__r")
   }
+
+  /** Best-of-n rejection sampling (RFT / STaR data prep): per prompt,
+    * keep the top `n` candidates by reward, subject to (a) an absolute
+    * reward floor (`minScore` — below it a sample teaches nothing even
+    * if it is the local best) and (b) near-identical responses collapsed
+    * by a caller-supplied fingerprint column (the best-rewarded
+    * representative of each fingerprint survives — rejection sampling
+    * over an LLM's own outputs is rife with verbatim repeats, and
+    * training on k copies of one answer is a silent upweight).
+    *
+    * Output: the survivors with their per-prompt `rank` (1 = best).
+    * Determinism: both windows carry (score DESC, id ASC) total orders;
+    * all comparisons are integer.
+    *
+    * Scale shape: two window ranks over the same (prompt-keyed) shuffle —
+    * Catalyst collapses them into one exchange; the reward floor prunes
+    * before either window. Output is bounded by `n · n_prompts`. */
+  def bestOfN(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, fpCol: String, minScore: Long, n: Int): DataFrame = {
+    require(n >= 1)
+    val perFp = Window.partitionBy(col(groupCol), col(fpCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val best = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.filter(col(scoreCol) >= minScore)
+      .withColumn("__rfp", row_number().over(perFp))
+      .filter(col("__rfp") === 1)
+      .withColumn("rank", row_number().over(best).cast("long"))
+      .filter(col("rank") <= n)
+      .drop("__rfp")
+  }
 }

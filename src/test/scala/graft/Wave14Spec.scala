@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{RankEval, Sft}
+import graft.ops.{Mixture, Preference, RankEval, Sft}
 
 /** Wave 14: pass@k estimation and prefix-cache capacity planning. */
 class Wave14Spec extends SparkSpec {
@@ -61,5 +61,51 @@ class Wave14Spec extends SparkSpec {
     // empty prompts: lcp 0, no div-by-zero
     val cRow = out("c")
     assert(cRow._3 == 0L && cRow._4 == 0L && cRow._6 == 0L)
+  }
+
+  test("bestOfN: reward floor, fingerprint dedup, top-n rank") {
+    // prompt 1: ids 1..5; id 3 is below the floor; ids 1/2 share a
+    // fingerprint (2 wins on reward); survivors ranked 2 > 4 > 1... n=2
+    val cand = Seq(
+      (1L, 1L, 700000L, "fpA"), (1L, 2L, 900000L, "fpA"),
+      (1L, 3L, 300000L, "fpB"), (1L, 4L, 800000L, "fpC"),
+      (1L, 5L, 600000L, "fpD"),
+      (2L, 6L, 500000L, "fpA")).toDF("p", "id", "score", "fp")
+    val out = Preference.bestOfN(cand, "p", "id", "score", "fp",
+        minScore = 400000L, n = 2)
+      .select("p", "id", "rank").as[(Long, Long, Long)].collect().toSet
+    // fpA keeps id 2 only; id 3 dropped by floor; top-2 = {2 (rank 1), 4 (rank 2)}
+    assert(out == Set((1L, 2L, 1L), (1L, 4L, 2L), (2L, 6L, 1L)))
+  }
+
+  test("bestOfN: reward tie within a fingerprint keeps the smaller id") {
+    val cand = Seq(
+      (1L, 9L, 500000L, "x"), (1L, 4L, 500000L, "x")).toDF("p", "id", "score", "fp")
+    val out = Preference.bestOfN(cand, "p", "id", "score", "fp", 1L, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(4L))
+  }
+
+  test("doremiWeights: above-average-loss domains gain weight, sum ≈ 1e6") {
+    // domain a: loss 800k avg; b: 200k; corpus avg 500k -> a upweights
+    val rows = Seq.tabulate(4)(i => ("a", 800000L)) ++
+      Seq.tabulate(4)(i => ("b", 200000L))
+    val out = Mixture.doremiWeights(rows.toDF("dom", "loss"), "dom",
+        col("loss"), rounds = 4, etaPpm = 250000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, na, lossA, exA, wA) = out("a")
+    val (_, _, _, exB, wB) = out("b")
+    assert(na == 4L && lossA == 800000L && exA == 300000L && exB == 0L)
+    assert(wA > wB && wA > 500000L)
+    // renormalized each round: total stays within integer-div slack
+    assert(math.abs((wA + wB) - 1000000L) <= 2L)
+    // hand-check round 1: u_a = 1e6*(1e6+250000*300000 div 1e6) div 1e6
+    // = 1075000; u_b = 1e6; w_a after renorm = 1075000e6 div 2075000
+    val r1 = Mixture.doremiWeights(rows.toDF("dom", "loss"), "dom",
+        col("loss"), rounds = 1, etaPpm = 250000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(r1("a") == 1075000L * 1000000L / 2075000L)
   }
 }
