@@ -170,15 +170,73 @@ object Queries14 {
        |FROM w$DoremiRounds ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------ bitext margin mining
+  private val BitextK = 4
+  private val BitextMargin = 1050000L
+
+  /** Cross-lingual parallel-pair mining: English-side embeddings vs
+    * French-side (the doc_id = vec_id pairing), ratio-margin k = 4,
+    * mined at margin ≥ 1.05 — see [[graft.ops.Bitext.marginMine]]. This
+    * binding is the exact-grid parity spelling (en × fr is bounded by the
+    * lang split); the at-scale route runs the same margin arithmetic over
+    * LSH-banded candidates. */
+  val q157BitextMining: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val d = Tables.documents(spark, dir)
+    def side(lang: String) = e.join(d.filter(col("lang") === lang),
+        e("vec_id") === d("doc_id"))
+      .select(e("vec_id"), col("embedding"))
+    graft.ops.Bitext.marginMine(
+        side("en"), "vec_id", "embedding",
+        side("fr"), "vec_id", "embedding",
+        k = BitextK, minMarginPpm = BitextMargin)
+      .orderBy("src_id")
+  }
+
+  val q157Sql: String =
+    s"""WITH sd AS (SELECT e.vec_id AS src_id, e.embedding
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.lang = 'en'),
+       |td AS (SELECT e.vec_id AS tgt_id, e.embedding
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.lang = 'fr'),
+       |p AS MATERIALIZED (SELECT s.src_id, t.tgt_id,
+       |    floor(round(list_cosine_similarity(
+       |        s.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6)
+       |      * 1000000 + 0.5)::BIGINT + 1000000 AS s_e6
+       |  FROM sd s, td t),
+       |fr AS MATERIALIZED (SELECT src_id, tgt_id, s_e6,
+       |    row_number() OVER (PARTITION BY src_id
+       |                       ORDER BY s_e6 DESC, tgt_id) AS r FROM p),
+       |fs AS (SELECT src_id, sum(s_e6)::BIGINT AS fsum,
+       |    count(*)::BIGINT AS kf FROM fr WHERE r <= $BitextK GROUP BY 1),
+       |bs AS (SELECT tgt_id, sum(s_e6)::BIGINT AS bsum,
+       |    count(*)::BIGINT AS kb FROM (
+       |    SELECT tgt_id, s_e6,
+       |      row_number() OVER (PARTITION BY tgt_id
+       |                         ORDER BY s_e6 DESC, src_id) AS r FROM p)
+       |  WHERE r <= $BitextK GROUP BY 1),
+       |m AS (SELECT f.src_id, f.tgt_id, (f.s_e6 - 1000000)::BIGINT AS sim_e6,
+       |    (CASE WHEN fs.fsum * bs.kb + bs.bsum * fs.kf = 0 THEN 0
+       |          ELSE f.s_e6 * (2 * fs.kf * bs.kb) * 1000000
+       |               // (fs.fsum * bs.kb + bs.bsum * fs.kf) END)::BIGINT
+       |      AS margin_ppm
+       |  FROM fr f JOIN fs USING (src_id) JOIN bs USING (tgt_id)
+       |  WHERE f.r = 1)
+       |SELECT src_id, tgt_id, sim_e6, margin_ppm FROM m
+       |WHERE margin_ppm >= $BitextMargin ORDER BY src_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q153_pass_at_k" -> q153PassAtK,
     "q154_prefix_cache" -> q154PrefixCache,
     "q155_best_of_n" -> q155BestOfN,
-    "q156_doremi_weights" -> q156DoremiWeights)
+    "q156_doremi_weights" -> q156DoremiWeights,
+    "q157_bitext_mining" -> q157BitextMining)
 
   val oracle: Map[String, String] = Map(
     "q153_pass_at_k" -> q153Sql,
     "q154_prefix_cache" -> q154Sql,
     "q155_best_of_n" -> q155Sql,
-    "q156_doremi_weights" -> q156Sql)
+    "q156_doremi_weights" -> q156Sql,
+    "q157_bitext_mining" -> q157Sql)
 }

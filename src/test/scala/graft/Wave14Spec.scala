@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Mixture, Preference, RankEval, Sft}
+import graft.ops.{Bitext, Mixture, Preference, RankEval, Sft}
 
 /** Wave 14: pass@k estimation and prefix-cache capacity planning. */
 class Wave14Spec extends SparkSpec {
@@ -107,5 +107,42 @@ class Wave14Spec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r._5).toMap
     assert(r1("a") == 1075000L * 1000000L / 2075000L)
+  }
+
+  test("marginMine: hand-checked ratio margins on exact cosines") {
+    // 2-d unit vectors with exactly-representable cosines: src 1 = (1,0)
+    // aligns with tgt 11; src 2 = (0.6,0.8) sits between both targets.
+    // All sims ∈ {1.0, 0.6, 0.8, 0.0} after 6-dp rounding.
+    val src = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f))).toDF("id", "vec")
+    val tgt = Seq(
+      (11L, Array(1.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val all = Bitext.marginMine(src, "id", "vec", tgt, "id", "vec",
+        k = 2, minMarginPpm = 0L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // shifted sums: fwd(1) = 2e6+1e6; fwd(2) = 1.6e6+1.8e6;
+    // bwd(11) = 2e6+1.6e6; bwd(12) = 1.8e6+1e6
+    val m1 = 2000000L * 8L * 1000000L / ((3000000L + 3600000L) * 2L)
+    val m2 = 1800000L * 8L * 1000000L / ((3400000L + 2800000L) * 2L)
+    assert(all(1L) == ((1L, 11L, 1000000L, m1)))
+    assert(all(2L) == ((2L, 12L, 800000L, m2)))
+    assert(m1 > m2)
+    // threshold between the two mines only the aligned pair
+    val mined = Bitext.marginMine(src, "id", "vec", tgt, "id", "vec",
+        k = 2, minMarginPpm = (m2 + m1) / 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mined.map(_._1).toSeq == Seq(1L))
+  }
+
+  test("marginMine: truncation-aware neighborhoods when |tgt| < k") {
+    val src = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val tgt = Seq((11L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Bitext.marginMine(src, "id", "vec", tgt, "id", "vec",
+        k = 5, minMarginPpm = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+    // single pair: both neighborhoods are that pair -> margin exactly 1e6
+    assert(out.toSeq == Seq((1L, 11L, 1000000L, 1000000L)))
   }
 }
