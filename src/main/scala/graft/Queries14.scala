@@ -226,17 +226,108 @@ object Queries14 {
        |SELECT src_id, tgt_id, sim_e6, margin_ppm FROM m
        |WHERE margin_ppm >= $BitextMargin ORDER BY src_id""".stripMargin
 
+  // ---------------------------------------- unigram-LM Viterbi encoding
+  private val UniMaxLen = 12
+  private val UniBigrams = 12
+  private val UniTrigrams = 8
+
+  /** Unigram-LM (SentencePiece-family) segmentation of the corpus
+    * vocabulary: piece inventory = every character + the top-12 bigrams
+    * + top-8 trigrams by occurrence-weighted frequency, then the exact
+    * Viterbi DP per distinct word — see [[graft.ops.Unigram]]. Output is
+    * the tokenizer's encode table: word, corpus count, piece count,
+    * score mass, and the segmentation itself. */
+  val q158UnigramSegment: Q = (spark, dir) => {
+    val wc = graft.ops.Vocab.wordCounts(Tables.documents(spark, dir), "text")
+      .localCheckpoint(false)
+    val vocab = graft.ops.Unigram.pieceVocab(wc, "word", "cnt",
+      UniBigrams, UniTrigrams)
+    graft.ops.Unigram.viterbiSegment(wc, "word", vocab, UniMaxLen)
+      .join(wc, Seq("word"))
+      .select(col("word"), col("cnt"), col("n_pieces"), col("score_sum"),
+        col("seg"))
+      .orderBy("word")
+  }
+
+  val q158Sql: String = {
+    val S = graft.ops.Unigram.Scale
+    val dpRounds = (1 to UniMaxLen).map { p =>
+      val arms = (1 to math.min(3, p)).map { l =>
+        s"""SELECT d.w, d.cost + $S - v.score AS cost, ${p - l}::BIGINT AS bj
+           |        FROM dp${p - l} d JOIN vocab v
+           |          ON v.piece = substr(d.w, ${p - l + 1}, $l)
+           |        WHERE len(d.w) >= $p""".stripMargin
+      }.mkString("\n        UNION ALL\n        ")
+      s"""dp$p AS MATERIALIZED (SELECT w, cost, bj FROM (
+         |    SELECT w, cost, bj,
+         |      row_number() OVER (PARTITION BY w ORDER BY cost, bj) AS rk
+         |    FROM ($arms)) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpAll = (1 to UniMaxLen).map(p =>
+      s"SELECT w, $p::BIGINT AS p, cost, bj FROM dp$p")
+      .mkString("\n  UNION ALL\n  ")
+    val btRounds = (1 to UniMaxLen).map { r =>
+      s"""bt$r AS MATERIALIZED (SELECT b.w,
+         |    CASE WHEN b.pos = 0 THEN 0 ELSE d.bj END AS pos,
+         |    CASE WHEN b.pos = 0 THEN b.seg
+         |         ELSE substr(b.w, (d.bj + 1)::INT, (b.pos - d.bj)::INT) ||
+         |              CASE WHEN b.seg = '' THEN '' ELSE ' ' END || b.seg
+         |    END AS seg
+         |  FROM bt${r - 1} b LEFT JOIN dpall d ON d.w = b.w AND d.p = b.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> '' GROUP BY 1),
+       |g1 AS (SELECT substr(w, i, 1) AS piece, sum(cnt)::BIGINT AS score
+       |  FROM wt, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1),
+       |g2 AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+       |    SELECT substr(w, i, 2) AS piece, cnt FROM wt,
+       |      unnest(generate_series(1, len(w) - 1)) AS t(i)
+       |    WHERE len(w) >= 2) GROUP BY 1),
+       |g3 AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+       |    SELECT substr(w, i, 3) AS piece, cnt FROM wt,
+       |      unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |    WHERE len(w) >= 3) GROUP BY 1),
+       |b2 AS (SELECT piece, score FROM (
+       |    SELECT piece, score,
+       |      row_number() OVER (ORDER BY score DESC, piece) AS rk FROM g2)
+       |  WHERE rk <= $UniBigrams),
+       |b3 AS (SELECT piece, score FROM (
+       |    SELECT piece, score,
+       |      row_number() OVER (ORDER BY score DESC, piece) AS rk FROM g3)
+       |  WHERE rk <= $UniTrigrams),
+       |vocab AS MATERIALIZED (SELECT * FROM g1
+       |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+       |wf AS MATERIALIZED (SELECT w, cnt FROM wt WHERE len(w) <= $UniMaxLen),
+       |dp0 AS (SELECT w, 0::BIGINT AS cost FROM wf),
+       |$dpRounds,
+       |dpall AS MATERIALIZED (
+       |  $dpAll),
+       |bt0 AS (SELECT w, len(w)::BIGINT AS pos, '' AS seg FROM wf),
+       |$btRounds
+       |SELECT f.w AS word, t.cnt,
+       |  ((f.cost + ${S - 1}) // $S)::BIGINT AS n_pieces,
+       |  (((f.cost + ${S - 1}) // $S) * $S - f.cost)::BIGINT AS score_sum,
+       |  b.seg
+       |FROM dpall f JOIN wf t ON t.w = f.w AND f.p = len(t.w)
+       |JOIN bt$UniMaxLen b ON b.w = f.w
+       |ORDER BY word""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q153_pass_at_k" -> q153PassAtK,
     "q154_prefix_cache" -> q154PrefixCache,
     "q155_best_of_n" -> q155BestOfN,
     "q156_doremi_weights" -> q156DoremiWeights,
-    "q157_bitext_mining" -> q157BitextMining)
+    "q157_bitext_mining" -> q157BitextMining,
+    "q158_unigram_segment" -> q158UnigramSegment)
 
   val oracle: Map[String, String] = Map(
     "q153_pass_at_k" -> q153Sql,
     "q154_prefix_cache" -> q154Sql,
     "q155_best_of_n" -> q155Sql,
     "q156_doremi_weights" -> q156Sql,
-    "q157_bitext_mining" -> q157Sql)
+    "q157_bitext_mining" -> q157Sql,
+    "q158_unigram_segment" -> q158Sql)
 }
