@@ -155,7 +155,24 @@ object VerifyScaled {
       "q151_pq_adc_topk" ->
         (() => graft.SparkEntry.queries("q151_pq_adc_topk")(spark, sfDir)),
       "q152_pq_recall" ->
-        (() => graft.SparkEntry.queries("q152_pq_recall")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q152_pq_recall")(spark, sfDir)),
+      // wave 14 needs no resolution retune: pass@k and DoReMi run on
+      // task-/domain-bounded aggregates, prefix-cache and best-of-n on
+      // route-/prompt-keyed windows, unigram Viterbi on the distinct-word
+      // frame. q157's EXACT mining grid is src × tgt by design (the q16
+      // parity class) — prove at 8× only
+      "q153_pass_at_k" ->
+        (() => graft.SparkEntry.queries("q153_pass_at_k")(spark, sfDir)),
+      "q154_prefix_cache" ->
+        (() => graft.SparkEntry.queries("q154_prefix_cache")(spark, sfDir)),
+      "q155_best_of_n" ->
+        (() => graft.SparkEntry.queries("q155_best_of_n")(spark, sfDir)),
+      "q156_doremi_weights" ->
+        (() => graft.SparkEntry.queries("q156_doremi_weights")(spark, sfDir)),
+      "q157_bitext_mining" ->
+        (() => graft.SparkEntry.queries("q157_bitext_mining")(spark, sfDir)),
+      "q158_unigram_segment" ->
+        (() => graft.SparkEntry.queries("q158_unigram_segment")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -218,7 +235,15 @@ object VerifyScaled {
       "q149_prune_impact" -> graft.SparkEntry.oracleSql("q149_prune_impact"),
       "q150_pq_codebook" -> graft.SparkEntry.oracleSql("q150_pq_codebook"),
       "q151_pq_adc_topk" -> graft.SparkEntry.oracleSql("q151_pq_adc_topk"),
-      "q152_pq_recall" -> graft.SparkEntry.oracleSql("q152_pq_recall"))
+      "q152_pq_recall" -> graft.SparkEntry.oracleSql("q152_pq_recall"),
+      "q153_pass_at_k" -> graft.SparkEntry.oracleSql("q153_pass_at_k"),
+      "q154_prefix_cache" -> graft.SparkEntry.oracleSql("q154_prefix_cache"),
+      "q155_best_of_n" -> graft.SparkEntry.oracleSql("q155_best_of_n"),
+      "q156_doremi_weights" ->
+        graft.SparkEntry.oracleSql("q156_doremi_weights"),
+      "q157_bitext_mining" -> graft.SparkEntry.oracleSql("q157_bitext_mining"),
+      "q158_unigram_segment" ->
+        graft.SparkEntry.oracleSql("q158_unigram_segment"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
