@@ -240,9 +240,15 @@ object Queries14 {
   val q158UnigramSegment: Q = (spark, dir) => {
     val wc = graft.ops.Vocab.wordCounts(Tables.documents(spark, dir), "text")
       .localCheckpoint(false)
+    // the piece inventory is an ARTIFACT (charset + top-N grams, ≤ ~50
+    // rows by construction), not data — collecting it feeds the fused
+    // single-job DP (the q149 keptMs contract); the generic round-frame
+    // spelling stays the spec-tested reference (UnigramSpec fused ≡
+    // generic)
     val vocab = graft.ops.Unigram.pieceVocab(wc, "word", "cnt",
-      UniBigrams, UniTrigrams)
-    graft.ops.Unigram.viterbiSegment(wc, "word", vocab, UniMaxLen)
+        UniBigrams, UniTrigrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Unigram.viterbiSegmentFused(wc, "word", vocab, UniMaxLen)
       .join(wc, Seq("word"))
       .select(col("word"), col("cnt"), col("n_pieces"), col("score_sum"),
         col("seg"))

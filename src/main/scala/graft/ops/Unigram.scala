@@ -134,4 +134,61 @@ object Unigram {
         expr(s"((cost + ${Scale - 1}) div $Scale) * $Scale - cost").as("score_sum"),
         col("bseg").as("seg"))
   }
+
+  /** [[viterbiSegment]] fused into per-row expressions: the whole DP and
+    * backtrack run inside two `aggregate` higher-order functions with the
+    * vocabulary as a broadcast map LITERAL — one Spark job, zero joins,
+    * zero per-round barriers, versus the generic spelling's 2·maxLen
+    * round frames. The trade: the vocabulary must be driver-resident —
+    * fine by construction for [[pieceVocab]] output (every single
+    * character + top-N 2-/3-grams: charset + N entries, an artifact, not
+    * data — the q149 keptMs contract). Semantics are identical
+    * (UnigramSpec proves fused ≡ generic on random words; the struct
+    * `array_min` realizes the same (cost, bj) lexicographic rank).
+    * Interpreted-HOF cost is per DISTINCT WORD (≤ maxLen · 3 map probes),
+    * off the corpus hot path. */
+  def viterbiSegmentFused(words: DataFrame, wordCol: String,
+      vocab: Map[String, Long], maxLen: Int): DataFrame = {
+    require(maxLen >= 1 && vocab.nonEmpty)
+    def cand(l: Int): String =
+      s"""CASE WHEN p >= $l
+         |  AND element_at(__vmap, substring(w, p - ${l - 1}, $l)) IS NOT NULL
+         |  AND element_at(acc, p - ${l - 1}).cost IS NOT NULL
+         |THEN named_struct(
+         |  'cost', element_at(acc, p - ${l - 1}).cost + $Scale
+         |          - element_at(__vmap, substring(w, p - ${l - 1}, $l)),
+         |  'bj', CAST(p - $l AS BIGINT)) END""".stripMargin
+    val dp =
+      s"""aggregate(sequence(1, length(w)),
+         |  array(named_struct('cost', CAST(0 AS BIGINT), 'bj', CAST(-1 AS BIGINT))),
+         |  (acc, p) -> array_append(acc, coalesce(
+         |    array_min(filter(
+         |      array(${cand(1)}, ${cand(2)}, ${cand(3)}),
+         |      x -> x.cost IS NOT NULL)),
+         |    named_struct('cost', CAST(NULL AS BIGINT), 'bj', CAST(NULL AS BIGINT)))))"""
+        .stripMargin
+    val bt =
+      s"""aggregate(sequence(1, $maxLen),
+         |  named_struct('pos', CAST(length(w) AS BIGINT), 'seg', ''),
+         |  (s, r) -> CASE WHEN s.pos IS NULL OR s.pos <= 0 THEN s
+         |    ELSE named_struct(
+         |      'pos', element_at(__dp, CAST(s.pos AS INT) + 1).bj,
+         |      'seg', concat(
+         |        substring(w,
+         |          CAST(element_at(__dp, CAST(s.pos AS INT) + 1).bj AS INT) + 1,
+         |          CAST(s.pos - element_at(__dp, CAST(s.pos AS INT) + 1).bj AS INT)),
+         |        CASE WHEN s.seg = '' THEN '' ELSE ' ' END,
+         |        s.seg)) END)""".stripMargin
+    words.select(col(wordCol).as("w")).distinct()
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxLen)
+      .withColumn("__vmap", typedLit(vocab))
+      .withColumn("__dp", expr(dp))
+      .withColumn("__fc", expr("element_at(__dp, length(w) + 1).cost"))
+      .filter(col("__fc").isNotNull)
+      .withColumn("__bt", expr(bt))
+      .select(col("w").as(wordCol),
+        expr(s"(__fc + ${Scale - 1}) div $Scale").as("n_pieces"),
+        expr(s"((__fc + ${Scale - 1}) div $Scale) * $Scale - __fc").as("score_sum"),
+        expr("__bt.seg").as("seg"))
+  }
 }

@@ -87,5 +87,19 @@ class UnigramSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got.keySet == expect.keySet)
     for ((w, e) <- expect) assert(got(w) == e, s"word $w")
+    // the fused single-job spelling is bitwise-identical to the generic
+    // round-frame spelling — including OOV drops and length cutoffs
+    val fused = Unigram.viterbiSegmentFused(words.toDF("w"), "w", pieces, 12)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fused == got)
+  }
+
+  test("viterbiSegmentFused: OOV and over-length words drop identically") {
+    val vocab = Map("a" -> 1L)
+    val words = Seq("axa", "a", "aaaaaaaaaaaaa").toDF("w")
+    val out = Unigram.viterbiSegmentFused(words, "w", vocab, 12)
+      .as[(String, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(("a", 1L, 1L, "a")))
   }
 }
