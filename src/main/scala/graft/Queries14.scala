@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.{RankEval, Sft}
 
-/** Fourteenth query wave: eval-suite statistics and serving-side capacity
-  * planning — the unbiased pass@k estimator over a sample log (q153) and
-  * the prefix-cache savings report for a radix-caching serving fleet
-  * (q154). Same determinism rules as [[Queries]]: integer micro-units,
-  * falling-factorial products expanded as BIGINT literals, every derived
-  * numeric cast to long.
+/** Fourteenth query wave: eval statistics, serving capacity planning and
+  * post-training selection — the unbiased pass@k estimator (q153), the
+  * radix-prefix-cache savings report (q154), best-of-n rejection sampling
+  * (q155), DoReMi-lite domain reweighting (q156), ratio-margin bitext
+  * mining (q157) and unigram-LM Viterbi segmentation (q158). Same
+  * determinism rules as [[Queries]]: integer micro-units, falling-
+  * factorial and multiplicative-weights arithmetic expanded as BIGINT
+  * expressions, every derived numeric cast to long.
   */
 object Queries14 {
 
