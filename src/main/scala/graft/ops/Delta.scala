@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus RELEASE-DELTA operator — diff two corpus snapshots by key and
@@ -85,5 +85,50 @@ object Delta {
           + 0.5).cast("long"))
       .select(col(bucketCol), col("n_prev"), col("n_cur"),
         col("p_prev_ppm"), col("p_cur_ppm"), col("psi_e6"))
+  }
+
+  /** Per-document shingle NOVELTY against an existing corpus — the
+    * release-governance number behind "how much of this crawl is
+    * actually new": each candidate document's distinct word n-grams are
+    * checked for containment in the previous release's n-gram set, and
+    * `novelty_ppm = (n_shingles − n_contained) · 1e6 div n_shingles`.
+    * The same containment estimate drives crawl-dump triage (C4-style
+    * novelty filters) and incremental-ingest budgeting.
+    *
+    * Scale shape: the previous corpus collapses to its DISTINCT n-gram
+    * set once (a map-side-combined aggregate — fingerprint-sized rows,
+    * never documents); the candidate side explodes to (doc, distinct
+    * shingle) and the containment check is ONE equi-join on the shingle —
+    * the [[Decontaminate]] cross-set discipline, never a text scan of
+    * prev × cur. Documents with fewer than `n` tokens have no shingles
+    * and report novelty 1e6 (nothing anchors them to the old corpus). */
+  def shingleNovelty(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    def shingles(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val tarr = filter(graft.functions.TextFns.wordTokens(col(textCol)),
+        t => t =!= "")
+      val sh = when(size(tarr) >= n,
+          transform(sequence(lit(1), size(tarr) - (n - 1)),
+            i => array_join(slice(tarr, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      df.select(keep :+ explode(sh).as("shingle"): _*)
+    }
+    val prevSet = shingles(prev, Seq.empty).distinct()
+      .withColumnRenamed("shingle", "__ps")
+    val curSh = shingles(cur, Seq(col(idCol))).distinct()
+    val contained = curSh
+      .join(prevSet, col("shingle") === col("__ps"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__ps").isNotNull, 1L).otherwise(0L)).as("n_contained"))
+    cur.select(col(idCol)).join(contained, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contained"), lit(0L)).as("n_contained"))
+      .withColumn("novelty_ppm",
+        when(col("n_shingles") === 0L, lit(1000000L))
+          .otherwise(expr(
+            "(n_shingles - n_contained) * 1000000L div n_shingles")))
   }
 }

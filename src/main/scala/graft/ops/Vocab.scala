@@ -392,4 +392,32 @@ object Vocab {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(expr("__ps div n_trigrams"), lit(0L)).as("mean_p_ppm"))
   }
+
+  /** Distinct-n diversity report (the "distinct-2" generation-diversity
+    * metric of Li et al. 2016, applied corpus-side): per group, total vs
+    * DISTINCT word n-gram occurrences and
+    * `distinct_ppm = n_distinct · 1e6 div n_total`. Low distinct-n on a
+    * training slice flags template spam / boilerplate floods that
+    * per-document repetition gates ([[Repetition]]) cannot see, because
+    * the repetition is ACROSS documents.
+    *
+    * Scale shape: one explode of the token stream into n-grams, then a
+    * single (group, shingle)-keyed aggregate feeding a group-keyed
+    * rollup — both map-side combined; nothing downstream is larger than
+    * the distinct-shingle frame. */
+  def distinctNgramReport(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val tarr = filter(toks(col(textCol)), t => t =!= "")
+    val sh = when(size(tarr) >= n,
+        transform(sequence(lit(1), size(tarr) - (n - 1)),
+          i => array_join(slice(tarr, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(groupCol), explode(sh).as("__sh"))
+      .groupBy(col(groupCol), col("__sh"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_total"), count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ppm", expr("n_distinct * 1000000L div n_total"))
+  }
 }
