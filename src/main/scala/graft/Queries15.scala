@@ -32,9 +32,11 @@ object Queries15 {
     """WITH c AS (SELECT doc_id, text, length(text)::BIGINT AS n,
       |    (doc_id % 2 = 0 AND length(text) >= 3) AS gated,
       |    CASE WHEN length(text) >= 3 THEN
-      |      1 + (doc_id * 2654435761) % (length(text)::BIGINT - 1) END AS c1,
+      |      1 + ((doc_id % 1000000007) * 2654435761)
+      |          % (length(text)::BIGINT - 1) END AS c1,
       |    CASE WHEN length(text) >= 3 THEN
-      |      1 + (doc_id * 40503) % (length(text)::BIGINT - 1) END AS c2
+      |      1 + ((doc_id % 1000000007) * 40503)
+      |          % (length(text)::BIGINT - 1) END AS c2
       |  FROM documents),
       |d AS (SELECT doc_id, text, n, gated,
       |    least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)

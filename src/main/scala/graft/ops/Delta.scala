@@ -106,13 +106,15 @@ object Delta {
       textCol: String, n: Int): DataFrame = {
     require(n >= 1)
     def shingles(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val tarr = filter(graft.functions.TextFns.wordTokens(col(textCol)),
-        t => t =!= "")
-      val sh = when(size(tarr) >= n,
-          transform(sequence(lit(1), size(tarr) - (n - 1)),
-            i => array_join(slice(tarr, i, lit(n)), " ")))
+      // token array projected once per row — an interpreted HOF lambda
+      // re-evaluates captured expressions per element (the q161 lesson)
+      val sh = when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-      df.select(keep :+ explode(sh).as("shingle"): _*)
+      df.select(keep :+ filter(graft.functions.TextFns.wordTokens(col(textCol)),
+          t => t =!= "").as("__t"): _*)
+        .select(keep :+ explode(sh).as("shingle"): _*)
     }
     val prevSet = shingles(prev, Seq.empty).distinct()
       .withColumnRenamed("shingle", "__ps")

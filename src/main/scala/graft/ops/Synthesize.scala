@@ -36,8 +36,12 @@ object Synthesize {
     val t = col(textCol)
     val n = length(t).cast("long")
     val gated = id % 2 === 0 && n >= 3L
-    val c1 = lit(1L) + (id * K1) % (n - 1L)
-    val c2 = lit(1L) + (id * K2) % (n - 1L)
+    // reduce the id before the Knuth multiply: ids can carry large scale
+    // offsets (the GenScale copy space reaches 6e9+), and 6e9 · K1
+    // overflows BIGINT — id % P first keeps the product < 2.7e18
+    val idm = id % 1000000007L
+    val c1 = lit(1L) + (idm * K1) % (n - 1L)
+    val c2 = lit(1L) + (idm * K2) % (n - 1L)
     val lo = least(c1, c2)
     val hi = greatest(c1, c2)
     val prefix = t.substr(lit(1), lo.cast("int"))

@@ -408,12 +408,16 @@ object Vocab {
   def distinctNgramReport(df: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1)
-    val tarr = filter(toks(col(textCol)), t => t =!= "")
-    val sh = when(size(tarr) >= n,
-        transform(sequence(lit(1), size(tarr) - (n - 1)),
-          i => array_join(slice(tarr, i, lit(n)), " ")))
+    // tokenize ONCE per row into a projected column: an interpreted HOF
+    // lambda re-evaluates every captured expression per element, so
+    // shingling straight off filter(split(...)) is O(tokens²) per doc
+    val sh = when(size(col("__t")) >= n,
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => array_join(slice(col("__t"), i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    df.select(col(groupCol), explode(sh).as("__sh"))
+    df.select(col(groupCol),
+        filter(toks(col(textCol)), t => t =!= "").as("__t"))
+      .select(col(groupCol), explode(sh).as("__sh"))
       .groupBy(col(groupCol), col("__sh"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(groupCol))

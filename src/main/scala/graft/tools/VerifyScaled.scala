@@ -172,7 +172,18 @@ object VerifyScaled {
       "q157_bitext_mining" ->
         (() => graft.SparkEntry.queries("q157_bitext_mining")(spark, sfDir)),
       "q158_unigram_segment" ->
-        (() => graft.SparkEntry.queries("q158_unigram_segment")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q158_unigram_segment")(spark, sfDir)),
+      // wave 15 needs no resolution retune: FIM/span-corruption are
+      // per-row / per-doc projections, diversity and novelty are
+      // shingle-keyed equi-joins — all linear in the corpus
+      "q159_fim" ->
+        (() => graft.SparkEntry.queries("q159_fim")(spark, sfDir)),
+      "q160_span_corrupt" ->
+        (() => graft.SparkEntry.queries("q160_span_corrupt")(spark, sfDir)),
+      "q161_diversity" ->
+        (() => graft.SparkEntry.queries("q161_diversity")(spark, sfDir)),
+      "q162_novelty" ->
+        (() => graft.SparkEntry.queries("q162_novelty")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -243,7 +254,11 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q156_doremi_weights"),
       "q157_bitext_mining" -> graft.SparkEntry.oracleSql("q157_bitext_mining"),
       "q158_unigram_segment" ->
-        graft.SparkEntry.oracleSql("q158_unigram_segment"))
+        graft.SparkEntry.oracleSql("q158_unigram_segment"),
+      "q159_fim" -> graft.SparkEntry.oracleSql("q159_fim"),
+      "q160_span_corrupt" -> graft.SparkEntry.oracleSql("q160_span_corrupt"),
+      "q161_diversity" -> graft.SparkEntry.oracleSql("q161_diversity"),
+      "q162_novelty" -> graft.SparkEntry.oracleSql("q162_novelty"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
