@@ -36,8 +36,10 @@ object Queries13 {
       .orderBy("prompt_id", "chosen_id")
   }
 
-  val q147Sql: String =
-    s"""WITH cand AS (SELECT doc_id % 25 AS prompt_id, doc_id,
+  /** q147's oracle pair-construction CTEs, shared with q163's
+    * Bradley-Terry leaderboard (ends at `pairs`). */
+  private[graft] val PrefPairCtes: String =
+    s"""cand AS (SELECT doc_id % 25 AS prompt_id, doc_id,
        |    ${Queries2.QualitySqlExpr} AS quality_e6
        |  FROM documents),
        |rk AS (SELECT prompt_id, doc_id, quality_e6,
@@ -45,14 +47,19 @@ object Queries13 {
        |                       ORDER BY quality_e6 DESC, doc_id ASC) AS rb,
        |    row_number() OVER (PARTITION BY prompt_id
        |                       ORDER BY quality_e6 ASC, doc_id DESC) AS rw
-       |  FROM cand)
-       |SELECT c.prompt_id,
-       |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
-       |  c.quality_e6 AS chosen_e6, r.quality_e6 AS rejected_e6,
-       |  (c.quality_e6 - r.quality_e6)::BIGINT AS margin_e6
-       |FROM rk c JOIN rk r ON r.prompt_id = c.prompt_id AND r.rw = c.rb
-       |WHERE c.rb <= 4 AND c.quality_e6 - r.quality_e6 >= 10000
-       |ORDER BY c.prompt_id, c.doc_id""".stripMargin
+       |  FROM cand),
+       |pairs AS (SELECT c.prompt_id,
+       |    c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |    c.quality_e6 AS chosen_e6, r.quality_e6 AS rejected_e6,
+       |    (c.quality_e6 - r.quality_e6)::BIGINT AS margin_e6
+       |  FROM rk c JOIN rk r ON r.prompt_id = c.prompt_id AND r.rw = c.rb
+       |  WHERE c.rb <= 4 AND c.quality_e6 - r.quality_e6 >= 10000)""".stripMargin
+
+  val q147Sql: String =
+    s"""WITH $PrefPairCtes
+       |SELECT prompt_id, chosen_id, rejected_id, chosen_e6, rejected_e6,
+       |  margin_e6
+       |FROM pairs ORDER BY prompt_id, chosen_id""".stripMargin
 
   // --------------------------------------- BPE vocabulary pruning
   private val Rounds = Queries10.Rounds

@@ -173,8 +173,8 @@ object Queries14 {
   }
 
   // ------------------------------------------------ bitext margin mining
-  private val BitextK = 4
-  private val BitextMargin = 1050000L
+  private[graft] val BitextK = 4
+  private[graft] val BitextMargin = 1050000L
 
   /** Cross-lingual parallel-pair mining: English-side embeddings vs
     * French-side (the doc_id = vec_id pairing), ratio-margin k = 4,
@@ -195,8 +195,11 @@ object Queries14 {
       .orderBy("src_id")
   }
 
-  val q157Sql: String =
-    s"""WITH sd AS (SELECT e.vec_id AS src_id, e.embedding
+  /** q157's oracle CTE chain, shared with q164's cleaning audit (the
+    * q142/q143 shared-prefix precedent): ends at `m` = all best-forward
+    * pairs with margins, pre-threshold. */
+  private[graft] val BitextCtes: String =
+    s"""sd AS (SELECT e.vec_id AS src_id, e.embedding
        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
        |  WHERE d.lang = 'en'),
        |td AS (SELECT e.vec_id AS tgt_id, e.embedding
@@ -224,7 +227,10 @@ object Queries14 {
        |               // (fs.fsum * bs.kb + bs.bsum * fs.kf) END)::BIGINT
        |      AS margin_ppm
        |  FROM fr f JOIN fs USING (src_id) JOIN bs USING (tgt_id)
-       |  WHERE f.r = 1)
+       |  WHERE f.r = 1)""".stripMargin
+
+  val q157Sql: String =
+    s"""WITH $BitextCtes
        |SELECT src_id, tgt_id, sim_e6, margin_ppm FROM m
        |WHERE margin_ppm >= $BitextMargin ORDER BY src_id""".stripMargin
 

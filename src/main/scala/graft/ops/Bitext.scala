@@ -82,4 +82,35 @@ object Bitext {
       .select(col("src_id"), col("tgt_id"),
         (col("s_e6") - 1000000L).as("sim_e6"), col("margin_ppm"))
   }
+
+  /** Bitext CLEANING audit over mined pairs — the rule filters every
+    * mined parallel corpus passes before training (Moses/OPUS cleaning,
+    * CCMatrix §4): length-ratio bounds (a 5× longer "translation" is
+    * misalignment) and identical-normalized-text rejection (copy-through
+    * rows teach the model to parrot). Emits the per-rule verdicts, not
+    * just the survivors — the audit artifact reviewers read.
+    *
+    * Scale shape: two equi-joins of the mined-pair frame (bounded by
+    * |src| — one best match per source) against the normalized doc
+    * sides; per-row integer arithmetic after that. */
+  def cleanAudit(pairs: DataFrame, srcDocs: DataFrame, srcIdCol: String,
+      tgtDocs: DataFrame, tgtIdCol: String, textCol: String,
+      minLenPpm: Long, maxLenPpm: Long): DataFrame = {
+    require(minLenPpm >= 1 && maxLenPpm >= minLenPpm)
+    def nrm(d: DataFrame, idCol: String, as: String, tas: String) =
+      d.select(col(idCol).as(as),
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as(tas))
+    pairs
+      .join(nrm(srcDocs, srcIdCol, "src_id", "__st"), Seq("src_id"))
+      .join(nrm(tgtDocs, tgtIdCol, "tgt_id", "__tt"), Seq("tgt_id"))
+      .withColumn("len_ratio_ppm", expr(
+        "CAST(length(__st) AS BIGINT) * 1000000 div " +
+          "CAST(greatest(length(__tt), 1) AS BIGINT)"))
+      .withColumn("len_ok",
+        col("len_ratio_ppm") >= minLenPpm && col("len_ratio_ppm") <= maxLenPpm)
+      .withColumn("dup_ok", col("__st") =!= col("__tt"))
+      .withColumn("keep", col("len_ok") && col("dup_ok"))
+      .select(col("src_id"), col("tgt_id"), col("margin_ppm"),
+        col("len_ratio_ppm"), col("len_ok"), col("dup_ok"), col("keep"))
+  }
 }

@@ -95,4 +95,72 @@ object Preference {
       .filter(col("rank") <= n)
       .drop("__rfp")
   }
+
+  /** Bradley-Terry strength estimation from pairwise outcomes — the
+    * aggregation behind reward-model training data audits and
+    * chatbot-arena-style leaderboards: given `matches(winnerCol,
+    * loserCol)` (one row per decided comparison), estimate per-item
+    * strengths via the classic MM fixed point (Zermelo 1929; Hunter
+    * 2004):
+    *
+    *   s'_i = W_i / Σ_{j: n_ij > 0} n_ij / (s_i + s_j)
+    *
+    * spelled in exact BIGINT arithmetic: the inner terms are
+    * `n_ij · 1e12 div (s_i + s_j)`, the update `W_i · 1e12 div denom`,
+    * and each round renormalizes to mean 1e6 via
+    * `s = u · 1e6 div (Σu div N)` — every step integer, so the
+    * leaderboard hash-matches any engine. Items that never win converge
+    * to 0 (the MM fixed point's behavior); a never-winner's u is 0, not
+    * NULL, and items keep their previous score if their denominator
+    * vanishes (isolated after zero-score neighbors — cannot happen on
+    * connected comparison graphs).
+    *
+    * Scale shape: matches collapse ONCE to the undirected edge frame
+    * (n_ij aggregated map-side); each round is two equi-joins of edges
+    * against the ≤|items|-row score frame plus one keyed aggregation —
+    * round cost scales with the EDGE count, not the raw match log, and
+    * the frames stay artifact-sized (items × avg-degree). Rounds are
+    * lazily checkpointed (the [[Bpe.learn]] discipline). */
+  def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val T = 1000000000000L // 1e12 — the fixed-point scale
+    val dir = matches.select(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+    val edges = dir.select(col("i"), col("j"), col("w").as("n"))
+      .unionByName(dir.select(col("j").as("i"), col("i").as("j"),
+        col("w").as("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij"))
+      .localCheckpoint(false)
+    val wins = dir.groupBy(col("i")).agg(sum(col("w")).as("n_wins"))
+    val items = edges.select(col("i").as("item")).distinct()
+      .join(wins.withColumnRenamed("i", "item"), Seq("item"), "left")
+      .withColumn("n_wins", coalesce(col("n_wins"), lit(0L)))
+      .join(edges.groupBy(col("i").as("item"))
+        .agg(sum(col("n_ij")).as("n_matches")), Seq("item"))
+      .localCheckpoint(false)
+    val g = Window.partitionBy()
+    var s = items.withColumn("bt_ppm", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val si = s.select(col("item").as("i"), col("bt_ppm").as("__si"))
+      val sj = s.select(col("item").as("j"), col("bt_ppm").as("__sj"))
+      val den = edges.join(si, Seq("i")).join(sj, Seq("j"))
+        .groupBy(col("i").as("item"))
+        .agg(sum(expr(s"n_ij * ${T}L div (__si + __sj)")).as("__den"))
+      s = s.join(den, Seq("item"), "left")
+        .withColumn("__u",
+          when(col("__den").isNull || col("__den") === 0L, col("bt_ppm"))
+            .otherwise(expr(s"n_wins * ${T}L div __den")))
+        .withColumn("__usum", sum(col("__u")).over(g))
+        .withColumn("__ucnt", count(col("__u")).over(g))
+        .withColumn("__norm", expr("__usum div __ucnt"))
+        .withColumn("bt_ppm",
+          when(col("__norm") === 0L, col("__u"))
+            .otherwise(expr("__u * 1000000L div __norm")))
+        .drop("__den", "__u", "__usum", "__ucnt", "__norm")
+        .localCheckpoint(false)
+    }
+    s.select(col("item"), col("n_matches"), col("n_wins"), col("bt_ppm"))
+  }
 }
