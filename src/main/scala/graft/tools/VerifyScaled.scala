@@ -183,7 +183,14 @@ object VerifyScaled {
       "q161_diversity" ->
         (() => graft.SparkEntry.queries("q161_diversity")(spark, sfDir)),
       "q162_novelty" ->
-        (() => graft.SparkEntry.queries("q162_novelty")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q162_novelty")(spark, sfDir)),
+      // wave 16: q163's rounds run on the preference edge frame
+      // (items × avg-degree, corpus-independent); q164 composes q157's
+      // exact mining grid — the q16 parity class, prove at 8× only
+      "q163_bradley_terry" ->
+        (() => graft.SparkEntry.queries("q163_bradley_terry")(spark, sfDir)),
+      "q164_bitext_clean" ->
+        (() => graft.SparkEntry.queries("q164_bitext_clean")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -258,7 +265,10 @@ object VerifyScaled {
       "q159_fim" -> graft.SparkEntry.oracleSql("q159_fim"),
       "q160_span_corrupt" -> graft.SparkEntry.oracleSql("q160_span_corrupt"),
       "q161_diversity" -> graft.SparkEntry.oracleSql("q161_diversity"),
-      "q162_novelty" -> graft.SparkEntry.oracleSql("q162_novelty"))
+      "q162_novelty" -> graft.SparkEntry.oracleSql("q162_novelty"),
+      "q163_bradley_terry" ->
+        graft.SparkEntry.oracleSql("q163_bradley_terry"),
+      "q164_bitext_clean" -> graft.SparkEntry.oracleSql("q164_bitext_clean"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
