@@ -73,11 +73,15 @@ object Queries14 {
       .orderBy("route_id")
   }
 
+  /** q154's prompt-assembly CTE, shared with q166's block-reuse report. */
+  private[graft] val PromptCte: String =
+    """p AS (SELECT doc_id % 10 AS route_id,
+      |    'sys: answer concisely' || chr(10) || 'task ' ||
+      |      (doc_id % 10)::VARCHAR || ': ' || text AS prompt
+      |  FROM documents)""".stripMargin
+
   val q154Sql: String =
-    s"""WITH p AS (SELECT doc_id % 10 AS route_id,
-       |    'sys: answer concisely' || chr(10) || 'task ' ||
-       |      (doc_id % 10)::VARCHAR || ': ' || text AS prompt
-       |  FROM documents),
+    s"""WITH $PromptCte,
        |a AS (SELECT route_id, count(*)::BIGINT AS n_prompts,
        |    sum(length(prompt))::BIGINT AS total_chars,
        |    min(prompt) AS mn, max(prompt) AS mx

@@ -110,11 +110,86 @@ object Queries16 {
        |     AND dup_ok) AS keep
        |FROM j ORDER BY src_id""".stripMargin
 
+  // ----------------------------------------------- sign-test significance
+  private val SignMaxN = 16
+  private val SignAlpha = 50000L
+  private val SignThresh = 640000L
+
+  /** Exact sign-test significance gate over synthetic A/B comparison
+    * groups (doc_id div 16 blocks; side A "wins" when the q21 quality
+    * clears 0.64): the leaderboard gate that separates a real win rate
+    * from coin-flip noise — see [[graft.ops.RankEval.signTest]]. The
+    * p-value table is driver-computed exact BigInt arithmetic, emitted
+    * as literals into BOTH engines. */
+  val q165SignTest: Q = (spark, dir) => {
+    val m = Tables.documents(spark, dir).select(
+      expr(s"doc_id div $SignMaxN").as("pair_id"),
+      (graft.functions.TextFns.qualityScoreMicro(col("text")) >= SignThresh)
+        .as("aw"))
+    graft.ops.RankEval.signTest(m, "pair_id", col("aw"), SignMaxN, SignAlpha)
+      .orderBy("pair_id")
+  }
+
+  val q165Sql: String = {
+    val rows = graft.ops.RankEval.signTestTable(SignMaxN)
+      .map { case (n, w, p) => s"($n, $w, $p)" }.mkString(", ")
+    s"""WITH tbl AS (SELECT * FROM (VALUES $rows) AS t(n, w, p)),
+       |s AS (SELECT doc_id // $SignMaxN AS pair_id,
+       |    (${Queries2.QualitySqlExpr} >= $SignThresh) AS aw
+       |  FROM documents),
+       |a AS (SELECT pair_id, count(*)::BIGINT AS n_comparisons,
+       |    sum(CASE WHEN aw THEN 1 ELSE 0 END)::BIGINT AS a_wins
+       |  FROM s GROUP BY 1)
+       |SELECT a.pair_id, a.n_comparisons, a.a_wins, t.p::BIGINT AS p_ppm,
+       |  (t.p < $SignAlpha) AS significant
+       |FROM a JOIN tbl t ON t.n = a.n_comparisons AND t.w = a.a_wins
+       |WHERE a.n_comparisons <= $SignMaxN
+       |ORDER BY a.pair_id""".stripMargin
+  }
+
+  // ----------------------------------------------- paged-KV block reuse
+  private val BlockChars = 16
+
+  /** Paged-KV cache block-reuse over the q154 prompt fleet at 16-char
+    * blocks — see [[graft.ops.Sft.pagedBlockReuse]]. */
+  val q166BlockReuse: Q = (spark, dir) => {
+    val prompts = Tables.documents(spark, dir).select(
+      (col("doc_id") % 10L).as("route_id"),
+      concat(lit("sys: answer concisely\ntask "),
+        (col("doc_id") % 10L).cast("string"), lit(": "),
+        col("text")).as("prompt"))
+    graft.ops.Sft.pagedBlockReuse(prompts, "route_id", "prompt", BlockChars)
+      .orderBy("route_id")
+  }
+
+  val q166Sql: String =
+    s"""WITH ${Queries14.PromptCte},
+       |b AS (SELECT route_id,
+       |    md5(substr(prompt, 1, (i * $BlockChars)::INT)) AS key
+       |  FROM p, unnest(generate_series(1, length(prompt) // $BlockChars)) AS g(i)),
+       |a AS (SELECT route_id, count(*)::BIGINT AS n_blocks,
+       |    count(DISTINCT key)::BIGINT AS n_distinct
+       |  FROM b GROUP BY 1)
+       |SELECT r.route_id,
+       |  coalesce(a.n_blocks, 0)::BIGINT AS n_blocks,
+       |  coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+       |  (coalesce(a.n_blocks, 0) - coalesce(a.n_distinct, 0))::BIGINT
+       |    AS saved_blocks,
+       |  (CASE WHEN coalesce(a.n_blocks, 0) = 0 THEN 0
+       |        ELSE (a.n_blocks - a.n_distinct) * 1000000 // a.n_blocks
+       |   END)::BIGINT AS hit_ppm
+       |FROM (SELECT DISTINCT route_id FROM p) r LEFT JOIN a USING (route_id)
+       |ORDER BY r.route_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q163_bradley_terry" -> q163BradleyTerry,
-    "q164_bitext_clean" -> q164BitextClean)
+    "q164_bitext_clean" -> q164BitextClean,
+    "q165_sign_test" -> q165SignTest,
+    "q166_block_reuse" -> q166BlockReuse)
 
   val oracle: Map[String, String] = Map(
     "q163_bradley_terry" -> q163Sql,
-    "q164_bitext_clean" -> q164Sql)
+    "q164_bitext_clean" -> q164Sql,
+    "q165_sign_test" -> q165Sql,
+    "q166_block_reuse" -> q166Sql)
 }

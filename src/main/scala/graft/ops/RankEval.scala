@@ -110,4 +110,55 @@ object RankEval {
           "ELSE 1000000L END").cast("long"))
     }
   }
+
+  /** Exact two-sided sign-test p-values in ppm for every (n, wins) with
+    * n ≤ `maxN`: `p = min(1, 2 · P(X ≤ min(w, n−w)))`, X ~ Binomial(n,
+    * ½) — computed driver-side in exact BigInt arithmetic and emitted as
+    * literals (the [[dcgGainsE6]] discipline: zero libm at run time, so
+    * the gate is bitwise engine-exact). */
+  def signTestTable(maxN: Int): Seq[(Long, Long, Long)] = {
+    require(maxN >= 1 && maxN <= 62, "2^n must fit a Long")
+    for {
+      n <- 1 to maxN
+      w <- 0 to n
+    } yield {
+      val m = math.min(w, n - w)
+      val cum = (0 to m).map(k => binom(n, k)).sum
+      val p = (BigInt(2) * cum * 1000000 + (BigInt(1) << (n - 1))) >> n
+      (n.toLong, w.toLong, p.min(1000000).toLong)
+    }
+  }
+
+  private def binom(n: Int, k: Int): BigInt =
+    (1 to k).foldLeft(BigInt(1))((a, i) => a * (n - i + 1) / i)
+
+  /** Two-sided sign test per comparison group — the significance gate an
+    * eval leaderboard applies before calling one model better than
+    * another: per `pairCol` group, count decisive comparisons and wins of
+    * side A, and look up the EXACT binomial p-value from the driver-
+    * computed [[signTestTable]] (broadcast: ≤ maxN² rows of literals).
+    * `significant = p_ppm < alphaPpm`.
+    *
+    * Groups larger than `maxN` comparisons are out of the table's domain
+    * and are dropped — identically in the oracle (cap the group design,
+    * or raise maxN ≤ 62).
+    *
+    * Scale shape: one map-combined aggregate over the comparison log,
+    * then a broadcast lookup join against the literal table. */
+  def signTest(matches: DataFrame, pairCol: String, aWin: Column,
+      maxN: Int, alphaPpm: Long): DataFrame = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val table = broadcast(
+      signTestTable(maxN).toDF("__n", "__w", "p_ppm"))
+    matches.groupBy(col(pairCol))
+      .agg(count(lit(1)).as("n_comparisons"),
+        sum(when(aWin, 1L).otherwise(0L)).as("a_wins"))
+      .filter(col("n_comparisons") <= maxN.toLong)
+      .join(table, col("n_comparisons") === col("__n") &&
+        col("a_wins") === col("__w"))
+      .withColumn("significant", col("p_ppm") < alphaPpm)
+      .select(col(pairCol), col("n_comparisons"), col("a_wins"),
+        col("p_ppm"), col("significant"))
+  }
 }

@@ -99,4 +99,47 @@ object Sft {
       .select(col(routeCol), col("n_prompts"), col("total_chars"),
         col("lcp_chars"), col("saved_chars"), col("saved_ppm"))
   }
+
+  /** Paged-KV block-reuse report — [[prefixCacheReport]] at BLOCK
+    * granularity, the quantity a vLLM-style paged cache actually
+    * manages: prompts split into fixed `blockChars` blocks, and a
+    * block's cache key is the hash of the ENTIRE PREFIX through that
+    * block (PagedAttention's block hash covers all preceding tokens, so
+    * only identical prefixes share cache blocks). Per route: full blocks
+    * generated, distinct block keys (= blocks the cache must hold),
+    * `saved_blocks` a warm cache never recomputes, and the hit ratio.
+    * Partial tail blocks are not cacheable and are excluded; routes
+    * whose prompts are all shorter than one block report zeros.
+    *
+    * Scale shape: one explode to (route, block-key) — map-side — then a
+    * keyed aggregate with a distinct count. The per-block prefix hash is
+    * md5 over the prefix substring (O(len²/B) per prompt — fine for an
+    * audit sweep); a production spelling chains a rolling hash
+    * incrementally, same keys, same report. */
+  def pagedBlockReuse(prompts: DataFrame, routeCol: String, textCol: String,
+      blockChars: Int): DataFrame = {
+    require(blockChars >= 1)
+    val base = prompts.select(col(routeCol), col(textCol).as("__p"))
+    val nblk = expr(s"CAST(length(__p) div $blockChars AS BIGINT)")
+    val blocks = base
+      .select(col(routeCol), col("__p"),
+        explode(when(length(col("__p")) >= blockChars,
+            sequence(lit(1L), nblk))
+          .otherwise(array().cast("array<bigint>"))).as("__i"))
+      .select(col(routeCol),
+        md5(col("__p").substr(lit(1), (col("__i") * blockChars).cast("int")))
+          .as("__key"))
+    val agg = blocks.groupBy(col(routeCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct(col("__key")).as("n_distinct"))
+    base.select(col(routeCol)).distinct()
+      .join(agg, Seq(routeCol), "left")
+      .select(col(routeCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("saved_blocks", col("n_blocks") - col("n_distinct"))
+      .withColumn("hit_ppm",
+        when(col("n_blocks") === 0L, lit(0L))
+          .otherwise(expr("saved_blocks * 1000000L div n_blocks")))
+  }
 }
