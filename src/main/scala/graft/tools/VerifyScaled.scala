@@ -190,7 +190,13 @@ object VerifyScaled {
       "q163_bradley_terry" ->
         (() => graft.SparkEntry.queries("q163_bradley_terry")(spark, sfDir)),
       "q164_bitext_clean" ->
-        (() => graft.SparkEntry.queries("q164_bitext_clean")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q164_bitext_clean")(spark, sfDir)),
+      // q165's p-table is a literal broadcast; q166 is one explode +
+      // keyed distinct-count — both corpus-linear
+      "q165_sign_test" ->
+        (() => graft.SparkEntry.queries("q165_sign_test")(spark, sfDir)),
+      "q166_block_reuse" ->
+        (() => graft.SparkEntry.queries("q166_block_reuse")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -268,7 +274,9 @@ object VerifyScaled {
       "q162_novelty" -> graft.SparkEntry.oracleSql("q162_novelty"),
       "q163_bradley_terry" ->
         graft.SparkEntry.oracleSql("q163_bradley_terry"),
-      "q164_bitext_clean" -> graft.SparkEntry.oracleSql("q164_bitext_clean"))
+      "q164_bitext_clean" -> graft.SparkEntry.oracleSql("q164_bitext_clean"),
+      "q165_sign_test" -> graft.SparkEntry.oracleSql("q165_sign_test"),
+      "q166_block_reuse" -> graft.SparkEntry.oracleSql("q166_block_reuse"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
