@@ -136,6 +136,45 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance confirmation of blocked near-dup candidates — the
+    * expensive exact stage a fuzzy-dedup pipeline runs LAST, after cheap
+    * blocking (SimHash buckets, MinHash bands) has cut the pair space:
+    * per candidate pair, the Levenshtein distance over ASCII-normalized
+    * text and the normalized similarity
+    * `sim_ppm = 1e6 − dist·1e6 div max(len_a, len_b)` (two empty strings
+    * are identical → 1e6), plus the `keep` verdict at `minSimPpm`. The
+    * whole candidate set is reported, not just survivors — the rejected
+    * pairs are the audit trail that shows the blocking stage's false-
+    * positive rate.
+    *
+    * Texts are normalized (lowercase, whitespace-collapsed) and stripped
+    * to printable ASCII before the DP: Spark's `levenshtein` counts
+    * CODEPOINTS while DuckDB's counts BYTES, so the ASCII restriction is
+    * what makes the audit engine-exact (multi-byte text would diverge).
+    *
+    * Scale shape: the O(len²) DP runs ONLY on `pairs` — the caller's
+    * blocking bounds it (q73's hamming gate keeps it linear-ish in corpus
+    * size); the two text joins are equi-joins on the id. Never feed an
+    * unblocked cross product here. */
+  def editConfirmPairs(pairs: DataFrame, idACol: String, idBCol: String,
+      texts: DataFrame, idCol: String, textCol: String,
+      minSimPpm: Long): DataFrame = {
+    val nt = texts.select(col(idCol).as("__id"),
+      regexp_replace(normalized(col(textCol)), "[^\\x20-\\x7e]", "").as("__nt"))
+    pairs
+      .join(nt.select(col("__id").as(idACol), col("__nt").as("__ta")), Seq(idACol))
+      .join(nt.select(col("__id").as(idBCol), col("__nt").as("__tb")), Seq(idBCol))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("__mx",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .withColumn("sim_ppm",
+        when(col("__mx") === 0L, lit(1000000L))
+          .otherwise(expr("1000000L - dist * 1000000L div __mx")))
+      .withColumn("keep", col("sim_ppm") >= minSimPpm)
+      .select((pairs.columns.map(col) :+ col("dist") :+ col("sim_ppm")
+        :+ col("keep")): _*)
+  }
+
   /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
     * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
     * corpus occurrence (smallest (id, position)); later occurrences —

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked-retrieval evaluation — the governance table a retrieval stack
@@ -109,6 +110,127 @@ object RankEval {
           s"THEN 1000000L - (($num) * 1000000L div ($den)) " +
           "ELSE 1000000L END").cast("long"))
     }
+  }
+
+  /** Self-consistency majority vote (Wang et al. 2022's decoding-time
+    * ensemble): per task, the modal extracted answer across samples, with
+    * a DETERMINISTIC tie-break (largest vote count, then smallest answer
+    * value) so the artifact hashes identically in any engine. `goldCol`
+    * must be constant within a task (the reference answer); the report
+    * compares majority-vote correctness against the per-sample agreement
+    * rate, the quantity that tells you whether voting buys accuracy.
+    *
+    * Scale shape: one hash aggregate to (task, answer) vote counts —
+    * map-side combined, so the sample log collapses before any shuffle —
+    * then per-task windows over the (tasks × distinct-answers) frame,
+    * which is bounded by the answer-space size, not the sample count.
+    *
+    * Output per task: (taskCol, n_samples, n_distinct_answers,
+    * majority_answer, majority_n, majority_share_ppm, sample_correct_ppm,
+    * gold, majority_correct). */
+  def selfConsistency(samples: DataFrame, taskCol: String,
+      answerCol: String, goldCol: String): DataFrame = {
+    val votes = samples.groupBy(col(taskCol), col(answerCol))
+      .agg(count(lit(1)).as("__nv"), min(col(goldCol)).as("__gold"))
+    val wTask = Window.partitionBy(col(taskCol))
+    val wRank = wTask.orderBy(col("__nv").desc, col(answerCol).asc)
+    votes
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("n_samples", sum(col("__nv")).over(wTask))
+      .withColumn("n_distinct_answers", count(lit(1)).over(wTask))
+      .withColumn("__ncorr",
+        sum(when(col(answerCol) === col("__gold"), col("__nv"))
+          .otherwise(lit(0L))).over(wTask))
+      .filter(col("__rn") === 1)
+      .select(col(taskCol), col("n_samples"), col("n_distinct_answers"),
+        col(answerCol).as("majority_answer"),
+        col("__nv").as("majority_n"),
+        expr("__nv * 1000000L div n_samples").as("majority_share_ppm"),
+        expr("__ncorr * 1000000L div n_samples").as("sample_correct_ppm"),
+        col("__gold").as("gold"),
+        (col(answerCol) === col("__gold")).as("majority_correct"))
+  }
+
+  /** Expected-calibration-error bins — the governance table a quality /
+    * reward / routing classifier ships with: bucket predictions by stated
+    * confidence (`confPpmCol` in [0, 1e6]), and per bin compare the mean
+    * stated confidence against the realized accuracy of `correct`. The
+    * global `ece_ppm = Σ_b n_b·|acc_b − conf_b| div N` rides on every row
+    * so the artifact is self-contained. `1e6` must divide evenly into
+    * `nBins`; confidence exactly 1e6 folds into the top bin.
+    *
+    * Scale shape: one map-combined hash aggregate from the prediction log
+    * to ≤ nBins rows; the window that totals ECE runs on that literal-
+    * sized frame. All arithmetic BIGINT (integer div, 0-guarded). */
+  def calibrationBins(preds: DataFrame, confPpmCol: String,
+      correct: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1 && 1000000 % nBins == 0,
+      "nBins must divide 1e6 evenly")
+    val width = 1000000L / nBins
+    val agg = preds
+      .select(least(expr(s"$confPpmCol div ${width}L"), lit(nBins - 1L))
+          .cast("long").as("bin"),
+        col(confPpmCol).cast("long").as("__c"),
+        when(correct, 1L).otherwise(0L).as("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_preds"), sum(col("__c")).as("__sc"),
+        sum(col("__ok")).as("__nc"))
+      .withColumn("avg_conf_ppm", expr("__sc div n_preds"))
+      .withColumn("acc_ppm", expr("__nc * 1000000L div n_preds"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("avg_conf_ppm")))
+    agg
+      .withColumn("ece_ppm",
+        expr("sum(n_preds * gap_ppm) over () div sum(n_preds) over ()"))
+      .select(col("bin"), col("n_preds"), col("avg_conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
+  /** Fleiss' kappa per annotation batch — the inter-annotator agreement
+    * gate an RLHF labeling pipeline applies before trusting a batch of
+    * preference / safety labels. Contract: every item in a group carries
+    * ≥ 2 ratings (items with fewer are dropped — agreement is undefined
+    * for a single rating); the classic statistic additionally assumes a
+    * CONSTANT rater count per item, which callers guarantee by design.
+    *
+    * Integer-exact spelling: per-item observed agreement
+    * `P_o(i) = Σ_j n_ij(n_ij−1) · 1e6 div (n_i(n_i−1))`, batch P_o is the
+    * integer mean over items; chance agreement `P_e = Σ_j p_j²` with
+    * `p_j = n_j·1e6 div n_ratings` (each squared term divided back by
+    * 1e6); `kappa_ppm = (P_o − P_e)·1e6 div (1e6 − P_e)` — negative
+    * kappas use the same truncate-toward-zero `div` both engines share.
+    * Degenerate `P_e = 1e6` (every rating one category) reports 1e6.
+    *
+    * Scale shape: one hash aggregate to (group, item, label) counts —
+    * the rating log collapses map-side — then two small re-aggregations
+    * (per item, per label) of that counts frame and a join on the
+    * ≤ |groups|-row results. */
+  def fleissKappa(ratings: DataFrame, groupCol: String, itemCol: String,
+      labelCol: String): DataFrame = {
+    val c = ratings.groupBy(col(groupCol), col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("__nij"))
+    val items = c.groupBy(col(groupCol), col(itemCol))
+      .agg(sum(expr("__nij * (__nij - 1L)")).as("__pairs"),
+        sum(col("__nij")).as("__ni"))
+      .filter(col("__ni") >= 2L)
+      .withColumn("__po_i", expr("__pairs * 1000000L div (__ni * (__ni - 1L))"))
+    val po = items.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
+        sum(col("__po_i")).as("__sp"))
+      .withColumn("po_ppm", expr("__sp div n_items"))
+    val wg = Window.partitionBy(col(groupCol))
+    val pe = c.groupBy(col(groupCol), col(labelCol))
+      .agg(sum(col("__nij")).as("__nj"))
+      .withColumn("__tot", sum(col("__nj")).over(wg))
+      .withColumn("__pj", expr("__nj * 1000000L div __tot"))
+      .groupBy(col(groupCol))
+      .agg(sum(expr("__pj * __pj div 1000000L")).as("pe_ppm"))
+    po.join(pe, Seq(groupCol))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") === 1000000L, lit(1000000L))
+          .otherwise(expr(
+            "(po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm)")))
+      .select(col(groupCol), col("n_items"), col("n_ratings"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
   }
 
   /** Exact two-sided sign-test p-values in ppm for every (n, wins) with

@@ -142,4 +142,51 @@ object Sft {
         when(col("n_blocks") === 0L, lit(0L))
           .otherwise(expr("saved_blocks * 1000000L div n_blocks")))
   }
+
+  /** Speculative-decoding acceptance report — the capacity-planning table
+    * behind draft-model serving (Leviathan et al. 2023): given a DRAFT
+    * token stream and the TARGET model's stream for the same positions,
+    * how many drafted tokens the target accepts per step. The standard
+    * static-grid model: decoding proceeds in steps of `gamma` drafted
+    * tokens; a step accepts the block's matching PREFIX and the target
+    * then emits one token itself (the first rejected position's
+    * correction, or a fresh token when the whole block matched) — so a
+    * step produces `prefix + 1` tokens and
+    * `speedup_ppm = produced · 1e6 div n_steps` is tokens-per-target-call
+    * in ppm, the number that sizes a draft-serving fleet.
+    *
+    * Contract: the two arrays are position-aligned and equal-length
+    * (callers produce them from the same prompt); a null element (ragged
+    * input) counts as a mismatch rather than poisoning the row.
+    *
+    * Scale shape: one generate (posexplode of the zipped match vector —
+    * map-side, no shuffle), one (id, block) hash aggregate, one per-id
+    * aggregate. Nothing downstream exceeds the document count. */
+  def speculativeAcceptance(seqs: DataFrame, idCol: String,
+      draftCol: String, targetCol: String, gamma: Int): DataFrame = {
+    require(gamma >= 1)
+    val pos = seqs.select(col(idCol),
+      posexplode(zip_with(col(draftCol), col(targetCol),
+        (d, t) => coalesce(d === t, lit(false)))).as(Seq("__pos", "__m")))
+    val blocks = pos
+      .select(col(idCol), expr(s"__pos div $gamma").as("__blk"),
+        expr(s"__pos % $gamma").as("__p"), col("__m"))
+      .groupBy(col(idCol), col("__blk"))
+      .agg(count(lit(1)).as("__bn"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("__nm"),
+        min(when(!col("__m"), col("__p"))).as("__miss"))
+      .withColumn("__prefix", coalesce(col("__miss"), col("__bn")))
+    blocks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_steps"), sum(col("__bn")).as("n_tokens"),
+        sum(col("__nm")).as("n_match"), sum(col("__prefix")).as("accepted_tokens"))
+      .withColumn("match_ppm", expr("n_match * 1000000L div n_tokens"))
+      .withColumn("produced_tokens", col("accepted_tokens") + col("n_steps"))
+      .withColumn("mean_accept_ppm",
+        expr("accepted_tokens * 1000000L div n_steps"))
+      .withColumn("speedup_ppm",
+        expr("produced_tokens * 1000000L div n_steps"))
+      .select(col(idCol), col("n_tokens"), col("n_match"), col("match_ppm"),
+        col("n_steps"), col("accepted_tokens"), col("produced_tokens"),
+        col("mean_accept_ppm"), col("speedup_ppm"))
+  }
 }
