@@ -210,9 +210,16 @@ object Queries17 {
     * at 0.9 normalized similarity over ASCII-normalized text — rejected
     * pairs stay in the artifact as the blocking stage's false-positive
     * audit. See [[graft.ops.Dedup.editConfirmPairs]]. */
-  val q171EditConfirm: Q = (spark, dir) => {
+  val q171EditConfirm: Q = (spark, dir) =>
+    q171EditConfirmWith(spark, dir, prefixBits = 8)
+
+  /** q171 at a caller-chosen SimHash bucket resolution — the scale knob
+    * (`Dedup.simHashBitsFor`); the registered query binds the fixture's
+    * 8 bits, VerifyScaled re-derives bits from the scaled corpus. */
+  private[graft] def q171EditConfirmWith(spark: SparkSession, dir: String,
+      prefixBits: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fp = Dedup.simHashFingerprintsMd5(docs, "doc_id", "text")
+    val fp = Dedup.simHashFingerprintsMd5(docs, "doc_id", "text", prefixBits)
     val a = fp.select(col("bucket"), col("doc_id").as("id_a"),
       col("simhash").as("sh_a"))
     val b = fp.select(col("bucket"), col("doc_id").as("id_b"),
@@ -227,8 +234,10 @@ object Queries17 {
       .orderBy("id_a", "id_b")
   }
 
-  val q171Sql: String =
-    s"""WITH ${Queries2.SimHashCte},
+  val q171Sql: String = q171SqlWith(prefixBits = 8)
+
+  private[graft] def q171SqlWith(prefixBits: Int): String =
+    s"""WITH ${Queries2.simHashCteWith(prefixBits)},
        |nrm AS (SELECT doc_id,
        |    regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
        |      '[^\\x20-\\x7e]', '', 'g') AS nt

@@ -78,9 +78,11 @@ object Queries2 {
     * [[graft.ops.Dedup.simHashFingerprints]], invariant-tested). */
   val q15SimHash: Q = (spark, dir) =>
     Dedup.simHashFingerprintsMd5(Tables.documents(spark, dir), "doc_id", "text")
-  /** DuckDB CTE body computing (doc_id, simhash, bucket) — the md5-prefix
-    * SimHash q15 emits; q73 reuses it for hamming-verified pairs. */
-  private[graft] val SimHashCte: String =
+  /** [[SimHashCte]] at a caller-chosen bucket resolution — the scale
+    * knob: bucket occupancy stays constant when `prefixBits` grows with
+    * the corpus ([[graft.ops.Dedup.simHashBitsFor]]), exactly like
+    * `lshBitsFor` for the RP-LSH family. */
+  private[graft] def simHashCteWith(prefixBits: Int): String =
     s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
        |h AS (SELECT doc_id,
        |        list_transform(tk, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
@@ -90,8 +92,12 @@ object Queries2 {
        |             THEN (1::BIGINT << j) ELSE 0 END AS bitv
        |      FROM h, unnest(generate_series(0, 31)) AS u(j)),
        |fp AS (SELECT doc_id, sum(bitv)::BIGINT AS simhash,
-       |         (sum(bitv)::BIGINT >> 24)::BIGINT AS bucket
+       |         (sum(bitv)::BIGINT >> ${32 - prefixBits})::BIGINT AS bucket
        |       FROM v GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB CTE body computing (doc_id, simhash, bucket) — the md5-prefix
+    * SimHash q15 emits; q73 reuses it for hamming-verified pairs. */
+  private[graft] val SimHashCte: String = simHashCteWith(8)
   val q15Sql: String =
     s"""WITH $SimHashCte
        |SELECT doc_id, simhash, bucket FROM fp""".stripMargin

@@ -136,6 +136,20 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
+  /** SimHash bucket resolution for a corpus of `n` documents: the number
+    * of fingerprint prefix bits that keeps expected bucket occupancy near
+    * `targetOccupancy` (buckets ≈ n / occupancy), clamped to [8, 24] of
+    * the 32-bit fingerprint. The SimHash-family counterpart of
+    * `Similarity.lshBitsFor`: candidate-pair work stays LINEAR in corpus
+    * size only if the blocking resolution grows with it — a fixed 256
+    * buckets at 64× the corpus is 4096× the pairs. */
+  def simHashBitsFor(n: Long, targetOccupancy: Long = 20L): Int = {
+    require(n >= 1 && targetOccupancy >= 1)
+    val b = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+      / math.log(2.0)).toInt
+    math.min(24, math.max(8, b))
+  }
+
   /** Edit-distance confirmation of blocked near-dup candidates — the
     * expensive exact stage a fuzzy-dedup pipeline runs LAST, after cheap
     * blocking (SimHash buckets, MinHash bands) has cut the pair space:
@@ -161,9 +175,17 @@ object Dedup {
       minSimPpm: Long): DataFrame = {
     val nt = texts.select(col(idCol).as("__id"),
       regexp_replace(normalized(col(textCol)), "[^\\x20-\\x7e]", "").as("__nt"))
+    // Explicit-width repartition before the DP: the pair frame is BYTES-
+    // small but COMPUTE-huge (O(len²) per row), and AQE's byte-based
+    // partition coalescing would happily serialize millions of DP cells
+    // onto a handful of tasks (observed: 7/32 cores busy at 8× scale).
+    // An explicit partition count is exempt from AQE coalescing.
+    val shuffleParts =
+      pairs.sparkSession.sessionState.conf.numShufflePartitions
     pairs
       .join(nt.select(col("__id").as(idACol), col("__nt").as("__ta")), Seq(idACol))
       .join(nt.select(col("__id").as(idBCol), col("__nt").as("__tb")), Seq(idBCol))
+      .repartition(shuffleParts, col(idACol), col(idBCol))
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("__mx",
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))

@@ -163,4 +163,31 @@ object Preference {
     }
     s.select(col("item"), col("n_matches"), col("n_wins"), col("bt_ppm"))
   }
+
+  /** Group-relative rank advantage — the GRPO-family normalization
+    * (Shao et al. 2024): per prompt group, candidates rank by reward
+    * (deterministic tie-break on the id) and the advantage is the
+    * centered, scaled rank `adv_ppm = (n + 1 − 2·rank)·1e6 div (n − 1)` —
+    * +1e6 for the group's best, −1e6 for its worst, exactly 0 mean when
+    * ranks are distinct. Rank-based rather than (reward − mean)/std: no
+    * variance, no sqrt, integer-exact in any engine, and robust to reward
+    * scale — the practical reason rank advantages are used for
+    * preference-data prep. Singleton groups carry no signal → 0.
+    *
+    * Scale shape: one per-group window over the candidate log (groups are
+    * prompt-sized, tens of rows); nothing exceeds the candidate count. */
+  def groupRankAdvantage(cand: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("adv_ppm",
+        when(col("n") === 1L, lit(0L))
+          .otherwise(expr("(n + 1L - 2L * rank) * 1000000L div (n - 1L)")))
+      .select(col(groupCol), col(idCol), col(scoreCol), col("rank"),
+        col("n"), col("adv_ppm"))
+  }
 }

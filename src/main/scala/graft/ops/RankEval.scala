@@ -233,6 +233,43 @@ object RankEval {
         col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
   }
 
+  /** Trimmed-mean robust scoring — the outlier guard an eval leaderboard
+    * applies before comparing noisy per-sample scores: per task, drop the
+    * `trim` lowest and `trim` highest scores (ties broken on the id, so
+    * the drop set is deterministic) and average the rest. Tasks with
+    * ≤ 2·trim samples keep the plain mean (nothing sensible to trim) and
+    * report `trimmed = false`. Scores are integer micro-units in, means
+    * are integer-divided out.
+    *
+    * Scale shape: two per-task rank windows + one aggregate over the
+    * sample log; group sizes are samples-per-task (tens). Output:
+    * (taskCol, n_samples, mean_ppm, trimmed_mean_ppm, trimmed,
+    * delta_ppm). */
+  def trimmedMean(samples: DataFrame, taskCol: String, idCol: String,
+      scorePpmCol: String, trim: Int): DataFrame = {
+    require(trim >= 1)
+    val asc = Window.partitionBy(col(taskCol))
+      .orderBy(col(scorePpmCol).asc, col(idCol).asc)
+    val desc = Window.partitionBy(col(taskCol))
+      .orderBy(col(scorePpmCol).desc, col(idCol).desc)
+    samples
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(scorePpmCol)).as("__s"),
+        sum(when(col("__ra") > trim && col("__rd") > trim,
+          col(scorePpmCol))).as("__ts"),
+        count(when(col("__ra") > trim && col("__rd") > trim, 1)).as("__tn"))
+      .withColumn("mean_ppm", expr("__s div n_samples"))
+      .withColumn("trimmed", col("__tn") > 0L)
+      .withColumn("trimmed_mean_ppm",
+        when(col("trimmed"), expr("__ts div __tn")).otherwise(col("mean_ppm")))
+      .withColumn("delta_ppm", col("trimmed_mean_ppm") - col("mean_ppm"))
+      .select(col(taskCol), col("n_samples"), col("mean_ppm"),
+        col("trimmed_mean_ppm"), col("trimmed"), col("delta_ppm"))
+  }
+
   /** Exact two-sided sign-test p-values in ppm for every (n, wins) with
     * n ≤ `maxN`: `p = min(1, 2 · P(X ≤ min(w, n−w)))`, X ~ Binomial(n,
     * ½) — computed driver-side in exact BigInt arithmetic and emitted as

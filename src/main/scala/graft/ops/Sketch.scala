@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable streaming sketches — the aggregation tools a 100 TB corpus
+  * sweep actually runs when exact per-key state would not fit anywhere:
+  * count-min (frequency estimates in O(d·w) memory) and HyperLogLog
+  * (distinct counts in O(m) registers). Both are build-once-merge-anywhere:
+  * the sketch frames are tiny keyed aggregates, so partial aggregation
+  * combines them map-side and re-sharding the corpus never changes the
+  * result.
+  *
+  * Determinism: every hash is the md5-prefix integer bridge the MinHash /
+  * SimHash oracles already use (`('0x' || substr(md5(s),1,8))::BIGINT` in
+  * DuckDB, `conv(substring(md5(s),1,8),16,10)` here), so sketch contents —
+  * not just their estimates — hash-compare across engines. The HLL bias
+  * corrections use driver-computed literal tables (the signTestTable
+  * discipline): zero libm calls at run time.
+  */
+object Sketch {
+
+  /** 32-bit md5-prefix hash of `s`, seeded by `row` (one independent hash
+    * function per sketch row). */
+  private[graft] def md5Hash32(s: Column, row: Column): Column =
+    conv(substring(md5(concat(row.cast("string"), lit(":"), s)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Count-min sketch over a token column: `depth` independent hash rows ×
+    * `width` cells; cell (i, h_i(t) mod width) accumulates every
+    * occurrence of t. Output (row, cell, cnt) — at most depth·width rows
+    * REGARDLESS of corpus size, the whole point: the token stream
+    * collapses map-side into a frame that broadcasts anywhere.
+    *
+    * Standard error bound: est − true ≤ 2N/width with probability
+    * 1 − 2^−depth (Cormode & Muthukrishnan 2005). */
+  def countMinSketch(tokens: DataFrame, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    tokens
+      .select(col(tokenCol).as("__t"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row").cast("long").as("row"),
+        (md5Hash32(col("__t"), col("row")) % width).as("cell"))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each candidate token: the estimate is the
+    * MIN over the depth rows (collisions only ever inflate). Candidates
+    * absent from the sketch entirely read 0. Output: (tokenCol,
+    * cms_count). Scale shape: |candidates|·depth probe rows equi-joined
+    * onto the (≤ depth·width)-row sketch — broadcast-sized by
+    * construction. */
+  def cmsEstimate(cms: DataFrame, candidates: DataFrame, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    candidates
+      .select(col(tokenCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col(tokenCol), col("row").cast("long").as("row"))
+      .withColumn("cell", md5Hash32(col(tokenCol), col("row")) % width)
+      .join(cms, Seq("row", "cell"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
+  /** HyperLogLog registers over a token column, grouped: register index =
+    * top `b` bits of the 32-bit md5-prefix hash, register value = max over
+    * occurrences of rank(tail) where rank = (leading zeros of the
+    * (32−b)-bit tail) + 1 ∈ [1, 32−b+1]. ALL 2^b registers are
+    * materialized per group (empty ones as 0) so the estimator reads a
+    * complete dense sketch. Output: (groupCol, reg, mreg).
+    *
+    * Scale shape: the occurrence stream collapses map-side into
+    * |groups|·2^b max-aggregated rows; the dense completion is a join
+    * against a 2^b-row literal frame. */
+  def hllRegisters(tokens: DataFrame, groupCol: String, tokenCol: String,
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 16)
+    val m = 1 << b
+    val tailBits = 32 - b
+    val h = md5Hash32(col(tokenCol), lit(0))
+    val reg = shiftrightunsigned(h, tailBits).as("reg")
+    val tail = (h.bitwiseAND(lit((1L << tailBits) - 1L))).as("__tail")
+    // rank = tailBits + 1 − bit_length(tail); bit_length via the base-2
+    // string length (conv), zero-guarded — no libm
+    val occ = tokens.select(col(groupCol), reg, tail)
+      .withColumn("__rank",
+        when(col("__tail") === 0L, lit((tailBits + 1).toLong))
+          .otherwise(lit((tailBits + 1).toLong) -
+            length(conv(col("__tail"), 10, 2)).cast("long")))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("__rank")).as("mreg"))
+    val dense = tokens.select(col(groupCol)).distinct()
+      .select(col(groupCol),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))
+    dense.join(occ, Seq(groupCol, "reg"), "left")
+      .select(col(groupCol), col("reg"),
+        coalesce(col("mreg"), lit(0L)).as("mreg"))
+  }
+
+  /** alpha_m in ppm for the standard HLL estimator (Flajolet et al. 2007:
+    * alpha_m = 0.7213/(1 + 1.079/m) for m ≥ 128), floor(x·1e6 + 0.5). */
+  def hllAlphaE6(m: Int): Long = {
+    require(m >= 128, "alpha approximation holds for m >= 128")
+    math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6 + 0.5).toLong
+  }
+
+  /** Linear-counting table m·ln(m/V) for V = 1..m, floor(x + 0.5) —
+    * driver-computed literals, the small-range correction HLL applies
+    * when empty registers remain. */
+  def linearCountTable(m: Int): Seq[(Long, Long)] =
+    (1 to m).map(v =>
+      (v.toLong, math.floor(m * math.log(m.toDouble / v) + 0.5).toLong))
+
+  /** HLL cardinality estimate per group from [[hllRegisters]] output,
+    * with the classic small-range correction: raw harmonic estimate
+    * `E = alpha·m²·2^R div Σ 2^(R−M_j)` (R = 32−b+1, all-BIGINT — the
+    * 2^R scaling makes every summand integral), switched to linear
+    * counting `m·ln(m/V)` (literal table) when V empty registers remain
+    * and E ≤ 5m/2. No large-range correction: the 32-bit hash caps this
+    * at corpora ≲ 10^8 distinct, documented contract. Output: (groupCol,
+    * m, n_zero, raw_e, hll_estimate). */
+  def hllEstimate(registers: DataFrame, groupCol: String, b: Int): DataFrame = {
+    val m = 1 << b
+    val r = 32 - b + 1
+    val alpha = hllAlphaE6(m)
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val lc = broadcast(linearCountTable(m).toDF("__v", "__lc"))
+    val agg = registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("mreg") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(expr(s"shiftleft(1L, cast($r - mreg AS int))")).as("__s"))
+      .withColumn("raw_e",
+        expr(s"(${alpha}L * ${m.toLong * m}L * ${1L << r}L) div __s div 1000000L"))
+    agg.join(lc, col("n_zero") === col("__v"), "left")
+      .withColumn("hll_estimate",
+        when(col("n_zero") > 0L && col("raw_e") <= lit(5L * m / 2),
+          col("__lc")).otherwise(col("raw_e")))
+      .select(col(groupCol), col("m"), col("n_zero"), col("raw_e"),
+        col("hll_estimate"))
+  }
+}

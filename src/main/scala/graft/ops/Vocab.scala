@@ -424,4 +424,49 @@ object Vocab {
       .agg(sum(col("__c")).as("n_total"), count(lit(1)).as("n_distinct"))
       .withColumn("distinct_ppm", expr("n_distinct * 1000000L div n_total"))
   }
+
+  /** Per-group vocabulary budget table — the inverse of [[topVocab]]'s
+    * coverage curve, asked the way a tokenizer budget is actually sized:
+    * for each group (language, domain), how many word TYPES does it take
+    * to cover 50% / 90% / 99% of all token OCCURRENCES? Per group and
+    * threshold t: `types_<t>` = the smallest rank whose cumulative count
+    * reaches `ceil`-wise `cum·1e6 ≥ t·total`, and `cov_<t>_ppm` = the
+    * coverage actually achieved there (integer div). Frequency ties break
+    * on the word — fully deterministic. Empty tokens are dropped (the
+    * [[distinctNgramReport]] convention).
+    *
+    * Scale shape: one (group, word) hash aggregate over the token stream
+    * (map-side combined), one per-group window over the type frame —
+    * bounded by vocabulary size, not corpus size — then a per-group
+    * aggregate. */
+  def coverageBudget(df: DataFrame, groupCol: String, textCol: String,
+      thresholdsPpm: Seq[Long]): DataFrame = {
+    require(thresholdsPpm.nonEmpty &&
+      thresholdsPpm.forall(t => t >= 1L && t <= 1000000L))
+    val counts = df
+      .select(col(groupCol),
+        explode(filter(toks(col(textCol)), t => t =!= "")).as("__w"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col("__w").asc)
+    val ranked = counts
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cum",
+        sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    val base = Seq(count(lit(1)).as("n_types"), max(col("__tot")).as("n_tokens"))
+    val per = thresholdsPpm.flatMap { t =>
+      val hit = col("__cum") * 1000000L >= col("__tot") * t
+      Seq(min(when(hit, col("__rank"))).as(s"types_$t"),
+        min(when(hit, col("__cum"))).as(s"__cum_$t"))
+    }
+    val agg = ranked.groupBy(col(groupCol)).agg((base ++ per).head,
+      (base ++ per).tail: _*)
+    thresholdsPpm.foldLeft(agg) { (d, t) =>
+      d.withColumn(s"cov_${t}_ppm", expr(s"__cum_$t * 1000000L div n_tokens"))
+        .drop(s"__cum_$t")
+    }
+  }
 }

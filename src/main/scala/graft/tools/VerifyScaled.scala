@@ -56,6 +56,10 @@ object VerifyScaled {
       numPlanes = tables * bits, dim = dim, seed = 42L)
     System.err.println(s"[verifyscaled] n=$n bits=$bits tables=$tables dim=$dim")
 
+    val nDocs = graft.io.Tables.documents(spark, sfDir).count()
+    val docBits = graft.ops.Dedup.simHashBitsFor(nDocs)
+    System.err.println(s"[verifyscaled] nDocs=$nDocs simHashBits=$docBits")
+
     // q106/q113 need no resolution retune — they are the standard
     // SparkEntry plans + oracle SQL, hash-checked here at 8x deploy scale
     val queries = Map(
@@ -196,7 +200,37 @@ object VerifyScaled {
       "q165_sign_test" ->
         (() => graft.SparkEntry.queries("q165_sign_test")(spark, sfDir)),
       "q166_block_reuse" ->
-        (() => graft.SparkEntry.queries("q166_block_reuse")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q166_block_reuse")(spark, sfDir)),
+      // wave 17 needs no resolution retune EXCEPT q171: voting /
+      // calibration / kappa / acceptance are map-combined aggregates,
+      // corpus-linear. q171's SimHash blocking re-derives its bucket
+      // bits from the scaled corpus (simHashBitsFor — constant
+      // occupancy); its exact Levenshtein side still scales with the
+      // (linear) candidate count, so like q122/q152/q157 the DuckDB
+      // single-node DP makes it an 8×-only proof
+      "q167_self_consistency" ->
+        (() => graft.SparkEntry.queries("q167_self_consistency")(spark, sfDir)),
+      "q168_ece" ->
+        (() => graft.SparkEntry.queries("q168_ece")(spark, sfDir)),
+      "q169_fleiss_kappa" ->
+        (() => graft.SparkEntry.queries("q169_fleiss_kappa")(spark, sfDir)),
+      "q170_spec_decode" ->
+        (() => graft.SparkEntry.queries("q170_spec_decode")(spark, sfDir)),
+      "q171_edit_confirm" ->
+        (() => graft.Queries17.q171EditConfirmWith(spark, sfDir, docBits)),
+      // wave 18 needs no resolution retune: the sketches are fixed-size
+      // keyed aggregates (that is their whole point), advantages /
+      // budgets / trimmed means are group-bounded windows
+      "q172_cms_heavy_hitters" ->
+        (() => graft.SparkEntry.queries("q172_cms_heavy_hitters")(spark, sfDir)),
+      "q173_hll_cardinality" ->
+        (() => graft.SparkEntry.queries("q173_hll_cardinality")(spark, sfDir)),
+      "q174_grpo_advantage" ->
+        (() => graft.SparkEntry.queries("q174_grpo_advantage")(spark, sfDir)),
+      "q175_coverage_budget" ->
+        (() => graft.SparkEntry.queries("q175_coverage_budget")(spark, sfDir)),
+      "q176_trimmed_eval" ->
+        (() => graft.SparkEntry.queries("q176_trimmed_eval")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -276,7 +310,20 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q163_bradley_terry"),
       "q164_bitext_clean" -> graft.SparkEntry.oracleSql("q164_bitext_clean"),
       "q165_sign_test" -> graft.SparkEntry.oracleSql("q165_sign_test"),
-      "q166_block_reuse" -> graft.SparkEntry.oracleSql("q166_block_reuse"))
+      "q166_block_reuse" -> graft.SparkEntry.oracleSql("q166_block_reuse"),
+      "q167_self_consistency" ->
+        graft.SparkEntry.oracleSql("q167_self_consistency"),
+      "q168_ece" -> graft.SparkEntry.oracleSql("q168_ece"),
+      "q169_fleiss_kappa" -> graft.SparkEntry.oracleSql("q169_fleiss_kappa"),
+      "q170_spec_decode" -> graft.SparkEntry.oracleSql("q170_spec_decode"),
+      "q171_edit_confirm" -> graft.Queries17.q171SqlWith(docBits),
+      "q172_cms_heavy_hitters" ->
+        graft.SparkEntry.oracleSql("q172_cms_heavy_hitters"),
+      "q173_hll_cardinality" ->
+        graft.SparkEntry.oracleSql("q173_hll_cardinality"),
+      "q174_grpo_advantage" -> graft.SparkEntry.oracleSql("q174_grpo_advantage"),
+      "q175_coverage_budget" -> graft.SparkEntry.oracleSql("q175_coverage_budget"),
+      "q176_trimmed_eval" -> graft.SparkEntry.oracleSql("q176_trimmed_eval"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
