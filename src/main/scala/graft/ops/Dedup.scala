@@ -197,6 +197,38 @@ object Dedup {
         :+ col("keep")): _*)
   }
 
+  /** Cross-source duplication matrix — the provenance audit that shows
+    * which sources copy from which: per source pair (a < b), how many
+    * DISTINCT fingerprints they share (caller-chosen column: full
+    * normalized-text md5 for exact mirroring, a prefix fingerprint for
+    * shared boilerplate), and the
+    * containment each way (`shared·1e6 div |a|`, `… div |b|`) — the
+    * asymmetric numbers that distinguish "b mirrors a" from "both quote a
+    * third corpus". Output: (src_a, src_b, n_shared, n_a, n_b,
+    * cont_a_ppm, cont_b_ppm).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, fingerprint)
+    * rows map-side; the pair join is an equi-join ON THE FINGERPRINT, so
+    * only fingerprints shared by ≥ 2 sources ever pair, and the output is
+    * bounded by |sources|². */
+  def crossSourceDupMatrix(df: DataFrame, sourceCol: String,
+      fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    val fp = df.select(col(sourceCol).as("__s"), fingerprint.as("__fp"))
+      .distinct()
+    val sizes = fp.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val shared = fp.as("a").join(fp.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("src_a"), col("b.__s").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__s").as("src_a"), col("__n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("__s").as("src_b"), col("__n").as("n_b")), Seq("src_b"))
+      .withColumn("cont_a_ppm", expr("n_shared * 1000000L div n_a"))
+      .withColumn("cont_b_ppm", expr("n_shared * 1000000L div n_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("cont_a_ppm"), col("cont_b_ppm"))
+  }
+
   /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
     * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
     * corpus occurrence (smallest (id, position)); later occurrences —

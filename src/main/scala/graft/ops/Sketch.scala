@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable streaming sketches — the aggregation tools a 100 TB corpus
@@ -141,5 +142,93 @@ object Sketch {
           col("__lc")).otherwise(col("raw_e")))
       .select(col(groupCol), col("m"), col("n_zero"), col("raw_e"),
         col("hll_estimate"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: keep the k
+    * smallest DISTINCT 32-bit hashes of the value column; the estimator
+    * is `(k−1)·2^32 div h_k` (Bar-Yossef et al. 2002) with h_k the k-th
+    * smallest. Groups that never accumulate k distinct hashes are exact
+    * by construction (the sketch holds every value) and report the seen
+    * count. Output: (groupCol, n_seen, kth_hash, kmv_estimate).
+    *
+    * Scale shape: one (group, hash) distinct-style aggregate (map-side
+    * combined), one per-group window bounded by k after an early
+    * rank-filter — the bottom-k frame is |groups|·k rows, mergeable by
+    * re-running min-k on a union of sketches. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
+    df.select(col(groupCol), md5Hash32(col(valueCol), lit(0)).as("__h"))
+      .groupBy(col(groupCol), col("__h")).agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_seen"), max(col("__h")).as("kth_hash"))
+      .withColumn("kmv_estimate",
+        when(col("n_seen") < k.toLong, col("n_seen"))
+          .otherwise(
+            expr(s"(${k - 1}L * ${1L << 32}L) div greatest(kth_hash, 1L)")))
+  }
+
+  /** Fixed-width histogram sketch with quantile reads — the mergeable
+    * quantile state a 100 TB profile keeps per shard (contrast
+    * [[Quantiles.profile]], which is exact but needs the full value
+    * multiset): counts per `binWidth`-wide bin, and for each requested
+    * percentile the UPPER EDGE of the first bin whose cumulative count
+    * reaches `ceil`-wise `cum·100 ≥ q·n`. The sketch read overestimates
+    * by at most one bin width — the audit columns carry the exact
+    * percentile value (rank `ceil(q·n/100)` in value order) next to the
+    * sketch's edge so the error is visible. Values must be non-negative
+    * integers. Output: (groupCol, n_values, n_bins, then per q:
+    * sketch_p<q>, exact_p<q>). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, qs: Seq[Int]): DataFrame = {
+    require(binWidth >= 1 && qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100))
+    val v = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("__v").asc)
+    val wg = Window.partitionBy(col(groupCol))
+    val exactCols = max(col("__n")).as("n_values") +:
+      qs.map(q => min(when(col("__r") * 100L >= col("__n") * q,
+        col("__v"))).as(s"exact_p$q"))
+    val exact = v
+      .withColumn("__r", row_number().over(wv).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .groupBy(col(groupCol))
+      .agg(exactCols.head, exactCols.tail: _*)
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)
+    val hist = v.select(col(groupCol), expr(s"__v div $binWidth").as("__b"))
+      .groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum(col("__c")).over(wb.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(wg))
+    val skCols = count(lit(1)).as("n_bins") +:
+      qs.map(q => min(when(col("__cum") * 100L >= col("__n") * q,
+        (col("__b") + 1L) * binWidth)).as(s"sketch_p$q"))
+    val sk = hist.groupBy(col(groupCol)).agg(skCols.head, skCols.tail: _*)
+    exact.join(sk, Seq(groupCol))
+      .select((col(groupCol) +: col("n_values") +: col("n_bins") +:
+        qs.flatMap(q => Seq(col(s"sketch_p$q"), col(s"exact_p$q")))): _*)
+  }
+
+  /** Per-group MinHash signature as `numHashes` min-aggregated columns
+    * over the md5-bridge token hashes — the corpus-level signature two
+    * releases / sources compare for set overlap without materializing
+    * token sets. Returns (groupCol, sig: array of numHashes mins). */
+  def minHashSignature(df: DataFrame, groupCol: String, valueCol: String,
+      numHashes: Int): DataFrame = {
+    val coeffs = graft.functions.HashFns.minHashCoeffs(numHashes)
+    val hb = md5Hash32(col(valueCol), lit(0))
+      .mod(graft.functions.HashFns.MinHashP).as("__hb")
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * __hb + $b) % ${graft.functions.HashFns.MinHashP}"))
+        .as(s"__m$i")
+    }
+    df.select(col(groupCol), hb)
+      .groupBy(col(groupCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(groupCol),
+        array(coeffs.indices.map(i => col(s"__m$i")): _*).as("sig"))
   }
 }
