@@ -54,7 +54,12 @@ object PlanAudit {
       // q122 cross-joins the broadcast ≤nlist centroid table into the
       // recall audit's probe routing (the q37 class); q128 cross-joins
       // the 1-ROW train-split token grand total (the q90 scalar class)
-      "q122_ivf_recall", "q128_trigram_backoff")
+      "q122_ivf_recall", "q128_trigram_backoff",
+      // q178 pair-joins the per-source MinHash SIGNATURE frame on
+      // src_a < src_b — one row per source by construction (the
+      // groupBy(source) output), so the nested loop is |sources|²
+      // over a broadcast-sized frame, not corpus-scaled
+      "q178_source_overlap")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -230,7 +230,20 @@ object VerifyScaled {
       "q175_coverage_budget" ->
         (() => graft.SparkEntry.queries("q175_coverage_budget")(spark, sfDir)),
       "q176_trimmed_eval" ->
-        (() => graft.SparkEntry.queries("q176_trimmed_eval")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q176_trimmed_eval")(spark, sfDir)),
+      // wave 19 needs no resolution retune: KMV / MinHash-signature /
+      // histogram sketches are fixed-size keyed aggregates, and the
+      // q178/q180 pair frames are |sources|²-bounded (the exact-audit
+      // joins are equi-joins on token/fingerprint over DISTINCT frames,
+      // linear in vocab / corpus)
+      "q177_kmv_distinct" ->
+        (() => graft.SparkEntry.queries("q177_kmv_distinct")(spark, sfDir)),
+      "q178_source_overlap" ->
+        (() => graft.SparkEntry.queries("q178_source_overlap")(spark, sfDir)),
+      "q179_hist_quantiles" ->
+        (() => graft.SparkEntry.queries("q179_hist_quantiles")(spark, sfDir)),
+      "q180_cross_source_dups" ->
+        (() => graft.SparkEntry.queries("q180_cross_source_dups")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -323,7 +336,12 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q173_hll_cardinality"),
       "q174_grpo_advantage" -> graft.SparkEntry.oracleSql("q174_grpo_advantage"),
       "q175_coverage_budget" -> graft.SparkEntry.oracleSql("q175_coverage_budget"),
-      "q176_trimmed_eval" -> graft.SparkEntry.oracleSql("q176_trimmed_eval"))
+      "q176_trimmed_eval" -> graft.SparkEntry.oracleSql("q176_trimmed_eval"),
+      "q177_kmv_distinct" -> graft.SparkEntry.oracleSql("q177_kmv_distinct"),
+      "q178_source_overlap" -> graft.SparkEntry.oracleSql("q178_source_overlap"),
+      "q179_hist_quantiles" -> graft.SparkEntry.oracleSql("q179_hist_quantiles"),
+      "q180_cross_source_dups" ->
+        graft.SparkEntry.oracleSql("q180_cross_source_dups"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
