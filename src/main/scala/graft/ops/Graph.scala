@@ -128,4 +128,57 @@ object Graph {
       coalesce(col("__lab"), lit(-1L)).as("label"),
       col("__seed").as("is_seed"))
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected edge list — the near-dup-graph QA metric: a candidate
+    * graph whose triangles are dense is transitive (true duplicate
+    * cliques); a triangle-free one is hash noise. Degree-ordered
+    * orientation (Latapy 2008): each undirected edge points from the
+    * endpoint with smaller (degree, id) to the larger, so every triangle
+    * has exactly one wedge x→y, x→z with y→z closing it — counted once,
+    * and the wedge fan-out per node is bounded by its ORIENTED
+    * out-degree ≤ O(√m) on any graph, the classic m^{3/2} bound (never
+    * the unoriented hub blow-up).
+    *
+    * Output per node: (node, deg, tri, lcc_ppm = 2·tri·1e6 div
+    * (deg·(deg−1)), 0 when deg < 2). Nodes appear iff they touch an
+    * edge.
+    *
+    * Scale shape: dedup + degree are map-combined aggregates; the two
+    * wedge joins are equi-joins on node ids over the ORIENTED edge list.
+    * All integer. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dir = e
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), Seq("v"))
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(false)
+    val tri = dir.as("e1")
+      .join(dir.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(dir.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_ppm",
+        when(col("deg") < 2L, lit(0L))
+          .otherwise(expr("2L * tri * 1000000L div (deg * (deg - 1L))")))
+  }
 }

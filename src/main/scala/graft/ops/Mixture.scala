@@ -291,4 +291,43 @@ object Mixture {
     fin.select(col(domainCol), col("n_docs"), col("loss_avg_e6"),
       col("excess_e6"), col("weight_ppm"))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a weight-aware
+    * fixed-size sample per stratum with unbiased subset-sum estimates —
+    * the principled way to keep k documents per language while still
+    * estimating any weighted total from the sample alone. Per item,
+    * priority `q = w·2^32 div (h+1)` with h the md5-bridge 32-bit hash of
+    * the id (h+1 plays u ∈ (0,1] scaled by 2^32, so q ≥ w always); keep
+    * the k highest-priority items per stratum; the (k+1)-th priority is
+    * the threshold τ, and each kept item's Horvitz–Thompson weight is
+    * `max(w, τ)` — Σ over the sample unbiasedly estimates Σw over the
+    * stratum. Strata with ≤ k items keep everything exactly (τ = 0,
+    * ht = w).
+    *
+    * Output: one row per SAMPLED item (strataCol, id, w, priority, tau,
+    * ht_w). Deterministic: md5 ordering, id tiebreak. Scale shape: one
+    * md5 projection, one per-stratum top-(k+1) window (WindowGroupLimit
+    * pushes the heap map-side — the q177 bottom-k shape), one |strata|-row
+    * tau aggregate joined back by equi-key. */
+  def prioritySample(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val h = conv(substring(md5(concat(lit("ps:"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val withH = df.select(col(strataCol), col(idCol),
+        greatest(col(weightCol).cast("long"), lit(1L)).as("w"),
+        h.as("__h"))
+      .withColumn("priority", expr(s"w * ${1L << 32}L div (__h + 1L)"))
+    val wnd = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val top = withH.withColumn("__rn", row_number().over(wnd))
+      .filter(col("__rn") <= k + 1)
+    val tau = top.groupBy(col(strataCol))
+      .agg(max(when(col("__rn") === k + 1, col("priority"))).as("tau"))
+      .withColumn("tau", coalesce(col("tau"), lit(0L)))
+    top.filter(col("__rn") <= k)
+      .join(tau, Seq(strataCol))
+      .select(col(strataCol), col(idCol), col("w"), col("priority"),
+        col("tau"), greatest(col("w"), col("tau")).as("ht_w"))
+  }
 }

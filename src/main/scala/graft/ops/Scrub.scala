@@ -118,4 +118,21 @@ object Scrub {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): a
+    * row is k-anonymous iff ≥ k rows share its full quasi-identifier
+    * tuple; rows in smaller groups would be SUPPRESSED before a privacy-
+    * gated release. Returns one row per quasi-identifier group:
+    * (quasiCols..., group_n, suppressed) — the caller aggregates this
+    * into per-source suppression reports or joins it back to flag rows.
+    *
+    * Scale shape: one map-side-combined count over the quasi tuple —
+    * the |groups|-row frame is the audit artifact; the corpus is never
+    * re-shuffled. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("suppressed", col("group_n") < k)
+  }
 }

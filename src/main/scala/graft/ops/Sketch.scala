@@ -212,6 +212,21 @@ object Sketch {
         qs.flatMap(q => Seq(col(s"sketch_p$q"), col(s"exact_p$q")))): _*)
   }
 
+  /** Merge all groups' HLL register sets into ONE register set — the
+    * coordinator step of the sketch contract: per-shard (or per-source)
+    * sketches collapse by register-wise max into the sketch OF THE UNION,
+    * with no re-scan of any shard. Output matches [[hllRegisters]]'s
+    * shape with the group column replaced by the literal `mergedLabel`,
+    * so [[hllEstimate]] reads it unchanged.
+    *
+    * Scale shape: |groups|·2^b rows in, 2^b rows out, one map-combined
+    * max — the frame never touches the corpus. */
+  def hllMergeAll(registers: DataFrame, groupCol: String,
+      mergedLabel: String = "merged"): DataFrame =
+    registers.groupBy(col("reg"))
+      .agg(max(col("mreg")).as("mreg"))
+      .select(lit(mergedLabel).as(groupCol), col("reg"), col("mreg"))
+
   /** Per-group MinHash signature as `numHashes` min-aggregated columns
     * over the md5-bridge token hashes — the corpus-level signature two
     * releases / sources compare for set overlap without materializing

@@ -59,7 +59,12 @@ object PlanAudit {
       // src_a < src_b — one row per source by construction (the
       // groupBy(source) output), so the nested loop is |sources|²
       // over a broadcast-sized frame, not corpus-scaled
-      "q178_source_overlap")
+      "q178_source_overlap",
+      // q181 cross-joins the 1-ROW normalization denominator each round
+      // and the 1-ROW convergence audit at the end (the q90 scalar
+      // class); q185 cross-joins three 1-ROW aggregates (per-source
+      // rollup, merged estimate, exact count) into its single output row
+      "q181_power_iteration", "q185_hll_merge")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

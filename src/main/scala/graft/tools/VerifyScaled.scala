@@ -243,7 +243,22 @@ object VerifyScaled {
       "q179_hist_quantiles" ->
         (() => graft.SparkEntry.queries("q179_hist_quantiles")(spark, sfDir)),
       "q180_cross_source_dups" ->
-        (() => graft.SparkEntry.queries("q180_cross_source_dups")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q180_cross_source_dups")(spark, sfDir)),
+      // wave 20: q181's fixed-point iteration runs on the |dim|-row v
+      // frame (corpus touched twice per round through equi-joins);
+      // q182 re-derives its LSH resolution like q83/q104 (constant band
+      // occupancy at any k×); q183/q184 are window-/group-bounded;
+      // q185's registers are fixed-size by construction
+      "q181_power_iteration" ->
+        (() => graft.SparkEntry.queries("q181_power_iteration")(spark, sfDir)),
+      "q182_triangle_stats" ->
+        (() => graft.Queries20.q182TriangleWith(spark, sfDir, planes, bits)),
+      "q183_priority_sample" ->
+        (() => graft.SparkEntry.queries("q183_priority_sample")(spark, sfDir)),
+      "q184_k_anonymity" ->
+        (() => graft.SparkEntry.queries("q184_k_anonymity")(spark, sfDir)),
+      "q185_hll_merge" ->
+        (() => graft.SparkEntry.queries("q185_hll_merge")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -341,7 +356,14 @@ object VerifyScaled {
       "q178_source_overlap" -> graft.SparkEntry.oracleSql("q178_source_overlap"),
       "q179_hist_quantiles" -> graft.SparkEntry.oracleSql("q179_hist_quantiles"),
       "q180_cross_source_dups" ->
-        graft.SparkEntry.oracleSql("q180_cross_source_dups"))
+        graft.SparkEntry.oracleSql("q180_cross_source_dups"),
+      "q181_power_iteration" ->
+        graft.SparkEntry.oracleSql("q181_power_iteration"),
+      "q182_triangle_stats" -> graft.Queries20.q182SqlWith(planes, bits),
+      "q183_priority_sample" ->
+        graft.SparkEntry.oracleSql("q183_priority_sample"),
+      "q184_k_anonymity" -> graft.SparkEntry.oracleSql("q184_k_anonymity"),
+      "q185_hll_merge" -> graft.SparkEntry.oracleSql("q185_hll_merge"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
