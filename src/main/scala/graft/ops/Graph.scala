@@ -181,4 +181,40 @@ object Graph {
         when(col("deg") < 2L, lit(0L))
           .otherwise(expr("2L * tri * 1000000L div (deg * (deg - 1L))")))
   }
+
+  /** `rounds`-round k-core peel (Seidman 1983 coreness, round-bounded):
+    * repeatedly delete nodes of degree < k and their edges; what survives
+    * `rounds` passes is (an over-approximation of) the k-core — the
+    * dense seed of a duplicate family, the part of a near-dup graph
+    * worth human review. A FIXED round count keeps the computation
+    * engine-exact and oracle-spellable; on the fixture graphs peeling
+    * reaches its fixpoint well inside the default rounds (spec-pinned),
+    * and at any scale a non-converged peel only ADMITS extra low-degree
+    * nodes — it never drops a true core member.
+    *
+    * Output: surviving (node, deg) — degree measured in the final
+    * induced subgraph. Scale shape: per round, one map-combined degree
+    * count plus two semi-joins of the edge list against the ≥k node set;
+    * lineage cut per round ([[Components]] discipline). */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Long,
+      rounds: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    val e0 = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val eFinal = (1 to rounds).foldLeft(e0) { (e, _) =>
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+    }
+    degrees(eFinal)
+  }
 }

@@ -45,9 +45,10 @@ object Linalg {
     * broadcasts; the per-row s frame shuffles on id); the v/w frames are
     * |dim| rows. Round count is fixed and small — no driver loop over
     * data, only over PLAN construction. */
-  def powerIterationTop(df: DataFrame, idCol: String, vecCol: String,
-      rounds: Int, quantScale: Double = 1000.0): DataFrame = {
-    require(rounds >= 2, "need >= 2 rounds for the convergence audit")
+  /** Mean-centered quantized (id, d, e) frame, checkpointed once — the
+    * matrix every [[Linalg]] op iterates over. */
+  private def centered(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Double): DataFrame = {
     val x0 = df.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .select(col("__id"), col("d").cast("long").as("d"),
@@ -58,10 +59,15 @@ object Linalg {
       // the FP division is exact (the lloydQuantized spelling)
       .select(col("d"), ((col("__s") - pmod(col("__s"), col("__n"))) /
         col("__n")).cast("long").as("mu"))
-    val xc = x0.join(broadcast(mu), Seq("d"))
+    x0.join(broadcast(mu), Seq("d"))
       .select(col("__id"), col("d"), (col("q") - col("mu")).as("e"))
       .localCheckpoint(false)
-    val v0 = mu.select(col("d"),
+  }
+
+  /** (v_{rounds-1}, v_rounds) over the centered frame — shared by
+    * [[powerIterationTop]] and [[allButTop]]. */
+  private def iterate(xc: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val v0 = xc.select(col("d")).distinct().select(col("d"),
       (conv(substring(md5(concat(lit("pi:"), col("d").cast("string"))),
         1, 8), 16, 10).cast("long") % 2000001L - 1000000L).as("v"))
       .localCheckpoint(false)
@@ -77,9 +83,14 @@ object Linalg {
         .select(col("d"), expr("w div __den").as("v"))
         .localCheckpoint(false)
     }
-    val (vPrev, vLast) = (1 to rounds).foldLeft((v0, v0)) {
-      case ((_, cur), _) => (cur, step(cur))
-    }
+    (1 to rounds).foldLeft((v0, v0)) { case ((_, cur), _) => (cur, step(cur)) }
+  }
+
+  def powerIterationTop(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int, quantScale: Double = 1000.0): DataFrame = {
+    require(rounds >= 2, "need >= 2 rounds for the convergence audit")
+    val xc = centered(df, idCol, vecCol, quantScale)
+    val (vPrev, vLast) = iterate(xc, rounds)
     val convergence = vPrev.select(col("d"), expr("v div 1000L").as("a"))
       .join(vLast.select(col("d"), expr("v div 1000L").as("b")), Seq("d"))
       .agg(sum(col("a") * col("b")).as("__ab"),
@@ -90,5 +101,61 @@ object Linalg {
         " div greatest(__bb, 1L)").as("cos2_ppm"))
     vLast.select(col("d"), col("v").as("v_e6"))
       .crossJoin(broadcast(convergence))
+  }
+
+  /** All-but-the-top postprocessing audit (Mu & Viswanath 2018): remove
+    * each centered vector's projection onto the dominant direction and
+    * report how much of the corpus variance that single direction
+    * carried. With v the [[powerIterationTop]] direction (1e6 units,
+    * max-normalized):
+    *
+    *   c_i  = Σ_j e_ij·v_j            (the unnormalized projection)
+    *   r_i  = c_i·1e6 div Σ_j v_j²    (the projection COEFFICIENT, 1e6 units)
+    *   e'_ij = e_ij − r_i·v_j div 1e6  (the deflated matrix)
+    *
+    * and the audit compares Σ (c_i div 1e6)² before vs after deflation
+    * (after ≈ 0 up to integer truncation — the residual is the
+    * fixed-point noise floor, visible, not hidden). All BIGINT: |c| ≤
+    * ‖e‖·‖v‖ ≤ 3.2e4·8e6, vv ≤ 64e12, the squared sums ≤ n·6.7e10.
+    *
+    * Output: one row (n_vectors, vv, var_top_before_q, var_top_after_q,
+    * reduction_ppm, total_var_q, top_share_ppm). Scale shape: the
+    * centered frame is checkpointed once; deflation is one broadcast
+    * join (v is |dim| rows) plus one per-row aggregate — corpus touched
+    * a constant number of times. */
+  def allButTop(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int, quantScale: Double = 1000.0): DataFrame = {
+    val xc = centered(df, idCol, vecCol, quantScale)
+    val (_, v) = iterate(xc, rounds)
+    val vv = v.agg(sum(col("v") * col("v")).as("vv"))
+    val c = xc.join(broadcast(v), Seq("d"))
+      .groupBy(col("__id")).agg(sum(col("e") * col("v")).as("c"))
+    val r = c.crossJoin(broadcast(vv))
+      .select(col("__id"), col("vv"), expr("c * 1000000L div vv").as("r"))
+    val deflated = xc.join(r.select(col("__id"), col("r")), Seq("__id"))
+      .join(broadcast(v), Seq("d"))
+      .select(col("__id"), col("d"),
+        (col("e") - expr("r * v div 1000000L")).as("e2"))
+    val cAfter = deflated.join(broadcast(v), Seq("d"))
+      .groupBy(col("__id")).agg(sum(col("e2") * col("v")).as("c2"))
+    val before = c.agg(count(lit(1)).as("n_vectors"),
+      sum(expr("(c div 1000000L) * (c div 1000000L)")).as("var_top_before_q"))
+    val after = cAfter.agg(
+      sum(expr("(c2 div 1000000L) * (c2 div 1000000L)")).as("var_top_after_q"))
+    val total = xc.agg(sum(col("e") * col("e")).as("total_var_q"))
+    before.crossJoin(after).crossJoin(vv).crossJoin(total)
+      .select(col("n_vectors"), col("vv"),
+        col("var_top_before_q"), col("var_top_after_q"),
+        // denominator downscale, not numerator upscale: before_q·1e6
+        // would overflow int64 on large corpora
+        expr("(var_top_before_q - var_top_after_q)" +
+          " div greatest(var_top_before_q div 1000000L, 1L)")
+          .as("reduction_ppm"),
+        col("total_var_q"),
+        // before_q is Σ(c/1e6)² = (vv/1e12)·Σ(e·v̂)²; divide by vv/1e12
+        // to land in total_var_q's e² units, then ratio via the
+        // overflow-safe denominator downscale
+        expr("(var_top_before_q div greatest(vv div 1000000000000L, 1L))" +
+          " div greatest(total_var_q div 1000000L, 1L)").as("top_share_ppm"))
   }
 }

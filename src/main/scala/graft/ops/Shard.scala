@@ -72,4 +72,36 @@ object Shard {
     m.write.mode("overwrite").parquet(s"$outDir/_manifest")
     m
   }
+
+  /** Duplicate-cluster-aware fold assignment — the leakage-safe
+    * train/val/test split: every member of an exact-duplicate cluster
+    * (md5 of normalized text, the [[Dedup.exactGroups]] fingerprint)
+    * lands in the SAME fold, because the fold hash is taken over the
+    * cluster representative (smallest member id), never the document id.
+    * A doc-level split scatters a duplicate family across folds and the
+    * validation set silently contains training text.
+    *
+    * Output: one row per document (idCol, cluster_id, fold, plus
+    * naive_fold — what a doc-level md5 split would have assigned, kept
+    * so the straddle audit is computable downstream without re-hashing).
+    *
+    * Scale shape: one fingerprint aggregate (32-char keys, map-combined)
+    * plus one equi-join back on the fingerprint — the q07 dedup shuffle
+    * shape, never document payloads. */
+  def clusterAwareFolds(df: DataFrame, idCol: String, textCol: String,
+      numFolds: Int): DataFrame = {
+    require(numFolds >= 2)
+    val fp = df.select(col(idCol),
+      graft.functions.HashFns.md5Hex(Dedup.normalized(col(textCol))).as("__fp"))
+    val clusters = fp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("cluster_id"))
+    fp.join(clusters, Seq("__fp"))
+      .select(col(idCol), col("cluster_id"),
+        graft.functions.HashFns.md5Bucket(
+          concat(lit("fold:"), col("cluster_id").cast("string")), numFolds)
+          .as("fold"),
+        graft.functions.HashFns.md5Bucket(
+          concat(lit("fold:"), col(idCol).cast("string")), numFolds)
+          .as("naive_fold"))
+  }
 }

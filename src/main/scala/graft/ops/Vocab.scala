@@ -469,4 +469,42 @@ object Vocab {
         .drop(s"__cum_$t")
     }
   }
+  /** PMI-lift collocation mining: the top bigram collocations by
+    * observed/expected frequency ratio — `lift = P(w1w2)/(P(w1)P(w2))`,
+    * spelled in integer ppm as `bg_cnt·1e6 div c1 · N div c2` (the
+    * overflow-safe association order; the lift RANKING is the monotone
+    * integer stand-in for PMI = log lift, so no logs are needed). A
+    * count floor keeps hapax noise out — classic collocation extraction
+    * (Church & Hanks 1990), the vocabulary signal that finds multi-word
+    * units worth protecting from tokenizer splits.
+    *
+    * Output: topK rows (w1, w2, bg_cnt, c1, c2, lift_ppm), ranked by
+    * (lift desc, w1, w2) — a total order, so the cut is deterministic.
+    *
+    * Scale shape: two map-combined count aggregates (unigram and bigram
+    * span frames), two vocab-keyed equi-joins, one 1-row token total
+    * (statically bounded broadcast), and a TakeOrderedAndProject cut —
+    * the corpus is scanned twice and never re-shuffled at corpus size. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 2 && topK >= 1)
+    val uni = wordCounts(df, textCol)
+    val total = uni.agg(sum(col("cnt")).as("n_tokens"))
+    val bg = df.select(
+        explode(graft.expr.TextExprs.wordSpans(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
+      .filter(col("bg_cnt") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    bg
+      .join(uni.select(col("word").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("cnt").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("bg_cnt * 1000000L div c1 * n_tokens div c2"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("bg_cnt"), col("c1"), col("c2"),
+        col("lift_ppm"))
+  }
 }

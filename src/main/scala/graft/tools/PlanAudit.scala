@@ -64,7 +64,13 @@ object PlanAudit {
       // and the 1-ROW convergence audit at the end (the q90 scalar
       // class); q185 cross-joins three 1-ROW aggregates (per-source
       // rollup, merged estimate, exact count) into its single output row
-      "q181_power_iteration", "q185_hll_merge")
+      "q181_power_iteration", "q185_hll_merge",
+      // q186 cross-joins the 1-ROW vv/before/after/total audit
+      // aggregates; q187 the 1-ROW token grand total (the q90 scalar
+      // class); q188 the 1-ROW straddle audit; q189 the 1-ROW global
+      // cutoff — all statically bounded scalars
+      "q186_all_but_top", "q187_collocations", "q188_cluster_folds",
+      "q189_threshold_calibration")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -258,7 +258,20 @@ object VerifyScaled {
       "q184_k_anonymity" ->
         (() => graft.SparkEntry.queries("q184_k_anonymity")(spark, sfDir)),
       "q185_hll_merge" ->
-        (() => graft.SparkEntry.queries("q185_hll_merge")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q185_hll_merge")(spark, sfDir)),
+      // wave 21: q186 shares q181's iteration shape; q187/q189 are
+      // vocab-/domain-bounded aggregates; q188 is the q07 fingerprint
+      // shuffle; q190 re-derives its LSH resolution like q182
+      "q186_all_but_top" ->
+        (() => graft.SparkEntry.queries("q186_all_but_top")(spark, sfDir)),
+      "q187_collocations" ->
+        (() => graft.SparkEntry.queries("q187_collocations")(spark, sfDir)),
+      "q188_cluster_folds" ->
+        (() => graft.SparkEntry.queries("q188_cluster_folds")(spark, sfDir)),
+      "q189_threshold_calibration" ->
+        (() => graft.SparkEntry.queries("q189_threshold_calibration")(spark, sfDir)),
+      "q190_k_core" ->
+        (() => graft.Queries21.q190KCoreWith(spark, sfDir, planes, bits)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -363,7 +376,13 @@ object VerifyScaled {
       "q183_priority_sample" ->
         graft.SparkEntry.oracleSql("q183_priority_sample"),
       "q184_k_anonymity" -> graft.SparkEntry.oracleSql("q184_k_anonymity"),
-      "q185_hll_merge" -> graft.SparkEntry.oracleSql("q185_hll_merge"))
+      "q185_hll_merge" -> graft.SparkEntry.oracleSql("q185_hll_merge"),
+      "q186_all_but_top" -> graft.SparkEntry.oracleSql("q186_all_but_top"),
+      "q187_collocations" -> graft.SparkEntry.oracleSql("q187_collocations"),
+      "q188_cluster_folds" -> graft.SparkEntry.oracleSql("q188_cluster_folds"),
+      "q189_threshold_calibration" ->
+        graft.SparkEntry.oracleSql("q189_threshold_calibration"),
+      "q190_k_core" -> graft.Queries21.q190SqlWith(planes, bits))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
