@@ -26,7 +26,7 @@ object Queries2 {
   /** DuckDB word-bigram shingles CTE body over `documents` (mirrors
     * TextFns.wordShingles(text, 2): normalized single-space tokens,
     * adjacent pairs, distinct). */
-  private val ShinglesCte =
+  private[graft] val ShinglesCte =
     s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]

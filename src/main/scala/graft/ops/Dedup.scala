@@ -84,6 +84,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the quote-inclusion case
+    * symmetric Jaccard misses: a short document fully embedded in a long
+    * one has tiny Jaccard (|A∩B|/|A∪B| ≈ |A|/|B|) but containment
+    * |A∩B|/|A| ≈ 1. Same banded MinHash candidate generation as
+    * [[minHashLshPairs]] (equi-join on band signatures, never all
+    * pairs); the verify step computes BOTH directions in integer ppm
+    * and keeps pairs where either side's containment clears the
+    * threshold. Output: (id_a, id_b, n_inter, n_a, n_b, cont_a_ppm,
+    * cont_b_ppm).
+    *
+    * Caveat shared with all MinHash blocking: one-sided containment of
+    * a SMALL set in a large one depresses the Jaccard the band
+    * signatures sample, so recall for extreme length ratios needs more
+    * bands — the knob is exposed, the trade-off documented here rather
+    * than hidden. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, minContainmentPpm: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sh = df.select(col(idCol).as("id"),
+      graft.expr.TextExprs.wordShingles(col(textCol), 2).as("sh"))
+      .localCheckpoint(false)
+    val banded = sh
+      .select(col("id"),
+        posexplode(graft.expr.HashExprs.minHashBandKeys(
+          col("sh"), HashFns.minHashCoeffs(numHashes), bands))
+          .as(Seq("band", "bsig")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("cont_a_ppm", expr("n_inter * 1000000L div n_a"))
+      .withColumn("cont_b_ppm", expr("n_inter * 1000000L div n_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= minContainmentPpm)
+  }
+
   /** SimHash fingerprint per document over whitespace tokens (xxhash64
     * perf path — not oracle-expressible, covered by invariant specs).
     * Near-dup candidates at scale = group by the top `prefixBits` bits. */

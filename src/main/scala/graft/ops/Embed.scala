@@ -184,4 +184,67 @@ object Embed {
         (col("norm2_q").cast("double") >
           col("__q3") + lit(1.5) * (col("__q3") - col("__q1"))).as("is_high"))
   }
+
+  /** Label-centroid separation report — the embedding-space class-QA a
+    * weak-label corpus ships: per label pair (a < b), the cosine between
+    * the labels' integer centroids, next to each side's member count and
+    * within-label dispersion (mean squared distance to own centroid). A
+    * healthy label space has inter-centroid cosines well under 1 and
+    * dispersions of the same order across labels; a collapsed pair
+    * (cos → 1) or a blown-up label flags annotation noise.
+    *
+    * Integer discipline: vectors quantize to `floor(x·quantScale+0.5)`
+    * longs; centroids use the exact-floor mean (the pmod spelling);
+    * dispersion is a truncating integer mean of Σ_d (q−c)²; only the
+    * final cosine is FP — `round(num/sqrt(qa·qb), 6)`, the q47
+    * convention (sqrt is IEEE-exact, the int64→double casts identical in
+    * both engines).
+    *
+    * Output: (label_a, label_b, n_a, n_b, cos6, within_a, within_b).
+    * Scale shape: two map-combined aggregates over the exploded frame
+    * (centroid + dispersion, keyed by label), then all pair arithmetic
+    * on the |labels|·dim centroid frame — corpus touched twice,
+    * never self-joined. */
+  def labelCentroidSeparation(df: DataFrame, idCol: String,
+      labelCol: String, vecCol: String,
+      quantScale: Double = 1000.0): DataFrame = {
+    val pts = df.select(col(labelCol).as("__l"), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("__l"), col("__id"), col("d"),
+        floor(col("x") * quantScale + 0.5).cast("long").as("q"))
+      .localCheckpoint(false)
+    val cent = pts.groupBy(col("__l"), col("d"))
+      .agg(sum(col("q")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__l"), col("d"),
+        ((col("__s") - pmod(col("__s"), col("__n"))) / col("__n"))
+          .cast("long").as("c"),
+        col("__n").as("n"))
+    val within = pts.join(cent.select(col("__l"), col("d"), col("c")),
+        Seq("__l", "d"))
+      .groupBy(col("__l"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("__sq"),
+        countDistinct(col("__id")).as("n_members"))
+      .select(col("__l"), expr("__sq div n_members").as("within"),
+        col("n_members"))
+    val pairs = cent.as("a").join(cent.as("b"),
+        col("a.d") === col("b.d") && col("a.__l") < col("b.__l"))
+      .groupBy(col("a.__l").as("label_a"), col("b.__l").as("label_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("__num"),
+        sum(col("a.c") * col("a.c")).as("__qa"),
+        sum(col("b.c") * col("b.c")).as("__qb"))
+      // greatest(…,1): a label whose floor-mean rounds to the zero
+      // vector (symmetric noise at scale) defines cos = 0, not a
+      // divide-by-zero — num is 0 whenever either norm is
+      .withColumn("cos6", round(col("__num").cast("double") /
+        sqrt(greatest(col("__qa") * col("__qb"), lit(1L)).cast("double")), 6))
+    pairs
+      .join(within.select(col("__l").as("label_a"),
+        col("within").as("within_a"), col("n_members").as("n_a")),
+        Seq("label_a"))
+      .join(within.select(col("__l").as("label_b"),
+        col("within").as("within_b"), col("n_members").as("n_b")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cos6"), col("within_a"), col("within_b"))
+  }
 }

@@ -88,6 +88,52 @@ object Shard {
     * Scale shape: one fingerprint aggregate (32-char keys, map-combined)
     * plus one equi-join back on the fingerprint — the q07 dedup shuffle
     * shape, never document payloads. */
+  /** Shuffle-quality audit: did the epoch permutation actually
+    * decorrelate sources? Orders each epoch's documents by the
+    * [[Mixture.epochOrder]] key (md5(epoch:id), id tiebreak) WITHIN
+    * md5-bucketed shards (the unit a writer materializes — and the unit
+    * that keeps every window partition at corpus/shards rows instead of
+    * corpus), then measures the adjacent same-source rate. A good
+    * shuffle lands at the independence baseline Σ share² (the
+    * Herfindahl index of the source mix, reported alongside); a bad one
+    * (e.g. sorted-by-source input passed through) sits far above it.
+    *
+    * Output per epoch: (epoch, n_pairs, n_same, same_ppm, hhi_ppm).
+    * All integer: hhi_ppm = Σ cnt²·1e6 div n² with the denominator
+    * downscale spelling. */
+  def shuffleQualityAudit(df: DataFrame, idCol: String, srcCol: String,
+      epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol), col(srcCol).as("__src"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__ord", md5(concat(col("epoch").cast("string"), lit(":"),
+        col(idCol).cast("string"))))
+      .withColumn("__shard",
+        graft.functions.HashFns.md5Bucket(col(idCol).cast("string"), shards))
+    val w = Window.partitionBy(col("epoch"), col("__shard"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+    val adj = e.withColumn("__prev", lag(col("__src"), 1).over(w))
+      .groupBy(col("epoch"))
+      .agg(sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("__prev") === col("__src"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("same_ppm", expr("n_same * 1000000L div n_pairs"))
+    // hybrid ratio spelling: numerator upscale is exact but overflows
+    // past n = 3e6 (sq·1e6 ≤ n²·1e6); the denominator downscale never
+    // overflows but loses everything when n² < 1e6 — branch on n
+    val hhi = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("__sq"),
+        sum(col("__c")).as("__n"))
+      .select(expr("CASE WHEN __n <= 3000000L" +
+        " THEN __sq * 1000000L div (__n * __n)" +
+        " ELSE __sq div greatest((__n * __n) div 1000000L, 1L) END")
+        .as("hhi_ppm"))
+    adj.crossJoin(broadcast(hhi))
+      .select(col("epoch"), col("n_pairs"), col("n_same"), col("same_ppm"),
+        col("hhi_ppm"))
+  }
+
   def clusterAwareFolds(df: DataFrame, idCol: String, textCol: String,
       numFolds: Int): DataFrame = {
     require(numFolds >= 2)

@@ -70,7 +70,10 @@ object PlanAudit {
       // class); q188 the 1-ROW straddle audit; q189 the 1-ROW global
       // cutoff — all statically bounded scalars
       "q186_all_but_top", "q187_collocations", "q188_cluster_folds",
-      "q189_threshold_calibration")
+      "q189_threshold_calibration",
+      // q191 cross-joins the 1-ROW Herfindahl baseline (the q90 scalar
+      // class)
+      "q191_shuffle_quality")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

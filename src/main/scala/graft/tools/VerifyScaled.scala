@@ -271,7 +271,18 @@ object VerifyScaled {
       "q189_threshold_calibration" ->
         (() => graft.SparkEntry.queries("q189_threshold_calibration")(spark, sfDir)),
       "q190_k_core" ->
-        (() => graft.Queries21.q190KCoreWith(spark, sfDir, planes, bits)))
+        (() => graft.Queries21.q190KCoreWith(spark, sfDir, planes, bits)),
+      // wave 22: q191's windows are (epoch, shard)-bounded; q192's are
+      // (type, hour)-bucketed; q193 runs on the |labels|·dim centroid
+      // frame; q194 is the q14 banded-candidate shape
+      "q191_shuffle_quality" ->
+        (() => graft.SparkEntry.queries("q191_shuffle_quality")(spark, sfDir)),
+      "q192_burst_detection" ->
+        (() => graft.SparkEntry.queries("q192_burst_detection")(spark, sfDir)),
+      "q193_label_separation" ->
+        (() => graft.SparkEntry.queries("q193_label_separation")(spark, sfDir)),
+      "q194_containment_dups" ->
+        (() => graft.SparkEntry.queries("q194_containment_dups")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -382,7 +393,15 @@ object VerifyScaled {
       "q188_cluster_folds" -> graft.SparkEntry.oracleSql("q188_cluster_folds"),
       "q189_threshold_calibration" ->
         graft.SparkEntry.oracleSql("q189_threshold_calibration"),
-      "q190_k_core" -> graft.Queries21.q190SqlWith(planes, bits))
+      "q190_k_core" -> graft.Queries21.q190SqlWith(planes, bits),
+      "q191_shuffle_quality" ->
+        graft.SparkEntry.oracleSql("q191_shuffle_quality"),
+      "q192_burst_detection" ->
+        graft.SparkEntry.oracleSql("q192_burst_detection"),
+      "q193_label_separation" ->
+        graft.SparkEntry.oracleSql("q193_label_separation"),
+      "q194_containment_dups" ->
+        graft.SparkEntry.oracleSql("q194_containment_dups"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
