@@ -412,4 +412,43 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
+
+  /** WHERE duplicated spans sit inside documents — the position-decile
+    * histogram of the occurrences [[crossDocSpanDedup]] would cut (the
+    * non-first occurrences of cross-document k-token spans). Boilerplate
+    * concentrates in the first/last deciles (headers, footers, signature
+    * blocks); a flat profile means genuine content duplication — two very
+    * different curation responses, which is why the profile ships next to
+    * the dedup itself.
+    *
+    * decile = (pos − 1)·10 div n_tokens ∈ [0, 9]. Output: (decile,
+    * n_spans, n_docs), only deciles that occur. Scale shape: identical
+    * to [[crossDocSpanDedup]]'s span/first-occurrence aggregation, minus
+    * the reassembly pass — fingerprint-keyed, span text never shuffled. */
+  def spanPositionProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    val nTok = df.select(col(idCol),
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFns.wordTokens(col(textCol))).cast("long")
+        .as("__nt"))
+    val spans = df.select(col(idCol),
+        posexplode(graft.expr.TextExprs.wordSpans(col(textCol), k))
+          .as(Seq("pos0", "span")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        HashFns.md5Hex(col("span")).as("fp"))
+    val firstOcc = spans.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol), col("pos"))).as("first_occ"))
+      .filter(col("__nd") > 1L)
+      .select(col("fp"), col("first_occ"))
+    val cut = spans.join(firstOcc, Seq("fp"))
+      .filter(!(col(idCol) === col(s"first_occ.$idCol")
+        && col("pos") === col("first_occ.pos")))
+    cut.join(nTok, Seq(idCol))
+      .withColumn("decile", expr("(pos - 1L) * 10L div __nt"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
 }

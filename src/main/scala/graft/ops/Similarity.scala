@@ -560,4 +560,36 @@ object Similarity {
         col("__m.eid").as("top_eval_id"),
         (-col("__m.ns")).as("top_sim"))
   }
+
+  /** Mutual top-m confirmation over a candidate pair frame (id_a, id_b,
+    * sim): keep a pair only if EACH endpoint ranks the other inside its
+    * own top-m candidates — the reciprocal-nearest-neighbor filter that
+    * strips hub artifacts from a near-dup graph (a promiscuous hub ranks
+    * high for many nodes that it does not rank back). Classic mutual-kNN
+    * graph construction, applied to the banded candidate set instead of
+    * the full kNN (so the cost stays candidate-bounded).
+    *
+    * Output: (id_a, id_b, sim, rank_ab, rank_ba), id_a < id_b.
+    * Deterministic: rank order (sim desc, neighbor id asc). Scale shape:
+    * one per-node top-m window over the doubled candidate frame
+    * (WindowGroupLimit pushes the heap map-side) and one self-equi-join
+    * on the (src, dst) key. */
+  def mutualRankFilter(pairs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val dir = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("sim"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("sim")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val ranked = dir.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
+    ranked.as("f").join(ranked.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src") &&
+          col("f.src") < col("f.dst"))
+      .select(col("f.src").as("id_a"), col("f.dst").as("id_b"),
+        col("f.sim").as("sim"), col("f.rnk").as("rank_ab"),
+        col("r.rnk").as("rank_ba"))
+  }
 }

@@ -282,7 +282,20 @@ object VerifyScaled {
       "q193_label_separation" ->
         (() => graft.SparkEntry.queries("q193_label_separation")(spark, sfDir)),
       "q194_containment_dups" ->
-        (() => graft.SparkEntry.queries("q194_containment_dups")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q194_containment_dups")(spark, sfDir)),
+      // wave 23: q195 re-derives its LSH resolution (its oracle shares
+      // q182's exact pair grid — 8x only); q196/q197 are span-keyed and
+      // corpus-linear (64x fine); q198 composes the FIXTURE-resolution
+      // q14/q73 tiers, so it proves at 8x and its scale spelling is the
+      // parameterized members it composes
+      "q195_mutual_knn" ->
+        (() => graft.Queries23.q195MutualWith(spark, sfDir, planes, bits)),
+      "q196_decon_tiers" ->
+        (() => graft.SparkEntry.queries("q196_decon_tiers")(spark, sfDir)),
+      "q197_span_positions" ->
+        (() => graft.SparkEntry.queries("q197_span_positions")(spark, sfDir)),
+      "q198_dedup_venn" ->
+        (() => graft.SparkEntry.queries("q198_dedup_venn")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -401,7 +414,12 @@ object VerifyScaled {
       "q193_label_separation" ->
         graft.SparkEntry.oracleSql("q193_label_separation"),
       "q194_containment_dups" ->
-        graft.SparkEntry.oracleSql("q194_containment_dups"))
+        graft.SparkEntry.oracleSql("q194_containment_dups"),
+      "q195_mutual_knn" -> graft.Queries23.q195SqlWith(planes, bits),
+      "q196_decon_tiers" -> graft.SparkEntry.oracleSql("q196_decon_tiers"),
+      "q197_span_positions" ->
+        graft.SparkEntry.oracleSql("q197_span_positions"),
+      "q198_dedup_venn" -> graft.SparkEntry.oracleSql("q198_dedup_venn"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
