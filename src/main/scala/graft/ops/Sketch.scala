@@ -76,23 +76,34 @@ object Sketch {
     * Scale shape: the occurrence stream collapses map-side into
     * |groups|·2^b max-aggregated rows; the dense completion is a join
     * against a 2^b-row literal frame. */
-  def hllRegisters(tokens: DataFrame, groupCol: String, tokenCol: String,
-      b: Int): DataFrame = {
+  /** The SPARSE register aggregation of [[hllRegisters]] — only occupied
+    * (group, reg) cells, each at its max rank. This is the exact shape a
+    * Structured Streaming complete-mode aggregation maintains (bounded
+    * state: ≤ |groups|·2^b rows — the whole point of a sketch), so the
+    * streaming parity test drives THIS stage and densifies at read time. */
+  def hllOccupiedRegisters(tokens: DataFrame, groupCol: String,
+      tokenCol: String, b: Int): DataFrame = {
     require(b >= 4 && b <= 16)
-    val m = 1 << b
     val tailBits = 32 - b
     val h = md5Hash32(col(tokenCol), lit(0))
     val reg = shiftrightunsigned(h, tailBits).as("reg")
     val tail = (h.bitwiseAND(lit((1L << tailBits) - 1L))).as("__tail")
     // rank = tailBits + 1 − bit_length(tail); bit_length via the base-2
     // string length (conv), zero-guarded — no libm
-    val occ = tokens.select(col(groupCol), reg, tail)
+    tokens.select(col(groupCol), reg, tail)
       .withColumn("__rank",
         when(col("__tail") === 0L, lit((tailBits + 1).toLong))
           .otherwise(lit((tailBits + 1).toLong) -
             length(conv(col("__tail"), 10, 2)).cast("long")))
       .groupBy(col(groupCol), col("reg"))
       .agg(max(col("__rank")).as("mreg"))
+  }
+
+  def hllRegisters(tokens: DataFrame, groupCol: String, tokenCol: String,
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 16)
+    val m = 1 << b
+    val occ = hllOccupiedRegisters(tokens, groupCol, tokenCol, b)
     val dense = tokens.select(col(groupCol)).distinct()
       .select(col(groupCol),
         explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))

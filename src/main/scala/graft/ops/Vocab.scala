@@ -469,6 +469,71 @@ object Vocab {
         .drop(s"__cum_$t")
     }
   }
+  /** Greedy maximum-coverage document selection (the classic (1−1/e)
+    * greedy for facility-location/set-cover objectives — Nemhauser et
+    * al. 1978): pick `k` documents one at a time, each round taking the
+    * document that adds the most NOT-YET-COVERED distinct tokens. The
+    * budget-constrained "most diverse k examples" selector — the
+    * submodular cousin of score-threshold selection (q113) and DSIR
+    * (q112).
+    *
+    * Determinism: argmax ties break on smallest id; rounds are exact set
+    * arithmetic, no scores. Output: one row per pick while new coverage
+    * exists (round, idCol, new_tokens, cum_tokens, coverage_ppm of the
+    * corpus vocabulary).
+    *
+    * Scale shape: the distinct (doc, token) frame is checkpointed once;
+    * each round is one anti-join against the covered-token frame + one
+    * map-combined count + a 1-ROW argmax collect (the statically-bounded
+    * per-round driver traffic the BPE learner also pays — SURVEY §7's
+    * documented exception class); the covered frame grows by one
+    * document's tokens per round and is lineage-cut each round. Rounds
+    * are few and fixed — greedy selection is inherently sequential. */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int = 1): DataFrame = {
+    require(k >= 1 && shingleN >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // shingleN > 1 covers distinct word n-grams instead of unigrams —
+    // the right unit when the unigram vocabulary is tiny relative to
+    // the corpus (synthetic pools, code, templated text)
+    val unit =
+      if (shingleN == 1) toks(col(textCol))
+      else graft.expr.TextExprs.wordShingles(col(textCol), shingleN)
+    val dt = df.select(col(idCol).as("__id"), explode(unit).as("__w"))
+      .filter(col("__w") =!= "")
+      .distinct()
+      .localCheckpoint(false)
+    val total = dt.select(col("__w")).distinct().count()
+    var covered = dt.select(col("__w")).limit(0).localCheckpoint(false)
+    var picked = Vector.empty[(Long, Long, Long)] // (round, id, newTokens)
+    var done = false
+    var r = 1
+    while (r <= k && !done) {
+      val nc = dt
+        .filter(!col("__id").isInCollection(
+          if (picked.isEmpty) Seq(-1L) else picked.map(_._2)))
+        .join(covered, Seq("__w"), "left_anti")
+        .groupBy(col("__id")).agg(count(lit(1)).as("__c"))
+      val top = nc.orderBy(col("__c").desc, col("__id").asc).limit(1)
+        .collect() // 1 row — the bounded-argmax class
+      if (top.isEmpty) done = true
+      else {
+        val id = top.head.getLong(0)
+        picked :+= ((r.toLong, id, top.head.getLong(1)))
+        covered = covered
+          .unionByName(dt.filter(col("__id") === id).select(col("__w")))
+          .distinct()
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    val cum = picked.scanLeft(0L)(_ + _._3).tail
+    picked.zip(cum).map { case ((rd, id, nt), c) =>
+      (rd, id, nt, c, c * 1000000L / math.max(total, 1L))
+    }.toDF("round", idCol, "new_tokens", "cum_tokens", "coverage_ppm")
+  }
+
   /** PMI-lift collocation mining: the top bigram collocations by
     * observed/expected frequency ratio — `lift = P(w1w2)/(P(w1)P(w2))`,
     * spelled in integer ppm as `bg_cnt·1e6 div c1 · N div c2` (the

@@ -295,7 +295,14 @@ object VerifyScaled {
       "q197_span_positions" ->
         (() => graft.SparkEntry.queries("q197_span_positions")(spark, sfDir)),
       "q198_dedup_venn" ->
-        (() => graft.SparkEntry.queries("q198_dedup_venn")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q198_dedup_venn")(spark, sfDir)),
+      // wave 24: q199's rounds are anti-joins on the distinct shingle
+      // frame (corpus-linear, 8 fixed rounds); q200 composes corpus-
+      // linear per-source aggregates
+      "q199_greedy_coverage" ->
+        (() => graft.SparkEntry.queries("q199_greedy_coverage")(spark, sfDir)),
+      "q200_release_datasheet" ->
+        (() => graft.SparkEntry.queries("q200_release_datasheet")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -419,7 +426,11 @@ object VerifyScaled {
       "q196_decon_tiers" -> graft.SparkEntry.oracleSql("q196_decon_tiers"),
       "q197_span_positions" ->
         graft.SparkEntry.oracleSql("q197_span_positions"),
-      "q198_dedup_venn" -> graft.SparkEntry.oracleSql("q198_dedup_venn"))
+      "q198_dedup_venn" -> graft.SparkEntry.oracleSql("q198_dedup_venn"),
+      "q199_greedy_coverage" ->
+        graft.SparkEntry.oracleSql("q199_greedy_coverage"),
+      "q200_release_datasheet" ->
+        graft.SparkEntry.oracleSql("q200_release_datasheet"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
