@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log time-series analytics the monitoring side of a data
+  * platform runs — cohort retention and gap-filled series — spelled
+  * integer-exact on absolute day indexes (`epoch_us div 86_400_000_000`,
+  * no calendar/timezone arithmetic to disagree on).
+  */
+object Series {
+
+  private val DayUs = 86400000000L
+
+  /** Classic weekly cohort-retention matrix: users grouped by FIRST-SEEN
+    * week (absolute day index div 7), each cohort's share of users still
+    * active k weeks later. THE product-health readout of an event
+    * pipeline; here it doubles as an ingest-health audit (a cohort whose
+    * retention cliff-drops marks a collection change).
+    *
+    * Output: (cohort_week, offset_weeks, n_active, cohort_size,
+    * retention_ppm), offset 0 always present at 1e6.
+    *
+    * Scale shape: first-seen is one map-combined min; activity collapses
+    * to DISTINCT (user, week) before the join; the matrix is
+    * |cohorts|·|weeks| rows. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) div ${DayUs}L div 7L").as("__w"))
+      .distinct()
+    val first = weeks.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    val size = first.groupBy(col("__cw")).agg(count(lit(1)).as("cohort_size"))
+    weeks.join(first, Seq("__u"))
+      .groupBy(col("__cw").as("cohort_week"),
+        (col("__w") - col("__cw")).as("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(size.select(col("__cw").as("cohort_week"), col("cohort_size")),
+        Seq("cohort_week"))
+      .withColumn("retention_ppm",
+        expr("n_active * 1000000L div cohort_size"))
+  }
+
+  /** Gap-filled daily value series with last-observation-carried-forward:
+    * per group, one row per day of the group's observed span; days with
+    * no events carry the previous observed value (leading gaps stay
+    * NULL — fabricating a value before the first observation would be
+    * lying). The q70 zero-fill resample's imputation sibling.
+    *
+    * Output: (groupCol, day, value_e4, filled). `value_e4` is the
+    * integer-exact `Σ round(value·1e4)` daily sum (the q27 convention).
+    *
+    * Scale shape: one (group, day) aggregate, a per-group `sequence`
+    * grid, and one running `last(ignoreNulls)` window bounded by the
+    * group's day span. */
+  def forwardFillDaily(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div ${DayUs}L")
+    val daily = events.select(col(groupCol), day.as("day"),
+        round(col(valueCol) * 10000).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("day")).agg(sum(col("__v")).as("__s"))
+    val grid = daily.groupBy(col(groupCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(groupCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(groupCol, "day"), "left")
+      .withColumn("value_e4", last(col("__s"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("__s").isNull && col("value_e4").isNotNull)
+      .select(col(groupCol), col("day"), col("value_e4"), col("filled"))
+  }
+}

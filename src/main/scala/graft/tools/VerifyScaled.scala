@@ -302,7 +302,15 @@ object VerifyScaled {
       "q199_greedy_coverage" ->
         (() => graft.SparkEntry.queries("q199_greedy_coverage")(spark, sfDir)),
       "q200_release_datasheet" ->
-        (() => graft.SparkEntry.queries("q200_release_datasheet")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q200_release_datasheet")(spark, sfDir)),
+      // wave 25: all three are keyed aggregates over the event log /
+      // fact table; windows bounded by day spans, corpus-linear
+      "q201_cohort_retention" ->
+        (() => graft.SparkEntry.queries("q201_cohort_retention")(spark, sfDir)),
+      "q202_forward_fill" ->
+        (() => graft.SparkEntry.queries("q202_forward_fill")(spark, sfDir)),
+      "q203_column_profile" ->
+        (() => graft.SparkEntry.queries("q203_column_profile")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -430,7 +438,12 @@ object VerifyScaled {
       "q199_greedy_coverage" ->
         graft.SparkEntry.oracleSql("q199_greedy_coverage"),
       "q200_release_datasheet" ->
-        graft.SparkEntry.oracleSql("q200_release_datasheet"))
+        graft.SparkEntry.oracleSql("q200_release_datasheet"),
+      "q201_cohort_retention" ->
+        graft.SparkEntry.oracleSql("q201_cohort_retention"),
+      "q202_forward_fill" -> graft.SparkEntry.oracleSql("q202_forward_fill"),
+      "q203_column_profile" ->
+        graft.SparkEntry.oracleSql("q203_column_profile"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
