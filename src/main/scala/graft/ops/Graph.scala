@@ -129,6 +129,60 @@ object Graph {
       col("__seed").as("is_seed"))
   }
 
+  /** Personalized (topic-sensitive) PageRank in integer ppb: the
+    * teleport mass restarts ONLY at the seed set, so rank measures graph
+    * proximity to the seeds — curation from a trusted corpus slice
+    * ("find the documents the kNN graph pulls toward these vetted
+    * examples"). Same exact-integer discipline as [[pageRankPpb]]
+    * (damping 17/20, floor remainders retire), same per-round shape
+    * (one equi-join + aggregate, lineage cut per round):
+    *
+    *   r₀(v)   = 1e9 div |S| for v ∈ S, else 0
+    *   rₜ₊₁(v) = [v ∈ S]·(3e9 div (20·|S|)) + Σ_{u→v} (rₜ(u)·17 div 20) div outdeg(u)
+    *
+    * Output: (node, rank_ppb, is_seed). */
+  def personalizedPageRankPpb(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(eager = false)
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val nodes = e.select(col("__src").as("__v"))
+      .union(e.select(col("__dst").as("__v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val seedNodes = nodes.join(
+      seeds.select(col(seeds.columns.head).as("__v")).distinct(),
+      Seq("__v"), "left_semi")
+    val flagged = nodes
+      .join(seedNodes.withColumn("__is", lit(true)), Seq("__v"), "left")
+      .select(col("__v"), coalesce(col("__is"), lit(false)).as("__seed"))
+      .localCheckpoint(eager = false)
+    val nSeeds = seedNodes.count() // loop-bound scalar, the q120 class
+    require(nSeeds > 0, "personalization needs at least one seed in the graph")
+    var rank = flagged.select(col("__v"),
+      when(col("__seed"), lit(1000000000L / nSeeds)).otherwise(0L).as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(e, col("__v") === col("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst").as("__v"),
+          expr("(__r * 17L div 20L) div __od").as("__c"))
+        .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
+      rank = flagged
+        .join(contrib, Seq("__v"), "left")
+        .select(col("__v"),
+          (when(col("__seed"), lit(3000000000L / (20L * nSeeds)))
+            .otherwise(0L) + coalesce(col("__in"), lit(0L))).as("__r"),
+          col("__seed"))
+        .localCheckpoint(eager = false)
+        .select(col("__v"), col("__r"))
+    }
+    flagged.join(rank, Seq("__v"))
+      .select(col("__v").as("node"), col("__r").as("rank_ppb"),
+        col("__seed").as("is_seed"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected edge list — the near-dup-graph QA metric: a candidate
     * graph whose triangles are dense is transitive (true duplicate

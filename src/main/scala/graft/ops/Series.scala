@@ -42,6 +42,46 @@ object Series {
         expr("n_active * 1000000L div cohort_size"))
   }
 
+  /** Deadline-bounded funnel conversion: for each configured step pair
+    * (a → b), the share of a-events followed by a b-event FROM THE SAME
+    * USER within `windowSec` — the product-funnel readout with a clock
+    * on it (q68's quality funnel has no deadline; q57's interval join is
+    * the mechanism, this is the metric).
+    *
+    * Output: (step_a, step_b, n_src, n_conv, conversion_ppm), one row
+    * per configured pair. Scale shape: the source side joins the pair
+    * list (broadcast literal), conversion is ONE left-semi join keyed on
+    * the user with the time band as a residual condition — per-user
+    * event groups meet, never the full event crossproduct. */
+  def funnelConversion(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, pairs: Seq[(String, String)],
+      windowSec: Long): DataFrame = {
+    require(pairs.nonEmpty && windowSec >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pdf = pairs.toDF("step_a", "step_b")
+    val src = events
+      .select(col(userCol).as("__u"), col(idCol).as("__eid"),
+        col(typeCol).as("step_a"),
+        expr(s"unix_micros($tsCol)").as("__t0"))
+      .join(broadcast(pdf), Seq("step_a"))
+    val tgt = events.select(col(userCol).as("__u"),
+      col(typeCol).as("step_b"), expr(s"unix_micros($tsCol)").as("__t1"))
+    val conv = src.join(tgt,
+        src("__u") === tgt("__u") && src("step_b") === tgt("step_b") &&
+          col("__t1") > col("__t0") &&
+          col("__t1") <= col("__t0") + windowSec * 1000000L,
+        "left_semi")
+      .groupBy(col("step_a"), col("step_b"))
+      .agg(count(lit(1)).as("n_conv"))
+    src.groupBy(col("step_a"), col("step_b"))
+      .agg(count(lit(1)).as("n_src"))
+      .join(conv, Seq("step_a", "step_b"), "left")
+      .select(col("step_a"), col("step_b"), col("n_src"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+      .withColumn("conversion_ppm", expr("n_conv * 1000000L div n_src"))
+  }
+
   /** Gap-filled daily value series with last-observation-carried-forward:
     * per group, one row per day of the group's observed span; days with
     * no events carry the previous observed value (leading gaps stay

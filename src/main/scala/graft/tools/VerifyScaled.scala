@@ -310,7 +310,14 @@ object VerifyScaled {
       "q202_forward_fill" ->
         (() => graft.SparkEntry.queries("q202_forward_fill")(spark, sfDir)),
       "q203_column_profile" ->
-        (() => graft.SparkEntry.queries("q203_column_profile")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q203_column_profile")(spark, sfDir)),
+      // wave 26: q204's conversion join is user-keyed (per-user groups
+      // meet, 64x fine); q205 composes q133's exact kNN oracle grid —
+      // the queries x corpus class, 8x only
+      "q204_funnel_conversion" ->
+        (() => graft.SparkEntry.queries("q204_funnel_conversion")(spark, sfDir)),
+      "q205_personalized_pr" ->
+        (() => graft.SparkEntry.queries("q205_personalized_pr")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -443,7 +450,11 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q201_cohort_retention"),
       "q202_forward_fill" -> graft.SparkEntry.oracleSql("q202_forward_fill"),
       "q203_column_profile" ->
-        graft.SparkEntry.oracleSql("q203_column_profile"))
+        graft.SparkEntry.oracleSql("q203_column_profile"),
+      "q204_funnel_conversion" ->
+        graft.SparkEntry.oracleSql("q204_funnel_conversion"),
+      "q205_personalized_pr" ->
+        graft.SparkEntry.oracleSql("q205_personalized_pr"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
