@@ -317,7 +317,11 @@ object VerifyScaled {
       "q204_funnel_conversion" ->
         (() => graft.SparkEntry.queries("q204_funnel_conversion")(spark, sfDir)),
       "q205_personalized_pr" ->
-        (() => graft.SparkEntry.queries("q205_personalized_pr")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q205_personalized_pr")(spark, sfDir)),
+      // wave 27: q206 rolls the corpus to a per-user frame first; the
+      // ntile windows run over |users| rows
+      "q206_rfm_segments" ->
+        (() => graft.SparkEntry.queries("q206_rfm_segments")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -454,7 +458,8 @@ object VerifyScaled {
       "q204_funnel_conversion" ->
         graft.SparkEntry.oracleSql("q204_funnel_conversion"),
       "q205_personalized_pr" ->
-        graft.SparkEntry.oracleSql("q205_personalized_pr"))
+        graft.SparkEntry.oracleSql("q205_personalized_pr"),
+      "q206_rfm_segments" -> graft.SparkEntry.oracleSql("q206_rfm_segments"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
