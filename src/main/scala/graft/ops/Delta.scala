@@ -133,4 +133,47 @@ object Delta {
           .otherwise(expr(
             "(n_shingles - n_contained) * 1000000L div n_shingles")))
   }
+
+  /** Slowly-changing-dimension Type-2 build: collapse a keyed change log
+    * into effective-dated attribute versions — the warehouse spelling of
+    * "history table from events". Rows are ordered per key by
+    * (`orderCol`, `tieCol`); consecutive runs of the same `attrCol`
+    * value become one version row.
+    *
+    * Output: (key, version, attr, effective_from, effective_to,
+    * is_current, n_rows) — `effective_from` is the first `orderCol` of
+    * the run, `effective_to` the next version's start (NULL while
+    * current), `is_current` 1/0.
+    *
+    * Scale shape: the gaps-and-islands classic — one window pass keyed
+    * on the dimension key (lag + running sum, both on the same window
+    * spec so ONE shuffle), a (key, version) aggregate that reuses that
+    * partitioning, and a second tiny window over the version frame for
+    * `effective_to`. No self-join of the log. */
+  def scd2(log: DataFrame, keyCol: String, attrCol: String,
+      orderCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc, col(tieCol).asc)
+    val run = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = log
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(run))
+      .groupBy(col(keyCol).as("key"), col("version"))
+      .agg(min(col(attrCol)).as("attr"),
+        min(col(orderCol)).as("effective_from"),
+        count(lit(1)).as("n_rows"))
+    val byVer = Window.partitionBy(col("key")).orderBy(col("version").asc)
+    versions
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byVer))
+      .withColumn("is_current",
+        when(col("effective_to").isNull, 1L).otherwise(0L))
+      .select(col("key"), col("version"), col("attr"),
+        col("effective_from"), col("effective_to"), col("is_current"),
+        col("n_rows"))
+  }
 }

@@ -321,7 +321,33 @@ object VerifyScaled {
       // wave 27: q206 rolls the corpus to a per-user frame first; the
       // ntile windows run over |users| rows
       "q206_rfm_segments" ->
-        (() => graft.SparkEntry.queries("q206_rfm_segments")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q206_rfm_segments")(spark, sfDir)),
+      // wave 28: q207's pair join is basket-width-bounded after the
+      // A-priori singleton prune (the brand universe is a dimension —
+      // the DISTINCT membership frame scales with orders, pairs per
+      // basket stay constant); q208/q209 are user-keyed window passes;
+      // q210 is the gaps-and-islands window keyed on the dimension key
+      "q207_assoc_rules" ->
+        (() => graft.SparkEntry.queries("q207_assoc_rules")(spark, sfDir)),
+      "q208_markov_transitions" ->
+        (() => graft.SparkEntry.queries("q208_markov_transitions")(spark, sfDir)),
+      "q209_last_touch" ->
+        (() => graft.SparkEntry.queries("q209_last_touch")(spark, sfDir)),
+      "q210_scd2_dimension" ->
+        (() => graft.SparkEntry.queries("q210_scd2_dimension")(spark, sfDir)),
+      // wave 29: q211/q212 are digit-/rank-keyed aggregates (ranks
+      // windowed per source, no global sort); q213/q214 are user-keyed
+      // windows; q215 is the q204 deadline-bounded funnel-join class
+      "q211_benford" ->
+        (() => graft.SparkEntry.queries("q211_benford")(spark, sfDir)),
+      "q212_gini_concentration" ->
+        (() => graft.SparkEntry.queries("q212_gini_concentration")(spark, sfDir)),
+      "q213_decay_score" ->
+        (() => graft.SparkEntry.queries("q213_decay_score")(spark, sfDir)),
+      "q214_session_paths" ->
+        (() => graft.SparkEntry.queries("q214_session_paths")(spark, sfDir)),
+      "q215_linear_attribution" ->
+        (() => graft.SparkEntry.queries("q215_linear_attribution")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -459,7 +485,21 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q204_funnel_conversion"),
       "q205_personalized_pr" ->
         graft.SparkEntry.oracleSql("q205_personalized_pr"),
-      "q206_rfm_segments" -> graft.SparkEntry.oracleSql("q206_rfm_segments"))
+      "q206_rfm_segments" -> graft.SparkEntry.oracleSql("q206_rfm_segments"),
+      "q207_assoc_rules" -> graft.SparkEntry.oracleSql("q207_assoc_rules"),
+      "q208_markov_transitions" ->
+        graft.SparkEntry.oracleSql("q208_markov_transitions"),
+      "q209_last_touch" -> graft.SparkEntry.oracleSql("q209_last_touch"),
+      "q210_scd2_dimension" ->
+        graft.SparkEntry.oracleSql("q210_scd2_dimension"),
+      "q211_benford" -> graft.SparkEntry.oracleSql("q211_benford"),
+      "q212_gini_concentration" ->
+        graft.SparkEntry.oracleSql("q212_gini_concentration"),
+      "q213_decay_score" -> graft.SparkEntry.oracleSql("q213_decay_score"),
+      "q214_session_paths" ->
+        graft.SparkEntry.oracleSql("q214_session_paths"),
+      "q215_linear_attribution" ->
+        graft.SparkEntry.oracleSql("q215_linear_attribution"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
