@@ -70,4 +70,83 @@ object Audit {
             "(2L * __s1 - (n + 1L) * total) div (n * total div 1000000L)"))
           .cast("long").as("gini_ppm"))
   }
+
+  /** ABC / Pareto classification: entities ranked by descending value,
+    * classified by their CUMULATIVE share of the total — A up to
+    * `aPpm` (the classic 80%), B up to `bPpm` (95%), C above. The
+    * inventory-management classic; in a training-data pipeline it is the
+    * "which sources/domains carry the corpus" cut.
+    *
+    * Output: one row per entity — (keyCol, value, rank, cum_ppm,
+    * abc_class). A boundary entity straddling the threshold counts as
+    * the HIGHER class (its cumulative share is what first crosses).
+    *
+    * Scale shape: one keyed rollup to |entities| rows, then a global
+    * rank window over that (range-partitioned sort over the entity
+    * frame, not the fact table) and a 1-row total cross join. The share
+    * BRANCHES on the total's magnitude (the q191 ratio lesson):
+    * numerator-upscale `cum·1e6 div tot` is exact but overflows int64
+    * past tot ≈ 9.2e12, denominator-downscale `cum div (tot div 1e6)`
+    * never overflows but zeroes below tot = 1e6 — the branch condition
+    * is the same data in both engines, so the hash stays exact. */
+  def abcClassification(facts: DataFrame, keyCol: String, valueCol: String,
+      aPpm: Long = 800000L, bPpm: Long = 950000L): DataFrame = {
+    require(aPpm >= 1 && aPpm < bPpm && bPpm <= 1000000L)
+    val per = facts.groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    val w = Window.orderBy(col("value").desc, col(keyCol).asc)
+    per
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(per.agg(sum(col("value")).as("__tot")))
+      .withColumn("cum_ppm",
+        expr("CASE WHEN __tot < 1000000L THEN __cum * 1000000L div __tot" +
+          " ELSE __cum div (__tot div 1000000L) END"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= aPpm, "A")
+          .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
+      .select(col(keyCol), col("value"), col("rank"), col("cum_ppm"),
+        col("abc_class"))
+  }
+
+  /** Parent/child referential-integrity and amount reconciliation — the
+    * nightly warehouse audit: orphaned children (no parent), childless
+    * parents, and parents whose recorded total disagrees with the sum of
+    * their children beyond `toleranceE2` integer cents.
+    *
+    * Output: one row per issue — (issue, entity_key, detail_e2) with
+    * issue ∈ {orphan_child, childless_parent, amount_mismatch};
+    * `detail_e2` is the child count for orphans (always from one child
+    * key's perspective: rows), 0 for childless, and the signed
+    * difference (recorded − derived) for mismatches.
+    *
+    * Scale shape: children collapse to a per-parent aggregate first, so
+    * the full-outer join is |parents| + |parent-keys-in-children| rows —
+    * never row-level fact × fact. */
+  def reconcile(parents: DataFrame, children: DataFrame,
+      parentKey: String, childFk: String, parentAmount: String,
+      childAmount: String, toleranceE2: Long): DataFrame = {
+    val p = parents.select(col(parentKey).as("__k"),
+      round(col(parentAmount) * 100).cast("long").as("__pa"))
+    val c = children
+      .select(col(childFk).as("__k"),
+        round(col(childAmount) * 100).cast("long").as("__ca"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__ca")).as("__csum"))
+    val j = p.join(c, Seq("__k"), "full_outer")
+    val orphans = j.filter(col("__pa").isNull)
+      .select(lit("orphan_child").as("issue"), col("__k").as("entity_key"),
+        col("__n").as("detail_e2"))
+    val childless = j.filter(col("__pa").isNotNull && col("__n").isNull)
+      .select(lit("childless_parent").as("issue"),
+        col("__k").as("entity_key"), lit(0L).as("detail_e2"))
+    val mismatch = j
+      .filter(col("__pa").isNotNull && col("__n").isNotNull &&
+        abs(col("__pa") - col("__csum")) > toleranceE2)
+      .select(lit("amount_mismatch").as("issue"),
+        col("__k").as("entity_key"),
+        (col("__pa") - col("__csum")).as("detail_e2"))
+    orphans.unionByName(childless).unionByName(mismatch)
+  }
 }

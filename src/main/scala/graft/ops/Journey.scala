@@ -160,4 +160,56 @@ object Journey {
         sum(expr("__v div shiftleft(1L, cast(__h as int))"))
           .as("decayed_e4"))
   }
+
+  /** Inter-event interval distribution for one event type: per-user
+    * consecutive gaps ((ts, tie) order), summarized per a grouping of
+    * the gap in whole days — the purchase-cadence readout (and, on an
+    * ingest log, the crawl-revisit cadence).
+    *
+    * Output: (gap_days, n_intervals, n_users) sorted by gap. Scale
+    * shape: one user-keyed window pass over the filtered type, then a
+    * |distinct gaps|-row aggregate. */
+  def interEventIntervals(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, eventType: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events.filter(col(typeCol) === eventType)
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("gap_days",
+        expr(s"(unix_micros($tsCol) - __prev) div ${dayUs}L"))
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_intervals"),
+        countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Out-of-order arrival profile: how late events arrive relative to
+    * the order they were ingested in (`seqCol`, e.g. a monotone event
+    * id) vs the order they HAPPENED in (`tsCol`) — per event type, the
+    * share of events arriving behind an already-ingested later event and
+    * the max/mean lateness in seconds. THE input for choosing a
+    * streaming watermark delay: a watermark below the observed lateness
+    * tail silently drops those events.
+    *
+    * Lateness of an event = running max of event time over everything
+    * ingested before it (per type, `seqCol` order) minus its own event
+    * time, floored at 0. Output: (type, n, late_ppm, max_late_s,
+    * sum_late_s). Scale shape: one type-keyed window pass. */
+  def latenessProfile(events: DataFrame, typeCol: String, tsCol: String,
+      seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(seqCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__hwm", max(unix_micros(col(tsCol))).over(w))
+      .withColumn("__late",
+        greatest(coalesce(col("__hwm") - unix_micros(col(tsCol)), lit(0L)),
+          lit(0L)))
+      .groupBy(col(typeCol).as("type"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(case when __late > 0 then 1L else 0L end) " +
+          "* 1000000L div count(1)").as("late_ppm"),
+        expr("max(__late) div 1000000L").as("max_late_s"),
+        expr("sum(__late) div 1000000L").as("sum_late_s"))
+  }
 }

@@ -111,4 +111,41 @@ object Series {
       .withColumn("filled", col("__s").isNull && col("value_e4").isNotNull)
       .select(col(groupCol), col("day"), col("value_e4"), col("filled"))
   }
+
+  /** Weekday seasonality profile: per (group, weekday 0–6 with 0 =
+    * Thursday — absolute day index mod 7, epoch day 0 was a Thursday; no
+    * calendar/timezone arithmetic to disagree on), the MEDIAN of the
+    * group's daily event counts on that weekday, plus each weekday's
+    * lift vs the group's all-week median in ppm. The seasonal baseline a
+    * burst detector (q192's class) should normalize against before
+    * flagging "unusual" Mondays.
+    *
+    * Medians are exact lower-median picks over integer daily counts
+    * (value-sorted, both engines agree); output is
+    * (groupCol, weekday, n_days, median_daily, lift_ppm).
+    *
+    * Scale shape: the corpus rolls up to one (group, day) count frame;
+    * everything after runs on |groups|·|days| rows. */
+  def weekdayProfile(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events.select(col(groupCol),
+        expr(s"unix_micros($tsCol) div ${DayUs}L").as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("__c"))
+    // exact lower median: element at 1-based index (n-1) div 2 + 1 of the
+    // value-sorted daily counts (both engines sort longs identically)
+    val byWd = daily
+      .withColumn("weekday", expr("day % 7L"))
+      .groupBy(col(groupCol), col("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("element_at(sort_array(collect_list(__c)), " +
+          "cast((count(1) - 1) div 2 + 1 as int))").as("median_daily"))
+    val overall = daily.groupBy(col(groupCol))
+      .agg(expr("element_at(sort_array(collect_list(__c)), " +
+        "cast((count(1) - 1) div 2 + 1 as int))").as("__allmed"))
+    byWd.join(overall, Seq(groupCol))
+      .withColumn("lift_ppm", expr("median_daily * 1000000L div __allmed"))
+      .select(col(groupCol), col("weekday"), col("n_days"),
+        col("median_daily"), col("lift_ppm"))
+  }
 }

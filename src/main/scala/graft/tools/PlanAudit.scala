@@ -73,7 +73,15 @@ object PlanAudit {
       "q189_threshold_calibration",
       // q191 cross-joins the 1-ROW Herfindahl baseline (the q90 scalar
       // class)
-      "q191_shuffle_quality")
+      "q191_shuffle_quality",
+      // q207 cross-joins the 1-ROW basket grand total into the 25-row
+      // singleton frame and the ≤|brands|² pair frame; q211 the 1-ROW
+      // digit grand total into a 9-row frame; q213 the 1-ROW reference
+      // day — all the q90 scalar class
+      "q207_assoc_rules", "q211_benford", "q213_decay_score",
+      // q216 cross-joins the 1-ROW revenue grand total into the
+      // |parts|-row dimension frame (the q90 scalar class)
+      "q216_abc_parts")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -347,7 +347,21 @@ object VerifyScaled {
       "q214_session_paths" ->
         (() => graft.SparkEntry.queries("q214_session_paths")(spark, sfDir)),
       "q215_linear_attribution" ->
-        (() => graft.SparkEntry.queries("q215_linear_attribution")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q215_linear_attribution")(spark, sfDir)),
+      // wave 30: q216's rank window runs over the |parts| dimension
+      // frame (facts roll up first); q217 over the (type, day) frame;
+      // q218's full-outer join is per-parent aggregates on both sides;
+      // q219/q220 are user-/type-keyed window passes
+      "q216_abc_parts" ->
+        (() => graft.SparkEntry.queries("q216_abc_parts")(spark, sfDir)),
+      "q217_weekday_profile" ->
+        (() => graft.SparkEntry.queries("q217_weekday_profile")(spark, sfDir)),
+      "q218_reconcile" ->
+        (() => graft.SparkEntry.queries("q218_reconcile")(spark, sfDir)),
+      "q219_purchase_intervals" ->
+        (() => graft.SparkEntry.queries("q219_purchase_intervals")(spark, sfDir)),
+      "q220_lateness_profile" ->
+        (() => graft.SparkEntry.queries("q220_lateness_profile")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -499,7 +513,15 @@ object VerifyScaled {
       "q214_session_paths" ->
         graft.SparkEntry.oracleSql("q214_session_paths"),
       "q215_linear_attribution" ->
-        graft.SparkEntry.oracleSql("q215_linear_attribution"))
+        graft.SparkEntry.oracleSql("q215_linear_attribution"),
+      "q216_abc_parts" -> graft.SparkEntry.oracleSql("q216_abc_parts"),
+      "q217_weekday_profile" ->
+        graft.SparkEntry.oracleSql("q217_weekday_profile"),
+      "q218_reconcile" -> graft.SparkEntry.oracleSql("q218_reconcile"),
+      "q219_purchase_intervals" ->
+        graft.SparkEntry.oracleSql("q219_purchase_intervals"),
+      "q220_lateness_profile" ->
+        graft.SparkEntry.oracleSql("q220_lateness_profile"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
