@@ -149,4 +149,41 @@ object Audit {
         (col("__pa") - col("__csum")).as("detail_e2"))
     orphans.unionByName(childless).unionByName(mismatch)
   }
+
+  /** Vector-store integrity audit: documents vs their embedding rows —
+    * matched/missing on each side, off-dimension vectors (vs the MODAL
+    * dimension, derived from the data: highest count, ties to the
+    * smaller), and non-finite vectors. The non-finite probe rides on
+    * array_max/array_min (codegen'd; NaN orders greatest in both
+    * engines), not a per-element interpreted lambda.
+    *
+    * Output: one row — (n_docs, n_vectors, n_matched, n_doc_only,
+    * n_vec_only, modal_dim, n_dim_anomaly, n_nonfinite). Scale shape:
+    * per-row constant work, one full-outer equi-join on the id, three
+    * 1-row aggregates cross-joined. */
+  def vectorStoreAudit(docs: DataFrame, docIdCol: String,
+      vectors: DataFrame, vecIdCol: String, embCol: String): DataFrame = {
+    val d = docs.select(col(docIdCol).as("__id"), lit(1L).as("__doc"))
+    val v = vectors.select(col(vecIdCol).as("__id"), lit(1L).as("__vec"),
+      size(col(embCol)).cast("long").as("__dim"),
+      (isnan(array_max(col(embCol))) ||
+        array_max(col(embCol)) === lit(Float.PositiveInfinity) ||
+        array_min(col(embCol)) === lit(Float.NegativeInfinity))
+        .as("__bad"))
+    val modal = v.groupBy(col("__dim")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__dim").asc).limit(1)
+      .select(col("__dim").as("modal_dim"))
+    val joined = d.join(v, Seq("__id"), "full_outer").crossJoin(modal)
+    joined.agg(
+      sum(coalesce(col("__doc"), lit(0L))).as("n_docs"),
+      sum(coalesce(col("__vec"), lit(0L))).as("n_vectors"),
+      sum(when(col("__doc").isNotNull && col("__vec").isNotNull, 1L)
+        .otherwise(0L)).as("n_matched"),
+      sum(when(col("__vec").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+      sum(when(col("__doc").isNull, 1L).otherwise(0L)).as("n_vec_only"),
+      min(col("modal_dim")).as("modal_dim"),
+      sum(when(col("__dim").isNotNull && col("__dim") =!= col("modal_dim"),
+        1L).otherwise(0L)).as("n_dim_anomaly"),
+      sum(when(col("__bad"), 1L).otherwise(0L)).as("n_nonfinite"))
+  }
 }

@@ -275,6 +275,62 @@ object Dedup {
         col("n_b"), col("cont_a_ppm"), col("cont_b_ppm"))
   }
 
+  /** Template-flood report: documents collapsed to a TEMPLATE SKELETON —
+    * lowercase, every digit run replaced by '0', whitespace collapsed —
+    * so "Order #4512 shipped" and "order #7 shipped" land in one
+    * skeleton. Per source: docs, distinct skeletons, the largest
+    * skeleton cluster, and the ppm of docs sitting in clusters of
+    * `minClusterSize`+ — the synthetic-flood / boilerplate canary that
+    * exact dedup (different numbers ⇒ different md5) cannot see.
+    *
+    * Output: (sourceCol, n_docs, n_skeletons, max_cluster, flood_ppm).
+    * Scale shape: one map-side md5 per doc, one (source, skeleton)
+    * aggregate, one |sources|-row rollup. */
+  def templateFloodReport(df: DataFrame, sourceCol: String,
+      textCol: String, minClusterSize: Long): DataFrame = {
+    require(minClusterSize >= 2)
+    val skel = md5(regexp_replace(
+      regexp_replace(lower(trim(col(textCol))), "[0-9]+", "0"),
+      "\\s+", " "))
+    df.select(col(sourceCol), skel.as("__sk"))
+      .groupBy(col(sourceCol), col("__sk"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_skeletons"),
+        max(col("__n")).as("max_cluster"),
+        sum(when(col("__n") >= minClusterSize, col("__n"))
+          .otherwise(0L)).as("__flood"))
+      .withColumn("flood_ppm", expr("__flood * 1000000L div n_docs"))
+      .drop("__flood")
+  }
+
+  /** Provenance-union manifest for exact-dedup clusters: when canonical
+    * dedup keeps one document per fingerprint, the release must carry the
+    * UNION of the cluster's provenance (licensing follows the strictest
+    * member, not the keeper's) — per duplicated fingerprint: the keeper,
+    * the cluster size, and the sorted distinct source list with a
+    * cross-source flag.
+    *
+    * Output: (fp, keep_id, n_dups, n_sources, sources, cross_source),
+    * clusters of size ≥ 2 only (singletons have nothing to reconcile).
+    * The cluster definition is the caller-chosen `fingerprint` (the
+    * [[crossSourceDupMatrix]] convention): full normalized-text md5 for
+    * exact clusters, a prefix fingerprint for boilerplate families.
+    * Scale shape: the [[exactGroups]] aggregate with a bounded
+    * sorted-collect of sources (|sources| is a dimension). */
+  def provenanceManifest(df: DataFrame, idCol: String, sourceCol: String,
+      fingerprint: org.apache.spark.sql.Column): DataFrame =
+    df.select(fingerprint.as("fp"), col(idCol), col(sourceCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        array_join(array_sort(collect_set(col(sourceCol))), ",")
+          .as("sources"))
+      .filter(col("n_dups") >= 2L)
+      .withColumn("cross_source",
+        when(col("n_sources") > 1L, 1L).otherwise(0L))
+
   /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
     * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
     * corpus occurrence (smallest (id, position)); later occurrences —

@@ -190,4 +190,26 @@ object Preference {
       .select(col(groupCol), col(idCol), col(scoreCol), col("rank"),
         col("n"), col("adv_ppm"))
   }
+
+  /** Position-bias audit over pairwise comparisons: per margin bucket
+    * (|margin| div `bucketE6`), the share of matches the FIRST-SHOWN
+    * side won. An unbiased judge reads 500000 ppm everywhere; position
+    * bias shows as a positive offset that is LARGEST in the low-margin
+    * buckets (close calls are where presentation order decides) — the
+    * standard QA gate on human/LLM preference collection.
+    *
+    * `firstWinCol` is a boolean column: the caller knows which side was
+    * shown first. Output: (margin_bucket, n, n_first_win, first_win_ppm,
+    * bias_ppm). Scale shape: one map-combined aggregate over the match
+    * log. */
+  def positionBias(matches: DataFrame, firstWinCol: String,
+      marginCol: String, bucketE6: Long): DataFrame = {
+    require(bucketE6 >= 1)
+    matches
+      .groupBy(expr(s"abs($marginCol) div ${bucketE6}L").as("margin_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(firstWinCol), 1L).otherwise(0L)).as("n_first_win"))
+      .withColumn("first_win_ppm", expr("n_first_win * 1000000L div n"))
+      .withColumn("bias_ppm", col("first_win_ppm") - lit(500000L))
+  }
 }

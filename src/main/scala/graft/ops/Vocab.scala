@@ -572,4 +572,42 @@ object Vocab {
       .select(col("w1"), col("w2"), col("bg_cnt"), col("c1"), col("c2"),
         col("lift_ppm"))
   }
+
+  /** Per-group nucleus vocabulary: how many distinct tokens, taken in
+    * frequency order (count desc, token asc), carry `massPpm` of the
+    * group's token mass — the top-p "effective vocabulary" readout
+    * ([[topVocab]] asks what a FIXED top-k covers; this inverts the
+    * question per group). A token is in the nucleus while the mass
+    * BEFORE it is under the target (standard top-p inclusion), so the
+    * nucleus always reaches the target mass.
+    *
+    * Output: (groupCol, total_tokens, vocab_size, nucleus_size,
+    * top10_ppm). Scale shape: one (group, token) aggregate over the
+    * exploded stream, then rank/cumsum/total windows sharing ONE
+    * group-keyed partitioning over the |group vocab| frame. The
+    * inclusion test multiplies cumulative mass by 1e6 — exact to ~9e12
+    * tokens per group (the [[topVocab]] bound). */
+  def nucleusVocab(df: DataFrame, groupCol: String, textCol: String,
+      massPpm: Long): DataFrame = {
+    require(massPpm >= 1 && massPpm <= 1000000L)
+    val counts = df
+      .select(col(groupCol), explode(toks(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("word").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(min(col("__tot")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(expr(s"(__cum - cnt) * 1000000L < __tot * ${massPpm}L"),
+          1L).otherwise(0L)).as("nucleus_size"),
+        expr("sum(case when rank <= 10 then cnt else 0L end) " +
+          "* 1000000L div min(__tot)").as("top10_ppm"))
+  }
 }

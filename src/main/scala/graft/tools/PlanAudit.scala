@@ -81,7 +81,10 @@ object PlanAudit {
       "q207_assoc_rules", "q211_benford", "q213_decay_score",
       // q216 cross-joins the 1-ROW revenue grand total into the
       // |parts|-row dimension frame (the q90 scalar class)
-      "q216_abc_parts")
+      "q216_abc_parts",
+      // q225 cross-joins the 1-ROW modal-dimension pick (a limit(1)
+      // over the |dims|-row histogram) into the id-join frame
+      "q225_vector_store_audit")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -361,7 +361,21 @@ object VerifyScaled {
       "q219_purchase_intervals" ->
         (() => graft.SparkEntry.queries("q219_purchase_intervals")(spark, sfDir)),
       "q220_lateness_profile" ->
-        (() => graft.SparkEntry.queries("q220_lateness_profile")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q220_lateness_profile")(spark, sfDir)),
+      // wave 31: q221/q222 are fingerprint-keyed aggregates (corpus
+      // touched once, md5 map-side); q223 runs on the prompt-bounded
+      // pair frame; q224's windows are source-keyed over the per-source
+      // vocab; q225 is a per-parent-style full-outer id join
+      "q221_template_floods" ->
+        (() => graft.SparkEntry.queries("q221_template_floods")(spark, sfDir)),
+      "q222_provenance_manifest" ->
+        (() => graft.SparkEntry.queries("q222_provenance_manifest")(spark, sfDir)),
+      "q223_position_bias" ->
+        (() => graft.SparkEntry.queries("q223_position_bias")(spark, sfDir)),
+      "q224_nucleus_vocab" ->
+        (() => graft.SparkEntry.queries("q224_nucleus_vocab")(spark, sfDir)),
+      "q225_vector_store_audit" ->
+        (() => graft.SparkEntry.queries("q225_vector_store_audit")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -521,7 +535,17 @@ object VerifyScaled {
       "q219_purchase_intervals" ->
         graft.SparkEntry.oracleSql("q219_purchase_intervals"),
       "q220_lateness_profile" ->
-        graft.SparkEntry.oracleSql("q220_lateness_profile"))
+        graft.SparkEntry.oracleSql("q220_lateness_profile"),
+      "q221_template_floods" ->
+        graft.SparkEntry.oracleSql("q221_template_floods"),
+      "q222_provenance_manifest" ->
+        graft.SparkEntry.oracleSql("q222_provenance_manifest"),
+      "q223_position_bias" ->
+        graft.SparkEntry.oracleSql("q223_position_bias"),
+      "q224_nucleus_vocab" ->
+        graft.SparkEntry.oracleSql("q224_nucleus_vocab"),
+      "q225_vector_store_audit" ->
+        graft.SparkEntry.oracleSql("q225_vector_store_audit"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
