@@ -134,6 +134,46 @@ object Delta {
             "(n_shingles - n_contained) * 1000000L div n_shingles")))
   }
 
+  /** Emerging-terms drift report: the `topK` tokens whose smoothed rate
+    * grew most from the `old` slice to the `new` slice — the per-token
+    * drift readout next to [[psiReport]]'s bucket-level PSI (a new crawl
+    * source, a meme, a spam campaign show up HERE first). Rates are
+    * add-one smoothed over (slice total + pooled vocab); each rate is
+    * floored to ppb FIRST, then the ratio to ppm — two documented floors
+    * instead of one int64-overflowing product (the q216 lesson).
+    *
+    * Output: (term, c_old, c_new, r_old_ppb, r_new_ppb, lift_ppm), top
+    * `topK` by (lift desc, term asc). Scale shape: one conditional
+    * (term, slice) aggregate over the exploded stream; totals and the
+    * pooled vocab are a 1-row cross join; the top-k is
+    * TakeOrderedAndProject, never a full-vocab sort partition. */
+  def emergingTerms(df: DataFrame, textCol: String,
+      isNew: Column, topK: Int): DataFrame = {
+    val tok = df.select(isNew.as("__new"),
+        explode(graft.functions.TextFns.wordTokens(col(textCol)))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy(col("term"))
+      .agg(sum(when(col("__new"), 0L).otherwise(1L)).as("c_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("c_new"))
+      .localCheckpoint(false)
+    val totals = counts.agg(sum(col("c_old")).as("__to"),
+      sum(col("c_new")).as("__tn"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("r_old_ppb",
+        expr("(c_old + 1L) * 1000000000L div (__to + __v)"))
+      .withColumn("r_new_ppb",
+        expr("(c_new + 1L) * 1000000000L div (__tn + __v)"))
+      // greatest(…,1): past ~1e9 tokens the ppb floor can reach 0 for
+      // hapaxes — clamp so the ratio stays defined, same in both engines
+      .withColumn("lift_ppm",
+        expr("r_new_ppb * 1000000L div greatest(r_old_ppb, 1L)"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+      .limit(topK)
+      .select(col("term"), col("c_old"), col("c_new"), col("r_old_ppb"),
+        col("r_new_ppb"), col("lift_ppm"))
+  }
+
   /** Slowly-changing-dimension Type-2 build: collapse a keyed change log
     * into effective-dated attribute versions — the warehouse spelling of
     * "history table from events". Rows are ordered per key by

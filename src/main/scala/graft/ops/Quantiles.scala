@@ -97,4 +97,45 @@ object Quantiles {
         first(col("__vmin")).as("vmin"),
         first(col("__vmax")).as("vmax"))
   }
+
+  /** Pooled-decile calibration mix: each group's share of rows landing in
+    * every decile of the POOLED integer-score distribution — the
+    * cross-source score-calibration table (a source whose mass piles into
+    * pooled deciles 1–2 is scored harshly relative to the pool; q189
+    * calibrates ONE cutoff per group, this shows the whole mix).
+    *
+    * Decile cutoffs are exact rank-ceil percentiles via the q189
+    * histogram-cumulative spelling: windows run over the DISTINCT-score
+    * frame (bounded by the value domain, never a corpus-length sort
+    * partition); cutoff d = min score with `cum·10 ≥ n·d`. A row's decile
+    * is `1 + Σ_d [score > cutoff_d]` — boundary ties stay in the lower
+    * decile, identical in any engine. The 9 cutoffs join back as ONE
+    * broadcast row.
+    *
+    * Output: (groupCol, decile, n, share_ppm) with share per group. */
+  def pooledDecileMix(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val scores = df.select(col(groupCol), col(scoreCol).cast("long").as("__s"))
+    val hist = scores.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__s").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val cutoffCols = (1 to 9).map(d =>
+      min(when(col("__cum") * 10L >= col("__n") * d, col("__s")))
+        .as(s"__q$d"))
+    val cutoffs = hist.agg(cutoffCols.head, cutoffCols.tail: _*)
+    val decile = (1 to 9).map(d => when(col("__s") > col(s"__q$d"), 1L)
+      .otherwise(0L)).reduce(_ + _) + 1L
+    scores.crossJoin(broadcast(cutoffs))
+      .withColumn("decile", decile)
+      .groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__gn", sum(col("n")).over(
+        Window.partitionBy(col(groupCol))))
+      .withColumn("share_ppm", expr("n * 1000000L div __gn"))
+      .drop("__gn")
+  }
 }

@@ -320,4 +320,36 @@ object RankEval {
       .select(col(pairCol), col("n_comparisons"), col("a_wins"),
         col("p_ppm"), col("significant"))
   }
+
+  /** Kendall rank correlation between two rankings of the same per-query
+    * item set (no ties — both rank columns are row_numbers):
+    * τ = (concordant − discordant) / pairs = (pairs − 2·disc) / pairs,
+    * in ppm. THE rerank-agreement readout: how much a second route
+    * (cross-encoder, semantic) actually reorders the first's shortlist.
+    *
+    * Input: one row per (query, item) carrying BOTH ranks (the caller
+    * inner-joins its two routes). Queries with fewer than two common
+    * items carry no pairs and drop out. Output: (queryIdCol, m, n_pairs,
+    * n_disc, tau_ppm).
+    *
+    * Scale shape: the pair frame is a per-query equi-join over
+    * shortlist-sized groups — ≤ k(k−1)/2 pairs per query, never corpus ×
+    * corpus. */
+  def kendallTau(ranked: DataFrame, queryIdCol: String, rankACol: String,
+      rankBCol: String): DataFrame = {
+    val l = ranked.select(col(queryIdCol).as("__q"),
+      col(rankACol).as("__a1"), col(rankBCol).as("__b1"))
+    val r = ranked.select(col(queryIdCol).as("__q"),
+      col(rankACol).as("__a2"), col(rankBCol).as("__b2"))
+    val m = ranked.groupBy(col(queryIdCol).as("__q"))
+      .agg(count(lit(1)).as("m"))
+    l.join(r, Seq("__q")).filter(col("__a1") < col("__a2"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__b1") > col("__b2"), 1L).otherwise(0L)).as("n_disc"))
+      .join(m, Seq("__q"))
+      .select(col("__q").as(queryIdCol), col("m"), col("n_pairs"),
+        col("n_disc"),
+        expr("(n_pairs - 2L * n_disc) * 1000000L div n_pairs").as("tau_ppm"))
+  }
 }

@@ -176,6 +176,47 @@ object Stream {
         })
   }
 
+  /** Running lateness state per event type — see [[latenessStream]]. */
+  case class LatenessRunning(typ: String, n: Long, n_late: Long,
+      max_late_us: Long, sum_late_us: Long, hwm_us: Long)
+
+  /** Streaming form of [[graft.ops.Journey.latenessProfile]]: per event
+    * type, a running high-water-mark of event time in INGEST order
+    * (`seqCol` within each micro-batch — the [[nearDupFilterStream]]
+    * in-batch ordering convention), accumulating how many events arrived
+    * behind an already-seen later event and the lateness tail. Emits the
+    * running state after each batch; the LAST row per type equals the
+    * batch profile (StreamingSpec pins the parity).
+    *
+    * State is one 5-long record per event type — bounded by the type
+    * dimension, no timeout needed. */
+  def latenessStream(events: DataFrame, typeCol: String, tsCol: String,
+      seqCol: String): Dataset[LatenessRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(typeCol).cast("string"),
+        unix_micros(col(tsCol).cast("timestamp")), col(seqCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[LatenessRunning]) => {
+          val sorted = rows.toSeq.sortBy(_._3)
+          var s = state.getOption.getOrElse(
+            LatenessRunning(typ, 0L, 0L, 0L, 0L, Long.MinValue))
+          sorted.foreach { case (_, us, _) =>
+            val late =
+              if (s.hwm_us == Long.MinValue) 0L
+              else math.max(0L, s.hwm_us - us)
+            s = LatenessRunning(typ, s.n + 1, s.n_late + (if (late > 0) 1 else 0),
+              math.max(s.max_late_us, late), s.sum_late_us + late,
+              math.max(s.hwm_us, us))
+          }
+          state.update(s)
+          Iterator.single(s)
+        })
+  }
+
   /** Per-bucket SimHash state for [[nearDupFilterStream]]. */
   case class BucketPrints(bucket: Long, prints: List[Long])
 

@@ -84,7 +84,11 @@ object PlanAudit {
       "q216_abc_parts",
       // q225 cross-joins the 1-ROW modal-dimension pick (a limit(1)
       // over the |dims|-row histogram) into the id-join frame
-      "q225_vector_store_audit")
+      "q225_vector_store_audit",
+      // q226 broadcasts the 1-ROW decile-cutoff frame; q227 the 1-ROW
+      // corpus totals (the q90 scalar class); q228 inherits BM25's
+      // 1-row corpus-stats cross join (the q130 class)
+      "q226_decile_mix", "q227_emerging_terms", "q228_rerank_agreement")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -375,7 +375,18 @@ object VerifyScaled {
       "q224_nucleus_vocab" ->
         (() => graft.SparkEntry.queries("q224_nucleus_vocab")(spark, sfDir)),
       "q225_vector_store_audit" ->
-        (() => graft.SparkEntry.queries("q225_vector_store_audit")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q225_vector_store_audit")(spark, sfDir)),
+      // wave 32: q226's cutoff windows run over the DISTINCT-score frame
+      // (value-domain bounded); q227 is a vocab-keyed conditional
+      // aggregate + TakeOrderedAndProject; q228 reranks the bounded
+      // BM25 shortlist (the q19 queries-sample class — its postings
+      // probe oracle is the q130 family, 8x-only by that precedent)
+      "q226_decile_mix" ->
+        (() => graft.SparkEntry.queries("q226_decile_mix")(spark, sfDir)),
+      "q227_emerging_terms" ->
+        (() => graft.SparkEntry.queries("q227_emerging_terms")(spark, sfDir)),
+      "q228_rerank_agreement" ->
+        (() => graft.SparkEntry.queries("q228_rerank_agreement")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -545,7 +556,12 @@ object VerifyScaled {
       "q224_nucleus_vocab" ->
         graft.SparkEntry.oracleSql("q224_nucleus_vocab"),
       "q225_vector_store_audit" ->
-        graft.SparkEntry.oracleSql("q225_vector_store_audit"))
+        graft.SparkEntry.oracleSql("q225_vector_store_audit"),
+      "q226_decile_mix" -> graft.SparkEntry.oracleSql("q226_decile_mix"),
+      "q227_emerging_terms" ->
+        graft.SparkEntry.oracleSql("q227_emerging_terms"),
+      "q228_rerank_agreement" ->
+        graft.SparkEntry.oracleSql("q228_rerank_agreement"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
