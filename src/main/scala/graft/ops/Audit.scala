@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,6 +148,32 @@ object Audit {
         col("__k").as("entity_key"),
         (col("__pa") - col("__csum")).as("detail_e2"))
     orphans.unionByName(childless).unionByName(mismatch)
+  }
+
+  /** Chi-square uniformity audit of the deterministic md5 sampler
+    * (q56's splitter): keys hashed into `k` buckets, observed counts
+    * tested against the uniform expectation. A skewed sampler silently
+    * biases every hash-carved train/eval split, so the splitter itself
+    * needs a QC gate. χ² = Σ(k·o − n)² / (k·n) — the (o − n/k)²/(n/k)
+    * classic cleared of fractions, integer-exact; unseen buckets enter
+    * as (k − seen)·n² so an empty bucket is counted, not ignored.
+    *
+    * Output: one row — (n, k, buckets_seen, chi2_e6, dof). Healthy ≈
+    * dof·1e6 (mean of the χ² distribution). Scale shape: one k-group
+    * map-combined aggregate + a 1-row total. */
+  def samplerUniformity(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2)
+    val b = df.select(pmod(graft.functions.HashFns.md5Long(key, 8),
+        lit(k.toLong)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__o"))
+    b.crossJoin(b.agg(sum(col("__o")).as("__n")))
+      .agg(min(col("__n")).as("n"),
+        lit(k.toLong).as("k"),
+        count(lit(1)).as("buckets_seen"),
+        expr(s"(sum(($k * __o - __n) * ($k * __o - __n))" +
+          s" + ($k - count(1)) * min(__n) * min(__n))" +
+          s" * 1000000L div ($k * min(__n))").as("chi2_e6"),
+        lit(k.toLong - 1).as("dof"))
   }
 
   /** Vector-store integrity audit: documents vs their embedding rows —

@@ -331,6 +331,45 @@ object Dedup {
       .withColumn("cross_source",
         when(col("n_sources") > 1L, 1L).otherwise(0L))
 
+  /** Near-miss pairs: SimHash-blocked candidate pairs whose hamming
+    * distance lands in [hamLo, hamHi] — ABOVE the dedup verify band, so
+    * the dedup pass rejected them, yet close enough to be informative —
+    * labeled with the exact bigram Jaccard. This is the training set a
+    * LEARNED dedup classifier needs: boundary cases with ground-truth
+    * similarity, mined at LSH cost (same banded candidates as q73, a
+    * different hamming slice).
+    *
+    * Output: (id_a, id_b, hamming, jaccard). Scale shape: the q73
+    * bucket-blocked self-join (one shared fingerprint subplan — both
+    * sides shuffle the identical projection, so ReuseExchange computes
+    * the fingerprints once), then a shingle join over candidate rows
+    * only; the shingle frame is lazily checkpointed (read twice). */
+  def nearMissPairs(df: DataFrame, idCol: String, textCol: String,
+      hamLo: Int, hamHi: Int, prefixBits: Int = 8): DataFrame = {
+    require(hamLo >= 1 && hamLo <= hamHi && hamHi <= 32)
+    val s = simHashFingerprintsMd5(df, idCol, textCol, prefixBits)
+      .select(col("bucket"), col(idCol).as("id"), col("simhash"))
+    val cand = s.as("a").join(s.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("hamming",
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
+      .filter(col("hamming") >= hamLo.toLong &&
+        col("hamming") <= hamHi.toLong)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("hamming"))
+    val sh = df.select(col(idCol).as("__sid"),
+        graft.expr.TextExprs.wordShingles(col(textCol), 2).as("__sh"))
+      .localCheckpoint(false)
+    cand
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")),
+        Seq("id_a"))
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(
+        graft.expr.TextExprs.sortedJaccard(col("__sha"), col("__shb")), 6))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
+  }
+
   /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
     * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
     * corpus occurrence (smallest (id, position)); later occurrences —

@@ -330,4 +330,39 @@ object Mixture {
       .select(col(strataCol), col(idCol), col("w"), col("priority"),
         col("tau"), greatest(col("w"), col("tau")).as("ht_w"))
   }
+
+  /** Variance-weighted QC-sample allocation: split an inspection budget
+    * across strata proportionally to n_h·var_h — high-variance strata
+    * get more eyeballs (Neyman allocation with σ² in place of σ: true
+    * Neyman needs a sqrt whose last-ulp both engines can disagree on;
+    * the σ² variant stays integer-exact and preserves the ordering
+    * rationale). The spread statistic is Σ(v − m)² with m the FLOORED
+    * stratum mean — the expansion Σv² − 2mΣv + n·m² keeps every
+    * intermediate ≤ n·max(v)², far from int64 overflow where n·Σv²
+    * alone would pass 2^63 (the q216 lesson).
+    *
+    * Output: (strataCol, n, var_weight, alloc) — floor allocation
+    * capped at the stratum size (Σ alloc ≤ budget by flooring); when
+    * every stratum is constant (Σ weights = 0) the budget falls back to
+    * n-proportional. Scale shape: one stratum aggregate + a 1-row
+    * total cross join. */
+  def varianceAllocation(df: DataFrame, strataCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val per = df
+      .select(col(strataCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sv"),
+        sum(col("__v") * col("__v")).as("__sv2"))
+      .withColumn("__m", expr("__sv div n"))
+      .withColumn("var_weight",
+        expr("__sv2 - 2L * __m * __sv + n * __m * __m"))
+    per
+      .crossJoin(per.agg(sum(col("var_weight")).as("__tw"),
+        sum(col("n")).as("__tn")))
+      .withColumn("alloc", least(col("n"),
+        expr(s"CASE WHEN __tw = 0 THEN ${budget}L * n div __tn" +
+          s" ELSE ${budget}L * var_weight div __tw END")))
+      .select(col(strataCol), col("n"), col("var_weight"), col("alloc"))
+  }
 }

@@ -88,7 +88,11 @@ object PlanAudit {
       // q226 broadcasts the 1-ROW decile-cutoff frame; q227 the 1-ROW
       // corpus totals (the q90 scalar class); q228 inherits BM25's
       // 1-row corpus-stats cross join (the q130 class)
-      "q226_decile_mix", "q227_emerging_terms", "q228_rerank_agreement")
+      "q226_decile_mix", "q227_emerging_terms", "q228_rerank_agreement",
+      // q229 cross-joins the 1-ROW bucket grand total into the k-row
+      // histogram; q230 the 1-ROW weight/size totals into the
+      // |strata|-row frame (the q90 scalar class)
+      "q229_sampler_uniformity", "q230_variance_allocation")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

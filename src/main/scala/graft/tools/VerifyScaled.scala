@@ -386,7 +386,17 @@ object VerifyScaled {
       "q227_emerging_terms" ->
         (() => graft.SparkEntry.queries("q227_emerging_terms")(spark, sfDir)),
       "q228_rerank_agreement" ->
-        (() => graft.SparkEntry.queries("q228_rerank_agreement")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q228_rerank_agreement")(spark, sfDir)),
+      // wave 33: q229/q230 are k-/strata-bounded aggregates (64x fine);
+      // q231 re-derives its SimHash bucket resolution like q171
+      // (constant occupancy — its exact Jaccard labeling still scales
+      // with the linear candidate count, so 8x-only by that precedent)
+      "q229_sampler_uniformity" ->
+        (() => graft.SparkEntry.queries("q229_sampler_uniformity")(spark, sfDir)),
+      "q230_variance_allocation" ->
+        (() => graft.SparkEntry.queries("q230_variance_allocation")(spark, sfDir)),
+      "q231_near_miss_pairs" ->
+        (() => graft.Queries33.q231NearMissWith(spark, sfDir, docBits)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -561,7 +571,12 @@ object VerifyScaled {
       "q227_emerging_terms" ->
         graft.SparkEntry.oracleSql("q227_emerging_terms"),
       "q228_rerank_agreement" ->
-        graft.SparkEntry.oracleSql("q228_rerank_agreement"))
+        graft.SparkEntry.oracleSql("q228_rerank_agreement"),
+      "q229_sampler_uniformity" ->
+        graft.SparkEntry.oracleSql("q229_sampler_uniformity"),
+      "q230_variance_allocation" ->
+        graft.SparkEntry.oracleSql("q230_variance_allocation"),
+      "q231_near_miss_pairs" -> graft.Queries33.q231SqlWith(docBits))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
