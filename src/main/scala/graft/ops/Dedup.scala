@@ -370,6 +370,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
   }
 
+  /** Whole-document dedup ROI for one fingerprint tier: how many
+    * documents AND how many tokens the tier would remove (keeper = min
+    * id per fingerprint) — the cost/benefit row a dedup-policy review
+    * compares across tiers of increasing aggression (exact md5 →
+    * digit-folded skeleton → opening-prefix).
+    *
+    * Output: one row — (tier, n_docs, n_tokens, docs_removed,
+    * tokens_removed, docs_ppm, tokens_ppm). Scale shape: one
+    * fingerprint aggregate + one equi-join back; the fingerprint frame
+    * is lazily checkpointed (two branches over the corpus md5). */
+  def dedupRoi(df: DataFrame, idCol: String, textCol: String,
+      tier: String, fingerprint: Column): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), fingerprint.as("__fp"),
+        graft.functions.TextFns.tokenCount(col(textCol)).as("__tk"))
+      .localCheckpoint(false)
+    val keep = base.groupBy(col("__fp")).agg(min(col("__id")).as("__keep"))
+    base.join(keep, Seq("__fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"),
+        sum(when(col("__id") =!= col("__keep"), 1L).otherwise(0L))
+          .as("docs_removed"),
+        sum(when(col("__id") =!= col("__keep"), col("__tk")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(lit(tier).as("tier"), col("n_docs"), col("n_tokens"),
+        col("docs_removed"), col("tokens_removed"),
+        expr("docs_removed * 1000000L div n_docs").as("docs_ppm"),
+        expr("tokens_removed * 1000000L div n_tokens").as("tokens_ppm"))
+  }
+
   /** Paragraph-level first-occurrence dedup — the CCNet dedup mode (Wenzek
     * et al. 2020 §3): every distinct non-empty line keeps only its FIRST
     * corpus occurrence (smallest (id, position)); later occurrences —

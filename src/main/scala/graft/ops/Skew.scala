@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join-amplification audit — the pre-flight a 100 TB join wants
+    * BEFORE AQE discovers the skew at runtime: per join key, both
+    * sides' row counts and the output amplification n_left·n_right,
+    * top `topK` keys by output with each key's share of the total join
+    * output in ppm. A handful of keys owning most of the output is the
+    * signature that calls for salting ([[saltedJoin]]) or an AQE skew
+    * threshold retune.
+    *
+    * Output: (key, n_left, n_right, out_rows, share_ppm), top `topK`
+    * by (out_rows desc, key asc). Scale shape: one keyed aggregate per
+    * side, a key-frame equi-join (never the row-level join itself), a
+    * 1-row total, and a TakeOrderedAndProject top-k. */
+  def joinAmplification(leftDf: org.apache.spark.sql.DataFrame,
+      rightDf: org.apache.spark.sql.DataFrame, leftKey: String,
+      rightKey: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(topK >= 1)
+    val l = leftDf.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = rightDf.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = l.join(r, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .localCheckpoint(false)
+    j.crossJoin(broadcast(j.agg(sum(col("out_rows")).as("__tot"))))
+      .withColumn("share_ppm", expr("out_rows * 1000000L div __tot"))
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(topK)
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        col("share_ppm"))
+  }
+
   /** Salted inner equi-join on `key`: `big`'s rows get a deterministic salt
     * in [0, saltFactor) (hash of the whole row — no RNG, so retried tasks
     * produce identical output: nondeterministic salting breaks exactly-once

@@ -92,7 +92,10 @@ object PlanAudit {
       // q229 cross-joins the 1-ROW bucket grand total into the k-row
       // histogram; q230 the 1-ROW weight/size totals into the
       // |strata|-row frame (the q90 scalar class)
-      "q229_sampler_uniformity", "q230_variance_allocation")
+      "q229_sampler_uniformity", "q230_variance_allocation",
+      // q233 broadcasts the 1-ROW join-output grand total into the
+      // checkpointed key frame (statically bounded by construction)
+      "q233_join_amplification")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sfDir).queryExecution

@@ -396,7 +396,14 @@ object VerifyScaled {
       "q230_variance_allocation" ->
         (() => graft.SparkEntry.queries("q230_variance_allocation")(spark, sfDir)),
       "q231_near_miss_pairs" ->
-        (() => graft.Queries33.q231NearMissWith(spark, sfDir, docBits)))
+        (() => graft.Queries33.q231NearMissWith(spark, sfDir, docBits)),
+      // wave 34: q232's tiers are fingerprint-keyed aggregates (corpus
+      // md5'd once per tier); q233 aggregates each side to its key
+      // frame before any join — both corpus-linear
+      "q232_dedup_roi" ->
+        (() => graft.SparkEntry.queries("q232_dedup_roi")(spark, sfDir)),
+      "q233_join_amplification" ->
+        (() => graft.SparkEntry.queries("q233_join_amplification")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -576,7 +583,10 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q229_sampler_uniformity"),
       "q230_variance_allocation" ->
         graft.SparkEntry.oracleSql("q230_variance_allocation"),
-      "q231_near_miss_pairs" -> graft.Queries33.q231SqlWith(docBits))
+      "q231_near_miss_pairs" -> graft.Queries33.q231SqlWith(docBits),
+      "q232_dedup_roi" -> graft.SparkEntry.oracleSql("q232_dedup_roi"),
+      "q233_join_amplification" ->
+        graft.SparkEntry.oracleSql("q233_join_amplification"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
