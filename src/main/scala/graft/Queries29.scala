@@ -128,18 +128,19 @@ object Queries29 {
       |t AS (SELECT user_id AS u, event_type AS channel,
       |    epoch_us(ts) AS tt, event_id AS tid
       |  FROM events WHERE event_type <> 'purchase'),
-      |p AS (SELECT DISTINCT c.cid, c.v, t.channel
+      |p AS (SELECT DISTINCT c.u, c.cid, c.v, t.channel
       |  FROM c JOIN t ON c.u = t.u
       |    AND (t.tt < c.ct OR (t.tt = c.ct AND t.tid < c.cid))
       |    AND t.tt >= c.ct - 2592000000000),
-      |w AS (SELECT cid, v, channel,
-      |    count(*) OVER (PARTITION BY cid)::BIGINT AS nch FROM p),
+      |w AS (SELECT u, cid, v, channel,
+      |    count(*) OVER (PARTITION BY u, cid)::BIGINT AS nch FROM p),
       |cr AS (SELECT channel, count(*)::BIGINT AS n_credits,
       |    sum(v * (1000000 // nch) // 1000000)::BIGINT AS credit_e4
       |  FROM w GROUP BY 1),
       |d AS (SELECT '(direct)' AS channel, count(*)::BIGINT AS n_credits,
       |    coalesce(sum(v), 0)::BIGINT AS credit_e4
-      |  FROM c WHERE cid NOT IN (SELECT DISTINCT cid FROM p))
+      |  FROM c WHERE NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.u = c.u AND p.cid = c.cid))
       |SELECT channel, n_credits, credit_e4 FROM (
       |  SELECT * FROM cr UNION ALL
       |  SELECT * FROM d WHERE d.n_credits > 0)

@@ -38,7 +38,7 @@ object Queries30 {
       |  FROM per),
       |tot AS (SELECT sum(value)::BIGINT AS t FROM per),
       |s AS (SELECT l_partkey, value, rank,
-      |    (CASE WHEN tot.t < 1000000 THEN cum * 1000000 // tot.t
+      |    (CASE WHEN tot.t <= 9223372036854 THEN cum * 1000000 // tot.t
       |      ELSE cum // (tot.t // 1000000) END)::BIGINT AS cum_ppm
       |  FROM r CROSS JOIN tot)
       |SELECT l_partkey, value, rank, cum_ppm,

@@ -33,9 +33,9 @@ object Queries33 {
        |t AS (SELECT sum(o)::BIGINT AS n FROM g)
        |SELECT min(t.n)::BIGINT AS n, $Buckets::BIGINT AS k,
        |  count(*)::BIGINT AS buckets_seen,
-       |  ((sum(($Buckets * o - t.n) * ($Buckets * o - t.n))
-       |    + ($Buckets - count(*)) * min(t.n) * min(t.n)) * 1000000
-       |    // ($Buckets * min(t.n)))::BIGINT AS chi2_e6,
+       |  ((sum(($Buckets * o::HUGEINT - t.n) * ($Buckets * o::HUGEINT - t.n))
+       |    + ($Buckets - count(*))::HUGEINT * min(t.n) * min(t.n)) * 1000000
+       |    // ($Buckets::HUGEINT * min(t.n)))::BIGINT AS chi2_e6,
        |  ${Buckets - 1}::BIGINT AS dof
        |FROM g CROSS JOIN t""".stripMargin
 

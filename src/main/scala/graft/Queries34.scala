@@ -72,11 +72,16 @@ object Queries34 {
       |r AS (SELECT o_custkey AS key, count(*)::BIGINT AS n_right
       |  FROM orders GROUP BY 1),
       |j AS (SELECT l.key, l.n_left, r.n_right,
-      |    (l.n_left * r.n_right)::BIGINT AS out_rows
+      |    (CASE WHEN l.n_left <= 9223372036854775807 // r.n_right
+      |      THEN l.n_left * r.n_right
+      |      ELSE 9223372036854775807 END)::BIGINT AS out_rows
       |  FROM l JOIN r USING (key)),
-      |t AS (SELECT sum(out_rows)::BIGINT AS tot FROM j)
+      |t AS (SELECT sum(out_rows) AS tot FROM j)
       |SELECT key, n_left, n_right, out_rows,
-      |  (out_rows * 1000000 // t.tot)::BIGINT AS share_ppm
+      |  (CASE WHEN t.tot <= 9223372036854
+      |    THEN out_rows * 1000000 // t.tot::BIGINT
+      |    ELSE out_rows // (t.tot // 1000000)::BIGINT END)::BIGINT
+      |    AS share_ppm
       |FROM j CROSS JOIN t
       |ORDER BY out_rows DESC, key ASC LIMIT 20""".stripMargin
 

@@ -24,9 +24,11 @@ object Audit {
     * 1e-2/1e-4 integer units audits the underlying amounts.
     *
     * Output: (digit, n, obs_ppm, exp_ppm, dev_ppm) — one row per digit
-    * observed. Scale shape: one map-combined 9-group aggregate; the
-    * grand total is a 1-row cross join (the q90 scalar class); the
-    * expectation is a 9-row literal frame. */
+    * observed. Scale shape: one map-combined 9-group aggregate
+    * (lazily checkpointed: it feeds both the grand total and the join —
+    * the [[Dedup]] checkpoint-lifetime convention — so the fact scan
+    * runs once); the grand total is a 1-row cross join (the q90 scalar
+    * class); the expectation is a 9-row literal frame. */
   def benford(df: DataFrame, unitsCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -34,6 +36,7 @@ object Audit {
     val counts = df.filter(col(unitsCol) > 0L)
       .select(substring(col(unitsCol).cast("string"), 1, 1).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     counts
       .crossJoin(counts.agg(sum(col("n")).as("__tot")))
       .withColumn("obs_ppm", expr("n * 1000000L div __tot"))
@@ -81,28 +84,35 @@ object Audit {
     * abc_class). A boundary entity straddling the threshold counts as
     * the HIGHER class (its cumulative share is what first crosses).
     *
-    * Scale shape: one keyed rollup to |entities| rows, then a global
-    * rank window over that (range-partitioned sort over the entity
-    * frame, not the fact table) and a 1-row total cross join. The share
-    * BRANCHES on the total's magnitude (the q191 ratio lesson):
-    * numerator-upscale `cum·1e6 div tot` is exact but overflows int64
-    * past tot ≈ 9.2e12, denominator-downscale `cum div (tot div 1e6)`
-    * never overflows but zeroes below tot = 1e6 — the branch condition
-    * is the same data in both engines, so the hash stays exact. */
+    * Scale shape: one keyed rollup to |entities| rows, then the TWO-PHASE
+    * global rank + running sum ([[Ids.globalRankCumsum]] — range
+    * partition + in-partition sort, per-partition count/sum offsets
+    * broadcast as driver metadata, pid-partitioned running-sum window).
+    * NO single-partition exchange: the entity frame (~2e9 keys at
+    * 100 TB) never funnels through one task, and the grand total falls
+    * out of the offset job — no second scan, no total cross join.
+    *
+    * The share BRANCHES on the total's magnitude (the q191 ratio
+    * lesson), on the OVERFLOW bound: numerator-upscale `cum·1e6 div tot`
+    * is exact and safe while tot ≤ ⌊2^63/1e6⌋ = 9 223 372 036 854;
+    * denominator-downscale `cum div (tot div 1e6)` only above that
+    * (where its relative error is ≤ 1e6/tot ≤ 1.1e-7). The total is a
+    * driver literal, so the branch is resolved at plan time and the
+    * oracle SQL mirrors the same CASE on the same data — the hash stays
+    * exact. */
   def abcClassification(facts: DataFrame, keyCol: String, valueCol: String,
       aPpm: Long = 800000L, bPpm: Long = 950000L): DataFrame = {
     require(aPpm >= 1 && aPpm < bPpm && bPpm <= 1000000L)
     val per = facts.groupBy(col(keyCol))
       .agg(sum(col(valueCol).cast("long")).as("value"))
-    val w = Window.orderBy(col("value").desc, col(keyCol).asc)
-    per
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col("value")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(per.agg(sum(col("value")).as("__tot")))
-      .withColumn("cum_ppm",
-        expr("CASE WHEN __tot < 1000000L THEN __cum * 1000000L div __tot" +
-          " ELSE __cum div (__tot div 1000000L) END"))
+    val (ranked, tot) = Ids.globalRankCumsum(per,
+      Seq(col("value").desc, col(keyCol).asc), "value", "rank", "__cum")
+    val cumPpm =
+      if (tot <= 0L) lit(null).cast("long")
+      else if (tot <= 9223372036854L) expr(s"__cum * 1000000L div ${tot}L")
+      else expr(s"__cum div ${tot / 1000000L}L")
+    ranked
+      .withColumn("cum_ppm", cumPpm)
       .withColumn("abc_class",
         when(col("cum_ppm") <= aPpm, "A")
           .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
@@ -158,21 +168,37 @@ object Audit {
     * classic cleared of fractions, integer-exact; unseen buckets enter
     * as (k − seen)·n² so an empty bucket is counted, not ignored.
     *
+    * The squared deviations accumulate in decimal(38,0) — the DEGENERATE
+    * sampler this audit exists to flag produces |k·o − n| ≈ k·n, whose
+    * square crosses 2^63 at n ≈ 5e4 already (int64 arithmetic would
+    * abort in both engines right when the answer matters; DuckDB's
+    * sum(BIGINT) is HUGEINT natively). Exact through
+    * Σd²·1e6 ≤ 1e38, i.e. total skew at n ≈ 1.4e14 rows — two orders
+    * past a 100 TB corpus' row count. The final `div` floors once, as
+    * before.
+    *
     * Output: one row — (n, k, buckets_seen, chi2_e6, dof). Healthy ≈
     * dof·1e6 (mean of the χ² distribution). Scale shape: one k-group
     * map-combined aggregate + a 1-row total. */
   def samplerUniformity(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2)
+    // the ≤k-row bucket histogram feeds both the total and the χ² rollup
+    // — checkpoint so the fact scan + md5 kernel run once (Dedup note)
     val b = df.select(pmod(graft.functions.HashFns.md5Long(key, 8),
         lit(k.toLong)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint(false)
+    // d = k·o − n as decimal BEFORE the square (k·o alone passes 2^63 at
+    // o ≈ 1.4e17 — cast first so the bound is the documented Σd² one)
+    val d = s"($k * cast(__o as decimal(38,0)) - __n)"
     b.crossJoin(b.agg(sum(col("__o")).as("__n")))
       .agg(min(col("__n")).as("n"),
         lit(k.toLong).as("k"),
         count(lit(1)).as("buckets_seen"),
-        expr(s"(sum(($k * __o - __n) * ($k * __o - __n))" +
-          s" + ($k - count(1)) * min(__n) * min(__n))" +
-          s" * 1000000L div ($k * min(__n))").as("chi2_e6"),
+        expr(s"cast((sum($d * $d)" +
+          s" + cast($k - count(1) as decimal(38,0)) * min(__n) * min(__n))" +
+          s" * 1000000 div (cast($k as decimal(38,0)) * min(__n)) as long)")
+          .as("chi2_e6"),
         lit(k.toLong - 1).as("dof"))
   }
 

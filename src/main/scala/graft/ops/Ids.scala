@@ -65,4 +65,88 @@ object Ids {
     val offset = element_at(typedLit(offsets), spark_partition_id() + 1)
     base.withColumn(outCol, (offset + local).cast("long"))
   }
+
+  /** [[globalIndex]] extended with a global RUNNING SUM of a long-valued
+    * column — global rank (1-based) AND cumulative total in one two-phase
+    * pass, for Pareto/ABC-style "cumulative share in rank order" analytics
+    * where `row_number().over(Window.orderBy(...))` would funnel the whole
+    * frame through one task.
+    *
+    * Phase 1 is [[globalIndex]]'s: range-repartition + in-partition sort by
+    * the (total — append a unique tiebreak) key, pin the physical RDD so
+    * every job below shares the sampled range bounds. Phase 2's count job
+    * additionally sums `valueCol` per sorted partition (nulls add 0), giving
+    * the driver BOTH per-partition row-count offsets and per-partition SUM
+    * offsets — bounded metadata, two longs per partition. The assignment
+    * pass is then:
+    *
+    *  - `rankOut` = countOffset(pid) + position-in-partition + 1 — a plain
+    *    codegen'd projection (the `monotonically_increasing_id` low-33-bits
+    *    layout, as in [[globalIndex]]);
+    *  - `cumOut`  = sumOffset(pid) + running sum WITHIN the partition — a
+    *    window PARTITIONED by the captured partition id, so its exchange
+    *    hashes on pid (one group per range partition, each bounded by the
+    *    range partitioner — parallelism preserved at any frame size; the
+    *    per-group sort is by the already-materialized local position).
+    *
+    * No single-partition exchange appears anywhere in the plan (PlanSpec
+    * asserts this on q216's executed plan). Because the order is total, the
+    * outputs equal `row_number()/sum() OVER (ORDER BY key)` regardless of
+    * how the range bounds fell.
+    *
+    * Returns the annotated frame AND the grand total of `valueCol` (the
+    * last sum offset) — already computed by the count job, so callers
+    * needing a "share of total" divide by a driver literal instead of
+    * cross-joining a second aggregation of the input (one fewer scan).
+    *
+    * `valueCol` must be LongType (the repo's integer-exact convention);
+    * partial sums must stay within int64 — the caller's contract, same as
+    * any `sum(long)`. */
+  def globalRankCumsum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+      rankOut: String, cumOut: String,
+      numPartitions: Option[Int] = None): (DataFrame, Long) = {
+    val parts = numPartitions.getOrElse(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt)
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    require(schema(vIdx).dataType == org.apache.spark.sql.types.LongType,
+      s"globalRankCumsum needs a LongType value column, " +
+        s"got ${schema(vIdx).dataType} for $valueCol")
+    val rdd = sorted.queryExecution.toRdd // bounds + shuffle materialize once
+    val stats = rdd.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L; var s = 0L
+        while (it.hasNext) {
+          val r = it.next(); n += 1
+          if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+        }
+        (n, s)
+      })
+    val cntOff: Seq[Long] = stats.map(_._1).toSeq.scanLeft(0L)(_ + _).init
+    val sumScan: Seq[Long] = stats.map(_._2).toSeq.scanLeft(0L)(_ + _)
+    val total = sumScan.last
+    val base = org.apache.spark.sql.graftbridge.Bridge
+      .dataFrameFromInternalRdd(df.sparkSession, rdd, schema)
+    val local = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    // pid + local position materialize BEFORE the window's pid-hash
+    // exchange (nondeterministic expressions pin the Project below it)
+    val staged = base
+      .withColumn("__gr_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .withColumn("__gr_pos", local)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gr_pid")).orderBy(col("__gr_pos").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = staged
+      .withColumn(rankOut,
+        (element_at(typedLit(cntOff), col("__gr_pid") + 1) +
+          col("__gr_pos") + lit(1L)).cast("long"))
+      .withColumn(cumOut,
+        (element_at(typedLit(sumScan.init), col("__gr_pid") + 1) +
+          coalesce(sum(col(valueCol)).over(w), lit(0L))).cast("long"))
+      .drop("__gr_pid", "__gr_pos")
+    (out, total)
+  }
 }

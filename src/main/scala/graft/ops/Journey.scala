@@ -76,7 +76,14 @@ object Journey {
     * Output: (channel, n_credits, credit_e4). Scale shape: the q204
     * funnel class — one user-keyed equi-join with the time band as a
     * residual, collapsed to DISTINCT (conversion, channel) before any
-    * counting; the lookback bounds per-user pair work. */
+    * counting; the lookback bounds per-user pair work.
+    *
+    * A conversion's identity is the COMPOSITE (user, tieCol) everywhere
+    * (distinct, channel-count window, direct anti-join) — `tieCol` only
+    * has to be unique WITHIN a user, the same contract the (ts, tie)
+    * window ordering of [[transitionMatrix]] and its siblings assume. A
+    * merely per-user-unique tie value never merges two users'
+    * conversions. */
   def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, valueCol: String, convType: String,
       lookbackSec: Long): DataFrame = {
@@ -92,16 +99,17 @@ object Journey {
       .filter(col("__tt") < col("__ct") ||
         (col("__tt") === col("__ct") && col("__tid") < col("__cid")))
       .filter(col("__tt") >= col("__ct") - lit(lookbackSec * 1000000L))
-      .select(col("__cid"), col("__v"), col("channel")).distinct()
+      .select(col("__u"), col("__cid"), col("__v"), col("channel"))
+      .distinct()
     val credited = pairs
       .withColumn("__nch", count(lit(1)).over(
-        Window.partitionBy(col("__cid"))))
+        Window.partitionBy(col("__u"), col("__cid"))))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_credits"),
         sum(expr("__v * (1000000L div __nch) div 1000000L"))
           .as("credit_e4"))
-    val direct = conv.join(pairs.select("__cid").distinct(),
-        Seq("__cid"), "left_anti")
+    val direct = conv.join(pairs.select("__u", "__cid").distinct(),
+        Seq("__u", "__cid"), "left_anti")
       .agg(count(lit(1)).as("n_credits"), sum(col("__v")).as("credit_e4"))
       .select(lit("(direct)").as("channel"), col("n_credits"),
         coalesce(col("credit_e4"), lit(0L)).as("credit_e4"))
@@ -144,14 +152,19 @@ object Journey {
     *
     * Output: (userCol, n_events, raw_e4, decayed_e4). Scale shape: the
     * reference day is a 1-row cross join (the q90 scalar class); the
-    * rest is one user-keyed aggregate. */
+    * rest is one user-keyed aggregate. The projected base frame is
+    * lazily checkpointed — it feeds both the reference-day aggregate and
+    * the main rollup, and Catalyst shares no subtrees across join
+    * branches (the [[Dedup]] checkpoint-lifetime convention), so without
+    * it the events scan + unix_micros/round projection would run twice. */
   def decayScore(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, halfLifeWeeks: Int): DataFrame = {
     require(halfLifeWeeks >= 1)
     val dayUs = 86400000000L
     val day = expr(s"unix_micros($tsCol) div ${dayUs}L")
     val base = events.select(col(userCol), day.as("__d"),
-      round(col(valueCol) * 10000).cast("long").as("__v"))
+        round(col(valueCol) * 10000).cast("long").as("__v"))
+      .localCheckpoint(false)
     base.crossJoin(base.agg(max(col("__d")).as("__ref")))
       .withColumn("__h",
         least(expr(s"(__ref - __d) div 7L div ${halfLifeWeeks}L"), lit(62L)))

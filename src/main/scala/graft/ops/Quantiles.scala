@@ -138,4 +138,53 @@ object Quantiles {
       .withColumn("share_ppm", expr("n * 1000000L div __gn"))
       .drop("__gn")
   }
+
+  /** Exact-rank k-tile bucket assignment — the scale-safe replacement for
+    * `ntile(k)` over an unbounded frame, for one or several metrics of the
+    * same frame at once (the RFM grid's R/F/M quintiles).
+    *
+    * For each `(metricCol, outCol)` the cutoffs are the q189/
+    * [[pooledDecileMix]] exact-rank percentiles — cutoff q = min metric
+    * value whose cumulative row count satisfies `cum·k ≥ n·q` — and a
+    * row's bucket is `1 + Σ_q [metric > cutoff_q]`, so buckets run 1..k
+    * ascending in the metric. Descending semantics (RFM recency): pass the
+    * NEGATED metric.
+    *
+    * Tie semantics differ from `ntile` BY DESIGN: equal metric values
+    * always share a bucket (ntile splits ties across the boundary by row
+    * order), which is both the analytically meaningful cut and the only
+    * engine-portable one. Bucket populations are therefore k-quantile up
+    * to tie mass, not exactly equal.
+    *
+    * Scale shape: the input is lazily checkpointed ONCE (it feeds one
+    * histogram per metric plus the final assignment — Catalyst shares no
+    * subtrees across branches, see the [[graft.ops.Dedup]] checkpoint-
+    * lifetime note). Each metric costs one map-combined distinct-value
+    * histogram and one [[Ids.globalRankCumsum]] over it — the histogram's
+    * running count never passes through a single-partition window, so the
+    * spelling survives metrics whose value domain scales with the frame
+    * (per-user monetary totals are nearly all-distinct). The k−1 cutoffs
+    * per metric come back as ONE broadcast row; assignment is a plain
+    * projection. */
+  def rankBuckets(df: DataFrame, metrics: Seq[(String, String)],
+      k: Int): DataFrame = {
+    require(k >= 2 && metrics.nonEmpty)
+    val base = df.localCheckpoint(false)
+    metrics.foldLeft(base) { case (acc, (valueCol, outCol)) =>
+      val hist = base.groupBy(col(valueCol).as("__s"))
+        .agg(count(lit(1)).as("__c"))
+      val (cumHist, n) = Ids.globalRankCumsum(hist,
+        Seq(col("__s").asc), "__c", "__hrk", "__cum")
+      val cutoffCols = (1 until k).map(q =>
+        min(when(col("__cum") * k >= lit(n) * q, col("__s")))
+          .as(s"__cut_${outCol}_$q"))
+      val cutoffs = cumHist.agg(cutoffCols.head, cutoffCols.tail: _*)
+      val bucket = (1 until k).map(q =>
+        when(col(valueCol) > col(s"__cut_${outCol}_$q"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+      acc.crossJoin(broadcast(cutoffs))
+        .withColumn(outCol, bucket)
+        .drop((1 until k).map(q => s"__cut_${outCol}_$q"): _*)
+    }
+  }
 }

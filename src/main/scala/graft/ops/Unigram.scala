@@ -59,11 +59,12 @@ object Unigram {
           "ELSE array() END")).as("piece"))
       .groupBy(col("piece"))
       .agg(sum(col("cnt")).as("score"))
-    def topN(df: DataFrame, n: Int): DataFrame = {
-      val rk = Window.orderBy(col("score").desc, col("piece").asc)
-      df.withColumn("__rk", row_number().over(rk))
-        .filter(col("__rk") <= n).drop("__rk")
-    }
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition heads
+    // merged on the driver — the Vocab.topVocabFromCounts discipline);
+    // the old row_number-over-global-window spelling sorted the FULL
+    // char-gram frame on one task before the ≤n filter
+    def topN(df: DataFrame, n: Int): DataFrame =
+      df.orderBy(col("score").desc, col("piece").asc).limit(n)
     grams(1)
       .unionByName(topN(grams(2), nBigrams))
       .unionByName(topN(grams(3), nTrigrams))

@@ -42,6 +42,49 @@ class IdsSpec extends SparkSpec {
     assert(ids(4) == want && ids(64) == want)
   }
 
+  test("globalRankCumsum equals row_number + running sum over the total order") {
+    val vals = Seq(("a", 5L), ("b", 12L), ("c", 5L), ("d", 40L), ("e", 1L),
+      ("f", 12L)).toDF("k", "v")
+    val (got, tot) = Ids.globalRankCumsum(vals,
+      Seq($"v".desc, $"k".asc), "v", "rank", "cum", Some(3))
+    assert(tot == 75L)
+    val rows = got.select($"k", $"rank", $"cum")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    // order: d(40) b(12) f(12) a(5) c(5) e(1); cum: 40 52 64 69 74 75
+    assert(rows == Seq(("d", 1L, 40L), ("b", 2L, 52L), ("f", 3L, 64L),
+      ("a", 4L, 69L), ("c", 5L, 74L), ("e", 6L, 75L)))
+  }
+
+  test("globalRankCumsum is invariant to the partition count (incl. empty ones)") {
+    val big = spark.range(0, 5000)
+      .select(($"id" * 2654435761L % 9973).as("k"), ($"id" % 97).as("v"))
+    def run(parts: Int) = {
+      val (df, tot) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc),
+        "v", "rank", "cum", Some(parts))
+      (df.select($"rank", $"cum").as[(Long, Long)].collect().sortBy(_._1).toSeq,
+        tot)
+    }
+    val (r4, t4) = run(4)
+    val (r64, t64) = run(64)
+    assert(t4 == t64 && r4 == r64)
+    // spot-check against the single-task window truth
+    val want = big.select($"k", $"v").as[(Long, Long)].collect()
+      .sortBy(identity).map(_._2)
+      .scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (c, i) => (i + 1L, c) }.toSeq
+    assert(r4 == want)
+  }
+
+  test("globalRankCumsum plans no single-partition exchange") {
+    val big = spark.range(0, 2000)
+      .select(($"id" % 37).as("k"), ($"id" % 11).as("v"), $"id")
+    val (df, _) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc, $"id".asc),
+      "v", "rank", "cum", Some(8))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("globalIndex assigns ids as a codegen'd projection over Tungsten rows") {
     val out = Ids.globalIndex(docs, Seq($"lang", $"doc_id"), "idx", Some(3))
     val plan = out.queryExecution.executedPlan.toString

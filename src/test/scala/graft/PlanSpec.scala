@@ -250,4 +250,47 @@ class PlanSpec extends SparkSpec {
     assert("""ReadSchema: struct<n_chars:bigint>""".r.findAllIn(p).size == 1,
       s"length section must prune to n_chars only:\n$p")
   }
+
+  // walk an executed plan, unwrapping AQE wrappers (the Bridge
+  // compileWholeStageCodegen discipline), yielding every physical node
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+  }
+
+  test("ABC classification: two-phase global rank — no single-partition exchange anywhere") {
+    val df = SparkEntry.queries("q216_abc_parts")(spark, sfDir)
+    val p = plan(df)
+    // the entity frame (scales with the corpus) must never funnel through
+    // one task: no SinglePartition exchange, and every window partitioned
+    assert(!p.contains("SinglePartition"), p)
+    df.collect()
+    val wins = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.partitionSpec).mkString("; "))
+  }
+
+  test("RFM quintiles: histogram-cutoff buckets — every window partitioned, cutoffs broadcast") {
+    val df = SparkEntry.queries("q206_rfm_segments")(spark, sfDir)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val wins = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the per-user frame scales with the event log: only pid-partitioned
+    // running-count windows are allowed (the old spelling had three
+    // unpartitioned ntile windows = three single-task sorts)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.partitionSpec).mkString("; "))
+    val p = plan(df)
+    assert(!p.contains("ntile("), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cutoff frames
+  }
 }

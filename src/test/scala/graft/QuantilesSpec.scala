@@ -53,6 +53,32 @@ class QuantilesSpec extends SparkSpec {
     assert(row == ((3L, Seq(15.0), 10L, 20L)))
   }
 
+  test("rankBuckets: exact-rank quintiles — hand-checked cutoffs, ties share a bucket") {
+    // n=10, k=5 → cutoff q = min v with cum ≥ 2q over sorted
+    // (1,1,1,2,3,4,5,6,7,8): c=(1,2,4,6); buckets follow strict-> rule
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("v")
+    val got = Quantiles.rankBuckets(df, Seq(("v", "q")), 5)
+      .select($"v", $"q").as[(Long, Long)].collect().sorted.toSeq
+    val want = Seq(1L -> 1L, 1L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L, 7L -> 5L, 8L -> 5L)
+    assert(got == want)
+  }
+
+  test("rankBuckets: several metrics bucket independently off one input pass") {
+    val df = (1L to 20L).map(i => (i, 21L - i, i % 3)).toDF("a", "b", "c")
+    val out = Quantiles.rankBuckets(df,
+      Seq(("a", "qa"), ("b", "qb"), ("c", "qc")), 4)
+    val rows = out.select($"a", $"qa", $"qb").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // a ascending and b = 21−a descending: buckets mirror (qa + qb = 5)
+    assert(rows.forall { case (_, qa, qb) => qa + qb == 5L })
+    // c ∈ {0,1,2} with near-equal mass over n=20: cum(0)=7≥5, cum(1)=14≥10,
+    // cum(2)=20≥15∧20 → cutoffs (0,1,2,2) → buckets 1,2,3
+    val cBuckets = out.select($"c", $"qc").distinct()
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(cBuckets == Seq(0L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
   test("plan holds no per-group value buffer: histogram partial-agg, no percentile") {
     val df = spark.range(0, 100).select(lit("g").as("grp"), ($"id" % 5).as("v"))
     val plan = Quantiles.profile(df, "grp", "v", Seq(0.5))

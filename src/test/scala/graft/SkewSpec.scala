@@ -22,6 +22,53 @@ class SkewSpec extends SparkSpec {
     assert(plain.length == 2000)
   }
 
+  test("joinAmplification survives planet-scale hot keys (no int64 overflow abort)") {
+    // the audit's own target regime: keys whose output product and whose
+    // TOTAL pass 2^63 — the old all-long spelling aborted under ANSI
+    // (and DuckDB raised) exactly here
+    val l = Seq(("hot", 4000000000L), ("warm", 3000000L), ("cold", 7L))
+      .toDF("key", "n_left")
+    val r = Seq(("hot", 5000000000L), ("warm", 2000000L), ("cold", 3L))
+      .toDF("key", "n_right")
+    val got = Skew.joinAmplificationCounts(l, r, topK = 3)
+      .select("key", "out_rows", "share_ppm")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, o, s) => k -> ((o, s)) }.toMap
+    // expected, computed in unbounded integers with the documented
+    // saturate + magnitude-branch semantics
+    val counts = Map("hot" -> (BigInt(4000000000L), BigInt(5000000000L)),
+      "warm" -> (BigInt(3000000L), BigInt(2000000L)),
+      "cold" -> (BigInt(7), BigInt(3)))
+    val maxL = BigInt(Long.MaxValue)
+    val outs = counts.view.mapValues { case (a, b) => (a * b).min(maxL) }.toMap
+    val tot = outs.values.sum
+    val want = outs.map { case (k, o) =>
+      val share = if (tot <= BigInt(9223372036854L)) o * 1000000 / tot
+        else o / (tot / 1000000)
+      k -> ((o.toLong, share.toLong))
+    }
+    assert(got == want, s"got $got want $want")
+    // sanity: the hot key saturated (4e9 · 5e9 = 2e19 > Long.MaxValue)
+    assert(got("hot")._1 == Long.MaxValue)
+  }
+
+  test("joinAmplification small-scale values match the exact all-long arithmetic") {
+    val l = (1 to 50).flatMap(i => Seq.fill(i)(s"k${i % 5}")).toDF("key")
+      .select(col("key"), lit(1L).as("one"))
+    val r = (1 to 30).map(i => s"k${i % 5}").toDF("key")
+    val got = Skew.joinAmplification(l, r, "key", "key", topK = 5)
+      .select("key", "n_left", "n_right", "out_rows", "share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val lc = l.groupBy("key").count().as[(String, Long)].collect().toMap
+    val rc = r.groupBy("key").count().as[(String, Long)].collect().toMap
+    val outs = lc.keySet.intersect(rc.keySet).map(k => k -> lc(k) * rc(k)).toMap
+    val tot = outs.values.sum
+    val want = outs.map { case (k, o) =>
+      (k, lc(k), rc(k), o, o * 1000000L / tot) }.toSeq
+      .sortBy(t => (-t._4, t._1))
+    assert(got == want)
+  }
+
   test("salting is deterministic (no RNG — safe under task retry)") {
     val big = (1 to 500).map(i => ("k", i.toLong)).toDF("key", "v")
     val small = Seq(("k", "d")).toDF("key", "d")

@@ -34,6 +34,21 @@ class Wave33Spec extends SparkSpec {
     assert(out._4 == 3000000L)
   }
 
+  test("samplerUniformity: the degenerate sampler it exists to flag doesn't overflow") {
+    // 100k rows of ONE key → one bucket holds everything: the squared
+    // deviation (k·n − n)² ≈ 4e13, ×1e6 ≈ 4e19 > 2^63 — the old all-long
+    // spelling aborted (ANSI) right on the pathological case the audit
+    // targets; the decimal(38,0) path reports it. Closed form for total
+    // skew: chi2 = n·(k−1), so chi2_e6 = n·(k−1)·1e6.
+    val n = 100000L
+    val k = 64
+    val df = spark.range(n).select(lit("constant-key").as("id"))
+    val out = Audit.samplerUniformity(df, col("id"), k)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out._1 == n && out._3 == 1L)
+    assert(out._4 == n * (k - 1) * 1000000L)
+  }
+
   test("varianceAllocation: spread stratum gets the budget, cap holds") {
     // flat: var 0; spread: large var; tiny: cap at n
     val flat = (1 to 50).map(_ => ("flat", 100L))
