@@ -408,11 +408,11 @@ object Queries12 {
     * deterministic terminators first: every 6-token run gains a trailing
     * period (RE2-safe bounded repetition, identical left-to-right
     * replacement semantics in both engines). */
-  private def sentenced(d: DataFrame): DataFrame =
+  private[graft] def sentenced(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       regexp_replace(col("text"), "((\\S+\\s+){5}\\S+)\\s+", "$1. ").as("text"))
 
-  private val SentencedSql: String =
+  private[graft] val SentencedSql: String =
     """sd AS MATERIALIZED (SELECT doc_id,
       |    regexp_replace(text, '((\S+\s+){5}\S+)\s+', '\1. ', 'g') AS text
       |  FROM documents)""".stripMargin
@@ -450,7 +450,15 @@ object Queries12 {
     * passages per query, the query's own document excluded. Whole-doc
     * ranking (q130) finds the document; this finds the span to stuff in
     * the prompt. */
-  val q142PassageRetrieval: Q = (spark, dir) => {
+  val q142PassageRetrieval: Q = (spark, dir) =>
+    passageRetrieval(spark, dir, maxDfPpm = None)
+
+  /** q142's plan with the probe-side df cutoff as a parameter — the
+    * registered q142 runs uncut; q234 runs the Lucene-style stopword cut
+    * at 300000 ppm (drops the fixture's ~30 heavy terms, each in ~1/3 of
+    * all passages — the probe join's skew spine). */
+  private[graft] def passageRetrieval(spark: SparkSession, dir: String,
+      maxDfPpm: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sd = sentenced(Tables.documents(spark, dir))
     val passages = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
@@ -462,7 +470,8 @@ object Queries12 {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_e6").desc, col("passage_id").asc)
     Retrieval.bm25ScoresTerms(p, "passage_id",
-        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id")
+        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id",
+        maxDfPpm = maxDfPpm)
       .filter(expr("passage_id div 10000L") =!= col("q_id"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -476,7 +485,13 @@ object Queries12 {
     * index, the query term probe and the summed scores `sc` — the SQL
     * face of `Chunk.sentenceChunks` + `Retrieval.postings` +
     * `bm25ScoresTerms` over passages. */
-  private val PassageScoreCtes: String =
+  private[graft] val PassageScoreCtes: String = passageScoreCtes(None)
+
+  /** [[PassageScoreCtes]] with an optional probe-side document-frequency
+    * cutoff mirroring `Retrieval.bm25ScoresTerms(maxDfPpm)`: terms whose
+    * passage df exceeds the ppm are filtered from `dfreq` BEFORE the
+    * weight join (lengths/avgdl/N stay full-index, as in the engine). */
+  private[graft] def passageScoreCtes(maxDfPpm: Option[Long]): String =
     s"""$SentencedSql,
        |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
        |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
@@ -502,6 +517,8 @@ object Queries12 {
        |st AS MATERIALIZED (SELECT count(*)::BIGINT AS n_docs,
        |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
        |  FROM dl),
+       |dfc AS MATERIALIZED (SELECT f.term, f.df FROM dfreq f CROSS JOIN st
+       |  WHERE ${maxDfPpm.map(p => s"f.df * 1000000 <= $p * st.n_docs").getOrElse("TRUE")}),
        |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, tok AS term FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |    FROM sd WHERE doc_id % 50 = 7) WHERE tok <> ''),
@@ -511,7 +528,7 @@ object Queries12 {
        |      * ((t.tf::DOUBLE * (1.2 + 1.0))
        |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
        |      * 1e6 + 0.5)::BIGINT AS c_e6
-       |  FROM tf t JOIN dfreq f USING (term)
+       |  FROM tf t JOIN dfc f USING (term)
        |  JOIN dl l ON l.passage_id = t.passage_id CROSS JOIN st),
        |sc AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
        |  FROM qt q JOIN wt w USING (term)

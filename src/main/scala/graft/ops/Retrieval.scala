@@ -50,9 +50,10 @@ object Retrieval {
     * Output: (queryId, docId, score_e6, rank), rank ≤ k. */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfPpm: Option[Long] = None): DataFrame =
     bm25RankFrom(postings(docs, idCol, textCol), idCol,
-      queries, queryIdCol, queryTextCol, k, k1, b)
+      queries, queryIdCol, queryTextCol, k, k1, b, maxDfPpm)
 
   /** The corpus-side index of the BM25 family: term frequencies (`tf` —
     * the postings list), document lengths (`dl`), document frequencies
@@ -102,9 +103,10 @@ object Retrieval {
   /** [[bm25Rank]] over a pre-built [[Postings]] index. */
   def bm25RankFrom(p: Postings, idCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfPpm: Option[Long] = None): DataFrame =
     bm25RankTerms(p, idCol, queryTerms(queries, queryIdCol, queryTextCol),
-      queryIdCol, k, k1, b)
+      queryIdCol, k, k1, b, maxDfPpm)
 
   /** [[bm25Rank]] driven by an explicit (query, term) probe set — the
     * entry point a query-EXPANSION pass needs: the second retrieval pass
@@ -113,10 +115,10 @@ object Retrieval {
     * internal `__term` name (as [[queryTerms]] emits). */
   def bm25RankTerms(p: Postings, idCol: String, qterms: DataFrame,
       queryIdCol: String, k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, maxDfPpm: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_e6").desc, col(idCol).asc)
-    bm25ScoresTerms(p, idCol, qterms, queryIdCol, k1, b)
+    bm25ScoresTerms(p, idCol, qterms, queryIdCol, k1, b, maxDfPpm)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -127,10 +129,34 @@ object Retrieval {
     * second-pass expanded retrieval reuses the first pass's scores and
     * probes only the (few) expansion terms, instead of re-probing the
     * whole original set (q137 measured 6.3 → ~4 s on the worst-case
-    * fixture from exactly this reuse). */
+    * fixture from exactly this reuse).
+    *
+    * `maxDfPpm` (optional) drops terms whose document frequency exceeds
+    * the given ppm of the corpus from the probe path — the Lucene-class
+    * stopword cut. At real corpus scale the postings list of an
+    * ultra-high-df term is itself corpus-sized, so the term-keyed probe
+    * join inherits the worst key skew in the index for terms whose BM25
+    * idf ≈ ln(1 + (N−df+0.5)/(df+0.5)) is already near zero (df = 50% of
+    * docs ⇒ idf ≈ 0.7; 99% ⇒ 0.01) — the cut removes the skew spine for
+    * (bounded) rank perturbation only among near-tied candidates.
+    * RetrievalSpec proves fixture top-k invariance at a conservative
+    * cutoff; the df comparison `df·1e6 ≤ ppm·N` is exact through
+    * N ≤ 9.2e12 documents. Applies to the PROBE only — document lengths,
+    * avgdl and the other terms' idf stay computed over the full index, so
+    * scores of surviving terms are unchanged (the additivity contract
+    * holds across mixed-cutoff passes only if both use the same cut). */
   def bm25ScoresTerms(p: Postings, idCol: String, qterms: DataFrame,
-      queryIdCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import p.{tf, dl, dfreq, stats}
+      queryIdCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxDfPpm: Option[Long] = None): DataFrame = {
+    import p.{tf, dl, stats}
+    val dfreq = maxDfPpm match {
+      case Some(ppm) =>
+        require(ppm >= 1 && ppm <= 1000000L, s"maxDfPpm out of range: $ppm")
+        p.dfreq.crossJoin(broadcast(stats.select(col("__n_docs"))))
+          .filter(col("__df") * 1000000L <= lit(ppm) * col("__n_docs"))
+          .select(col("__term"), col("__df"))
+      case None => p.dfreq
+    }
     val tfD = col("__tf").cast("double")
     val dfD = col("__df").cast("double")
     val dlD = col("__dl").cast("double")

@@ -59,6 +59,46 @@ class Wave12Spec extends SparkSpec {
     assert(top.length == 1 && top.head._2 == 10L)
   }
 
+  test("maxDfPpm drops exactly the over-threshold terms from the probe") {
+    // 'the' in 10/10 docs (1e6 ppm), 'fox' in 5/10, 'zebra' in 1/10 —
+    // a 500000-ppm cutoff must remove 'the' alone: every score equals
+    // the uncut score minus the 'the' contribution, and docs matching
+    // ONLY 'the' vanish from the result
+    val docs = ((1L to 5L).map(i => (i, "the fox runs")) ++
+      (6L to 9L).map(i => (i, "the river bends")) :+ ((10L, "the zebra")))
+      .toDF("doc_id", "text")
+    val q = Seq((99L, "zebra the fox")).toDF("q_id", "q_text")
+    def scores(cut: Option[Long]): Map[Long, Long] =
+      Retrieval.bm25Rank(docs, "doc_id", "text", q, "q_id", "q_text",
+          k = 100, maxDfPpm = cut)
+        .as[(Long, Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    val full = scores(None)
+    val cut = scores(Some(500000L))
+    assert(full.keySet == (1L to 10L).toSet) // everything matches 'the'
+    assert(cut.keySet == (1L to 5L).toSet + 10L) // 'the'-only docs gone
+    // surviving docs lost exactly their (per-doc constant-tf) 'the' term:
+    // same dl ⇒ same tfn for the dropped term within each doc group
+    val theContrib = (1L to 5L).map(i => full(i) - cut(i)).distinct
+    assert(theContrib.size == 1 && theContrib.head > 0)
+  }
+
+  test("conservative maxDfPpm preserves the top-k ranking") {
+    // uniform-length docs with tf('the')=1 everywhere: the stopword adds
+    // the SAME amount to every candidate, so dropping it shifts scores by
+    // a constant — ranking (and its id tiebreak) must be bit-identical
+    val topics = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (1L to 40L)
+      .map(i => (i, s"the ${topics((i % 5).toInt)} ${topics(((i / 5) % 5).toInt)}"))
+      .toDF("doc_id", "text")
+    val q = Seq((99L, "the alpha gamma")).toDF("q_id", "q_text")
+    def topk(cut: Option[Long]): Seq[(Long, Long)] =
+      Retrieval.bm25Rank(docs, "doc_id", "text", q, "q_id", "q_text",
+          k = 10, maxDfPpm = cut)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .map(r => (r._4, r._2)).sorted
+    assert(topk(Some(800000L)) == topk(None))
+  }
+
   test("rrfFuse: hand-checked points, bi-modal docs outrank single-route") {
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
       .toDF("q_id", "doc_id", "rank")
