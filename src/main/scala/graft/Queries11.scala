@@ -24,9 +24,21 @@ object Queries11 {
   /** BM25@10 for every 50th document replayed as a free-text query against
     * the corpus (self-matches excluded) — see [[graft.ops.Retrieval.bm25Rank]]
     * for the postings-join scale shape. */
-  val q130Bm25: Q = (spark, dir) => {
+  val q130Bm25: Q = (spark, dir) => q130Bm25With(spark, dir, queryMod = 50L)
+
+  /** q130 with the query-sample modulus as a parameter — the deploy-scale
+    * spelling: a serving query workload is BOUNDED, it does not grow as a
+    * fixed 2% of the corpus, so the k× hash-proof re-derives
+    * `queryMod = 50·(nDocs/5000)` to hold the query count at the fixture's
+    * ~100 (the q83/q124 resolution-re-derivation precedent). Without the
+    * re-derivation, BM25-over-everything is inherently |queries|·|docs| at
+    * the score level — every document shares a stopword with every query —
+    * and a corpus-proportional query sample makes the proof quadratic in
+    * k on ANY realistic vocabulary. */
+  def q130Bm25With(spark: SparkSession, dir: String,
+      queryMod: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val queries = d.filter(col("doc_id") % 50 === 7L)
+    val queries = d.filter(col("doc_id") % queryMod === 7L)
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     Retrieval.bm25Rank(d, "doc_id", "text", queries, "q_id", "q_text", k = 10)
       .orderBy("q_id", "rank")
@@ -37,7 +49,11 @@ object Queries11 {
     * (`qt` — every 50th doc), per-term micro-unit contributions (`co` —
     * the association-pinned double chain of the Spark spelling), summed
     * scores (`sc`) and the ranked shortlist `lexrk`. */
-  def bm25CtesShared(k: Int): String =
+  def bm25CtesShared(k: Int): String = bm25CtesSharedWith(k, 50L)
+
+  /** [[bm25CtesShared]] with the query-sample modulus parameterized in
+    * lockstep with [[q130Bm25With]]. */
+  def bm25CtesSharedWith(k: Int, queryMod: Long): String =
     s"""tok AS MATERIALIZED (SELECT doc_id, tok AS term FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
        |    FROM documents) WHERE tok <> ''),
@@ -49,7 +65,7 @@ object Queries11 {
        |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
        |  FROM dl),
        |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, term FROM tok
-       |  WHERE doc_id % 50 = 7),
+       |  WHERE doc_id % $queryMod = 7),
        |wt AS MATERIALIZED (SELECT t.doc_id, t.term,
        |    floor(
        |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
@@ -67,8 +83,10 @@ object Queries11 {
        |                       ORDER BY score_e6 DESC, doc_id) AS rank
        |  FROM sc) WHERE rank <= $k)""".stripMargin
 
-  val q130Sql: String =
-    s"""WITH ${bm25CtesShared(10)}
+  val q130Sql: String = q130SqlWith(50L)
+
+  def q130SqlWith(queryMod: Long): String =
+    s"""WITH ${bm25CtesSharedWith(10, queryMod)}
        |SELECT q_id, doc_id, score_e6, rank::BIGINT AS rank
        |FROM lexrk ORDER BY q_id, rank""".stripMargin
 

@@ -453,18 +453,21 @@ object Queries12 {
   val q142PassageRetrieval: Q = (spark, dir) =>
     passageRetrieval(spark, dir, maxDfPpm = None)
 
-  /** q142's plan with the probe-side df cutoff as a parameter — the
-    * registered q142 runs uncut; q234 runs the Lucene-style stopword cut
-    * at 300000 ppm (drops the fixture's ~30 heavy terms, each in ~1/3 of
-    * all passages — the probe join's skew spine). */
+  /** q142's plan with the probe-side df cutoff and the query-sample
+    * modulus as parameters — the registered q142 runs uncut at the
+    * fixture modulus; q234 runs the Lucene-style stopword cut at
+    * 300000 ppm (drops the fixture's ~30 heavy terms, each in ~1/3 of
+    * all passages — the probe join's skew spine); the k× hash-proof
+    * re-derives `queryMod` so the query set stays BOUNDED while the
+    * corpus scales (see [[Queries11.q130Bm25With]]). */
   private[graft] def passageRetrieval(spark: SparkSession, dir: String,
-      maxDfPpm: Option[Long]): DataFrame = {
+      maxDfPpm: Option[Long], queryMod: Long = 50L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sd = sentenced(Tables.documents(spark, dir))
     val passages = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
       .select((col("doc_id") * 10000L + col("chunk_id")).as("passage_id"),
         col("chunk"))
-    val queries = sd.filter(col("doc_id") % 50 === 7L)
+    val queries = sd.filter(col("doc_id") % queryMod === 7L)
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     val p = Retrieval.postings(passages, "passage_id", "chunk")
     val w = Window.partitionBy(col("q_id"))
@@ -491,7 +494,8 @@ object Queries12 {
     * cutoff mirroring `Retrieval.bm25ScoresTerms(maxDfPpm)`: terms whose
     * passage df exceeds the ppm are filtered from `dfreq` BEFORE the
     * weight join (lengths/avgdl/N stay full-index, as in the engine). */
-  private[graft] def passageScoreCtes(maxDfPpm: Option[Long]): String =
+  private[graft] def passageScoreCtes(maxDfPpm: Option[Long],
+      queryMod: Long = 50L): String =
     s"""$SentencedSql,
        |se AS (SELECT doc_id, i AS pos, trim(sl[i]) AS s FROM (
        |    SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sl
@@ -521,7 +525,7 @@ object Queries12 {
        |  WHERE ${maxDfPpm.map(p => s"f.df * 1000000 <= $p * st.n_docs").getOrElse("TRUE")}),
        |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, tok AS term FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |    FROM sd WHERE doc_id % 50 = 7) WHERE tok <> ''),
+       |    FROM sd WHERE doc_id % $queryMod = 7) WHERE tok <> ''),
        |wt AS MATERIALIZED (SELECT t.passage_id, t.term,
        |    floor(
        |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)

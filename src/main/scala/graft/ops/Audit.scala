@@ -105,7 +105,7 @@ object Audit {
     require(aPpm >= 1 && aPpm < bPpm && bPpm <= 1000000L)
     val per = facts.groupBy(col(keyCol))
       .agg(sum(col(valueCol).cast("long")).as("value"))
-    val (ranked, tot) = Ids.globalRankCumsum(per,
+    val (ranked, tot, _) = Ids.globalRankCumsum(per,
       Seq(col("value").desc, col(keyCol).asc), "value", "rank", "__cum")
     val cumPpm =
       if (tot <= 0L) lit(null).cast("long")
@@ -118,6 +118,40 @@ object Audit {
           .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
       .select(col(keyCol), col("value"), col("rank"), col("cum_ppm"),
         col("abc_class"))
+  }
+
+  /** Lorenz concentration curve in `nBuckets` rank buckets — the
+    * [[giniByGroup]] readout as a TABLE: entities ranked by descending
+    * value, bucket b = ceil(rank·B/n), per bucket the entity count, value
+    * sum, and the CUMULATIVE value share at the bucket's lower edge —
+    * "the top 5% of sources hold X% of the tokens", at any corpus size.
+    *
+    * Scale shape: one keyed rollup, then the q216 two-phase
+    * [[Ids.globalRankCumsum]] (rank + running sum, no single-partition
+    * exchange; n and the grand total come back as driver literals), then
+    * a B-row aggregate. The share uses the abcClassification magnitude
+    * branch (exact through tot ≤ 9.2e12, ≤1.1e-7 relative above).
+    *
+    * Output: (bucket, n_entities, value_sum, cum_value, cum_share_ppm),
+    * bucket ascending 1..B (bucket 1 = highest-value entities). */
+  def lorenzCurve(facts: DataFrame, keyCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1)
+    val per = facts.groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    val (ranked, tot, n) = Ids.globalRankCumsum(per,
+      Seq(col("value").desc, col(keyCol).asc), "value", "__rank", "__cum")
+    val share =
+      if (tot <= 0L) lit(null).cast("long")
+      else if (tot <= 9223372036854L) expr(s"cum_value * 1000000L div ${tot}L")
+      else expr(s"cum_value div ${tot / 1000000L}L")
+    ranked
+      .withColumn("bucket",
+        expr(s"(__rank * ${nBuckets}L + ${n}L - 1L) div ${math.max(n, 1L)}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("value")).as("value_sum"),
+        max(col("__cum")).as("cum_value"))
+      .withColumn("cum_share_ppm", share)
   }
 
   /** Parent/child referential-integrity and amount reconciliation — the

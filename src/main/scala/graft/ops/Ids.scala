@@ -94,17 +94,18 @@ object Ids {
     * outputs equal `row_number()/sum() OVER (ORDER BY key)` regardless of
     * how the range bounds fell.
     *
-    * Returns the annotated frame AND the grand total of `valueCol` (the
-    * last sum offset) — already computed by the count job, so callers
-    * needing a "share of total" divide by a driver literal instead of
-    * cross-joining a second aggregation of the input (one fewer scan).
+    * Returns the annotated frame AND the grand totals — Σvalue and the
+    * row count, both already computed by the count job — so callers
+    * needing a "share of total" or a target rank divide/compare against
+    * driver literals instead of cross-joining a second aggregation of the
+    * input (one fewer scan).
     *
     * `valueCol` must be LongType (the repo's integer-exact convention);
     * partial sums must stay within int64 — the caller's contract, same as
     * any `sum(long)`. */
   def globalRankCumsum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
       rankOut: String, cumOut: String,
-      numPartitions: Option[Int] = None): (DataFrame, Long) = {
+      numPartitions: Option[Int] = None): (DataFrame, Long, Long) = {
     val parts = numPartitions.getOrElse(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt)
     val sorted = df.repartitionByRange(parts, orderCols: _*)
@@ -127,6 +128,7 @@ object Ids {
     val cntOff: Seq[Long] = stats.map(_._1).toSeq.scanLeft(0L)(_ + _).init
     val sumScan: Seq[Long] = stats.map(_._2).toSeq.scanLeft(0L)(_ + _)
     val total = sumScan.last
+    val nRows = stats.map(_._1).sum
     val base = org.apache.spark.sql.graftbridge.Bridge
       .dataFrameFromInternalRdd(df.sparkSession, rdd, schema)
     val local = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
@@ -147,6 +149,6 @@ object Ids {
         (element_at(typedLit(sumScan.init), col("__gr_pid") + 1) +
           coalesce(sum(col(valueCol)).over(w), lit(0L))).cast("long"))
       .drop("__gr_pid", "__gr_pos")
-    (out, total)
+    (out, total, nRows)
   }
 }

@@ -365,4 +365,36 @@ object Mixture {
           s" ELSE ${budget}L * var_weight div __tw END")))
       .select(col(strataCol), col("n"), col("var_weight"), col("alloc"))
   }
+
+  /** GLOBAL best-first selection under a corpus token budget — the
+    * data-selection step itself: rank every document by quality score
+    * (ties to the id) across the WHOLE corpus and keep documents from the
+    * top until the next one would push the running token total past
+    * `budget`. The complement of [[tokenBudgetSample]]: that op fills a
+    * budget per stratum in unbiased hash order; this one spends one
+    * global budget on the best-scoring documents wherever they live —
+    * the DSIR/quality-classifier selection pattern (q113 selects a fixed
+    * top-k; a pretraining run is budgeted in TOKENS, not documents).
+    *
+    * Scale shape: one keyed projection, then [[Ids.globalRankCumsum]] —
+    * range-partitioned two-phase rank + running token sum, NO
+    * single-partition window (the q216 lesson; a global `ntile`/
+    * `row_number` spelling would sort the corpus on one task). The budget
+    * test is then a map-side filter on the cum column.
+    *
+    * Output: (rank, idCol, scoreCol, tokenCol, cum_tokens), rank dense
+    * ascending from 1, cum_tokens ≤ budget (inclusive; the first
+    * over-budget document and everything below it is dropped). */
+  def budgetSelection(df: DataFrame, idCol: String, scoreCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val base = df.select(col(idCol), col(scoreCol),
+      col(tokenCol).cast("long").as(tokenCol))
+    val (ranked, _, _) = Ids.globalRankCumsum(base,
+      Seq(col(scoreCol).desc, col(idCol).asc), tokenCol,
+      "rank", "cum_tokens")
+    ranked.filter(col("cum_tokens") <= budget)
+      .select(col("rank"), col(idCol), col(scoreCol), col(tokenCol),
+        col("cum_tokens"))
+  }
 }

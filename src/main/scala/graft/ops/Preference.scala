@@ -120,7 +120,16 @@ object Preference {
     * against the ≤|items|-row score frame plus one keyed aggregation —
     * round cost scales with the EDGE count, not the raw match log, and
     * the frames stay artifact-sized (items × avg-degree). Rounds are
-    * lazily checkpointed (the [[Bpe.learn]] discipline). */
+    * lazily checkpointed (the [[Bpe.learn]] discipline).
+    *
+    * BOUNDED-FRAME CONTRACT: the per-round renormalization runs a
+    * `Window.partitionBy()` (whole-frame) sum/count over the SCORE frame
+    * — deliberate: that frame is ≤|items| rows (models on a leaderboard,
+    * arms in a comparison study — thousands, not corpus-scale), and one
+    * task holding it is the point. Do NOT feed this operator an items
+    * domain that scales with the corpus; for corpus-keyed global
+    * normalization the two-phase [[Ids.globalRankCumsum]] is the
+    * pattern. */
   def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1)

@@ -139,6 +139,38 @@ object Quantiles {
       .drop("__gn")
   }
 
+  /** Exact GLOBAL order statistics of an UNBOUNDED-domain column — the
+    * complement of [[profile]] (whose histogram windows need a value
+    * domain smaller than the row count; per-user monetary totals or raw
+    * byte sizes are nearly all-distinct, where the histogram IS the
+    * frame). For each requested integer percentile p the exact rank-ceil
+    * statistic: the value at rank ⌈p·n/100⌉ in (value, tie) ascending
+    * order (p=100 → the max).
+    *
+    * Scale shape: one [[Ids.globalIndex]]-style two-phase pass
+    * ([[Ids.globalRankCumsum]] with a constant weight — the count job
+    * returns n, so no separate count() action), then a map-side filter to
+    * the ≤|ps| target ranks and a broadcast join against the (p, rank)
+    * literal frame. No single-partition exchange, no per-group value
+    * buffer.
+    *
+    * Output: (p, rank, value-typed column named `valueCol`), one row per
+    * requested p, p ascending. Empty input → empty output. */
+  def orderStatistics(df: DataFrame, valueCol: String, tieCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valueCol), col(tieCol), lit(1L).as("__one"))
+    val (ranked, _, n) = Ids.globalRankCumsum(base,
+      Seq(col(valueCol).asc, col(tieCol).asc), "__one", "rank", "__c")
+    val targets = ps.distinct.sorted
+      .map(p => (p.toLong, (p.toLong * n + 99L) / 100L)).toDF("p", "rank")
+    ranked
+      .join(broadcast(targets), Seq("rank"))
+      .select(col("p"), col("rank"), col(valueCol))
+  }
+
   /** Exact-rank k-tile bucket assignment — the scale-safe replacement for
     * `ntile(k)` over an unbounded frame, for one or several metrics of the
     * same frame at once (the RFM grid's R/F/M quintiles).
@@ -173,7 +205,7 @@ object Quantiles {
     metrics.foldLeft(base) { case (acc, (valueCol, outCol)) =>
       val hist = base.groupBy(col(valueCol).as("__s"))
         .agg(count(lit(1)).as("__c"))
-      val (cumHist, n) = Ids.globalRankCumsum(hist,
+      val (cumHist, n, _) = Ids.globalRankCumsum(hist,
         Seq(col("__s").asc), "__c", "__hrk", "__cum")
       val cutoffCols = (1 until k).map(q =>
         min(when(col("__cum") * k >= lit(n) * q, col("__s")))

@@ -23,12 +23,27 @@ import org.apache.spark.sql.functions._
   * becomes k disjoint copies of the 1× graph (k× nodes, k× edges, same
   * density), which is the right fixture for reading off how graph
   * algorithms (LSH buckets, connected components) scale with DATA rather
-  * than with duplication. */
+  * than with duplication.
+  *
+  * Optional mode `zipf` (supersedes `perturb`; implies its id-offset and
+  * embedding-rotation behavior): re-draw every document token from a
+  * 20,000-word ZIPFIAN vocabulary, seeded per (scaled doc id, position)
+  * — the inverse-CDF draw `rank = ⌊e^(u·ln(V+1))⌋` gives p(rank) ∝
+  * 1/rank. The base fixture's ~31-word pool makes every posting a heavy
+  * hitter (df 75–83% per word — whole-doc; 31–35% per passage), which is
+  * the DEGENERATE regime for inverted-index retrieval: at k× every
+  * postings list is corpus-sized. The zipf remap restores the
+  * distribution BM25/PRF/RRF are designed for — a short stopword-like
+  * head, a long informative tail — so the retrieval family's 64× proofs
+  * measure the deploy shape, not the adversarial one. Generation-only
+  * randomness: the remapped text lands in parquet that both engines
+  * read, so the hash-compare stays exact. */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, kStr) = (args(0), args(1), args(2))
     val k = kStr.toInt
-    val perturb = args.length > 3 && args(3) == "perturb"
+    val zipf = args.length > 3 && args(3) == "zipf"
+    val perturb = zipf || (args.length > 3 && args(3) == "perturb")
     val off = 100000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,8 +68,23 @@ object GenScale {
     write(scaled(graft.io.Tables.events(spark, sfDir), Seq("event_id", "user_id")), "events")
     // perturb: per-copy salt token (distinct text per copy) / cyclic
     // embedding rotation (within-copy sims preserved, cross-copy collapse)
+    // zipf: every token re-drawn from a 20k-word Zipfian vocabulary via
+    // the inverse log-CDF, seeded by (scaled doc_id, position) — the
+    // remap replaces the salt (copies are already distinct content)
+    val V = 20000
+    val zipfText: (DataFrame, Int) => DataFrame = (d, _) =>
+      d.withColumn("text", array_join(transform(
+          split(col("text"), "\\s+"),
+          (t, j) => concat(lit("w"),
+            least(greatest(floor(exp(
+              (pmod(xxhash64(col("doc_id"), j, t), lit(1000000L))
+                .cast("double") / 1e6) * math.log(V + 1.0))), lit(1.0)),
+              lit(V.toDouble)).cast("long").cast("string"))),
+          " "))
+        .withColumn("n_chars", length(col("text")))
     val saltText: (DataFrame, Int) => DataFrame = (d, i) =>
-      if (!perturb || i == 0) d
+      if (zipf) zipfText(d, i)
+      else if (!perturb || i == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" copysalt$i")))
         .withColumn("n_chars", col("n_chars") + lit(s" copysalt$i".length))
     val rotateEmb: (DataFrame, Int) => DataFrame = (d, i) =>

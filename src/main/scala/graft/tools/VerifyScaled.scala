@@ -58,7 +58,14 @@ object VerifyScaled {
 
     val nDocs = graft.io.Tables.documents(spark, sfDir).count()
     val docBits = graft.ops.Dedup.simHashBitsFor(nDocs)
-    System.err.println(s"[verifyscaled] nDocs=$nDocs simHashBits=$docBits")
+    // BM25-family query-sample modulus, re-derived so the query set stays
+    // BOUNDED at any k× (a serving workload doesn't grow as 2% of the
+    // corpus; a corpus-proportional sample makes the proof quadratic in k
+    // — every doc shares a stopword with every query). ~100 queries at
+    // the sf0.1 fixture and at every scale above it.
+    val queryMod = math.max(50L, 50L * (nDocs / 5000L))
+    System.err.println(
+      s"[verifyscaled] nDocs=$nDocs simHashBits=$docBits queryMod=$queryMod")
 
     // q106/q113 need no resolution retune — they are the standard
     // SparkEntry plans + oracle SQL, hash-checked here at 8x deploy scale
@@ -110,7 +117,7 @@ object VerifyScaled {
       // knn shortlists are bounded query samples (q19's class), so the
       // DuckDB side stays queries × corpus, linear in the fixture factor
       "q130_bm25" ->
-        (() => graft.SparkEntry.queries("q130_bm25")(spark, sfDir)),
+        (() => graft.Queries11.q130Bm25With(spark, sfDir, queryMod)),
       "q131_hybrid_rrf" ->
         (() => graft.SparkEntry.queries("q131_hybrid_rrf")(spark, sfDir)),
       "q132_hard_negatives" ->
@@ -134,7 +141,10 @@ object VerifyScaled {
       "q141_sentence_chunks" ->
         (() => graft.SparkEntry.queries("q141_sentence_chunks")(spark, sfDir)),
       "q142_passage_retrieval" ->
-        (() => graft.SparkEntry.queries("q142_passage_retrieval")(spark, sfDir)),
+        (() => graft.Queries12.passageRetrieval(spark, sfDir, None, queryMod)),
+      "q234_bm25_df_cutoff" ->
+        (() => graft.Queries12.passageRetrieval(spark, sfDir,
+          Some(300000L), queryMod)),
       "q143_passage_context" ->
         (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)),
       "q144_multimodal_packing" ->
@@ -403,7 +413,17 @@ object VerifyScaled {
       "q232_dedup_roi" ->
         (() => graft.SparkEntry.queries("q232_dedup_roi")(spark, sfDir)),
       "q233_join_amplification" ->
-        (() => graft.SparkEntry.queries("q233_join_amplification")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q233_join_amplification")(spark, sfDir)),
+      // wave 35: q235/q236/q237 ride the two-phase globalRankCumsum (rank
+      // + running sum with no single-partition exchange) — corpus-linear
+      // plus one range shuffle of the rolled-up entity frame; q234 is the
+      // df-cut passage probe (handled above with the re-derived queryMod)
+      "q235_budget_selection" ->
+        (() => graft.SparkEntry.queries("q235_budget_selection")(spark, sfDir)),
+      "q236_lorenz_curve" ->
+        (() => graft.SparkEntry.queries("q236_lorenz_curve")(spark, sfDir)),
+      "q237_order_statistics" ->
+        (() => graft.SparkEntry.queries("q237_order_statistics")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -439,7 +459,7 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q128_trigram_backoff"),
       "q129_packing_efficiency" ->
         graft.SparkEntry.oracleSql("q129_packing_efficiency"),
-      "q130_bm25" -> graft.SparkEntry.oracleSql("q130_bm25"),
+      "q130_bm25" -> graft.Queries11.q130SqlWith(queryMod),
       "q131_hybrid_rrf" -> graft.SparkEntry.oracleSql("q131_hybrid_rrf"),
       "q132_hard_negatives" -> graft.SparkEntry.oracleSql("q132_hard_negatives"),
       "q133_knn_pagerank" -> graft.SparkEntry.oracleSql("q133_knn_pagerank"),
@@ -452,8 +472,28 @@ object VerifyScaled {
       "q139_norm_outliers" -> graft.SparkEntry.oracleSql("q139_norm_outliers"),
       "q140_release_psi" -> graft.SparkEntry.oracleSql("q140_release_psi"),
       "q141_sentence_chunks" -> graft.SparkEntry.oracleSql("q141_sentence_chunks"),
-      "q142_passage_retrieval" ->
-        graft.SparkEntry.oracleSql("q142_passage_retrieval"),
+      "q142_passage_retrieval" -> {
+        val ctes = graft.Queries12.passageScoreCtes(None, queryMod)
+        s"""WITH $ctes,
+           |rk AS (SELECT q_id, passage_id, score_e6,
+           |    row_number() OVER (PARTITION BY q_id
+           |                       ORDER BY score_e6 DESC, passage_id) AS rank
+           |  FROM sc)
+           |SELECT q_id, passage_id, (passage_id // 10000)::BIGINT AS doc_id,
+           |  score_e6, rank::BIGINT AS rank
+           |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      },
+      "q234_bm25_df_cutoff" -> {
+        val ctes = graft.Queries12.passageScoreCtes(Some(300000L), queryMod)
+        s"""WITH $ctes,
+           |rk AS (SELECT q_id, passage_id, score_e6,
+           |    row_number() OVER (PARTITION BY q_id
+           |                       ORDER BY score_e6 DESC, passage_id) AS rank
+           |  FROM sc)
+           |SELECT q_id, passage_id, (passage_id // 10000)::BIGINT AS doc_id,
+           |  score_e6, rank::BIGINT AS rank
+           |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      },
       "q143_passage_context" ->
         graft.SparkEntry.oracleSql("q143_passage_context"),
       "q144_multimodal_packing" ->
@@ -586,7 +626,13 @@ object VerifyScaled {
       "q231_near_miss_pairs" -> graft.Queries33.q231SqlWith(docBits),
       "q232_dedup_roi" -> graft.SparkEntry.oracleSql("q232_dedup_roi"),
       "q233_join_amplification" ->
-        graft.SparkEntry.oracleSql("q233_join_amplification"))
+        graft.SparkEntry.oracleSql("q233_join_amplification"),
+      "q235_budget_selection" ->
+        graft.SparkEntry.oracleSql("q235_budget_selection"),
+      "q236_lorenz_curve" ->
+        graft.SparkEntry.oracleSql("q236_lorenz_curve"),
+      "q237_order_statistics" ->
+        graft.SparkEntry.oracleSql("q237_order_statistics"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -45,9 +45,9 @@ class IdsSpec extends SparkSpec {
   test("globalRankCumsum equals row_number + running sum over the total order") {
     val vals = Seq(("a", 5L), ("b", 12L), ("c", 5L), ("d", 40L), ("e", 1L),
       ("f", 12L)).toDF("k", "v")
-    val (got, tot) = Ids.globalRankCumsum(vals,
+    val (got, tot, nr) = Ids.globalRankCumsum(vals,
       Seq($"v".desc, $"k".asc), "v", "rank", "cum", Some(3))
-    assert(tot == 75L)
+    assert(tot == 75L && nr == 6L)
     val rows = got.select($"k", $"rank", $"cum")
       .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
     // order: d(40) b(12) f(12) a(5) c(5) e(1); cum: 40 52 64 69 74 75
@@ -59,7 +59,7 @@ class IdsSpec extends SparkSpec {
     val big = spark.range(0, 5000)
       .select(($"id" * 2654435761L % 9973).as("k"), ($"id" % 97).as("v"))
     def run(parts: Int) = {
-      val (df, tot) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc),
+      val (df, tot, _) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc),
         "v", "rank", "cum", Some(parts))
       (df.select($"rank", $"cum").as[(Long, Long)].collect().sortBy(_._1).toSeq,
         tot)
@@ -78,7 +78,7 @@ class IdsSpec extends SparkSpec {
   test("globalRankCumsum plans no single-partition exchange") {
     val big = spark.range(0, 2000)
       .select(($"id" % 37).as("k"), ($"id" % 11).as("v"), $"id")
-    val (df, _) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc, $"id".asc),
+    val (df, _, _) = Ids.globalRankCumsum(big, Seq($"k".asc, $"v".asc, $"id".asc),
       "v", "rank", "cum", Some(8))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
