@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{Audit, Mixture, Quantiles, Retrieval}
+import graft.ops.{Audit, Mixture, Quantiles, RankEval, Retrieval}
 
 /** Thirty-fifth query wave: retrieval scale-hardening and global-order
   * analytics on the round-13 two-phase rank/cumsum primitive — the BM25
@@ -134,15 +134,173 @@ object Queries35 {
       |SELECT t.p::BIGINT AS p, t.rank, r.monetary_e4
       |FROM t JOIN r USING (rank) ORDER BY p""".stripMargin
 
+  /** Conversion-lag SLA: per user with both a signup and a purchase, the
+    * lag from FIRST signup to FIRST purchase in microseconds — an
+    * all-distinct domain — read out as exact p50/p90/p99/p100 via
+    * [[graft.ops.Quantiles.orderStatistics]]. */
+  val q238ConversionLag: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    def firstOf(t: String, out: String): DataFrame = e
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as(out))
+    val lags = firstOf("signup", "__su")
+      .join(firstOf("purchase", "__pu"), Seq("user_id"))
+      .select(col("user_id"), (col("__pu") - col("__su")).as("lag_us"))
+    Quantiles.orderStatistics(lags, "lag_us", "user_id", Seq(50, 90, 99, 100))
+      .orderBy("p")
+  }
+
+  val q238Sql: String =
+    """WITH su AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS s
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS pt
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lag AS (SELECT su.user_id, (pu.pt - su.s)::BIGINT AS lag_us
+      |  FROM su JOIN pu USING (user_id)),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM lag),
+      |r AS (SELECT lag_us,
+      |    row_number() OVER (ORDER BY lag_us ASC, user_id ASC)::BIGINT
+      |      AS rank
+      |  FROM lag),
+      |t AS (SELECT p, ((p * nn.n + 99) // 100)::BIGINT AS rank
+      |  FROM (VALUES (50), (90), (99), (100)) v(p) CROSS JOIN nn)
+      |SELECT t.p::BIGINT AS p, t.rank, r.lag_us
+      |FROM t JOIN r USING (rank) ORDER BY p""".stripMargin
+
+  /** Coverage depth over lineitem part revenue — how many top SKUs reach
+    * 50/80/90/99% of total revenue ([[graft.ops.Audit.coverageDepth]],
+    * the inverse readout of q236's Lorenz table). */
+  val q239CoverageDepth: Q = (spark, dir) =>
+    Audit.coverageDepth(Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("rev_e2")),
+      "l_partkey", "rev_e2",
+      thresholdsPpm = Seq(500000L, 800000L, 900000L, 990000L))
+      .orderBy("threshold_ppm")
+
+  val q239Sql: String =
+    """WITH per AS (SELECT l_partkey,
+      |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS value
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(value) AS t FROM per),
+      |r AS (SELECT value,
+      |    row_number() OVER (ORDER BY value DESC, l_partkey ASC)::BIGINT
+      |      AS rank,
+      |    sum(value) OVER (ORDER BY value DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM per),
+      |th AS (SELECT tp::BIGINT AS threshold_ppm,
+      |    ((tot.t * tp + 999999) // 1000000)::BIGINT AS target
+      |  FROM (VALUES (500000), (800000), (900000), (990000)) v(tp)
+      |  CROSS JOIN tot)
+      |SELECT th.threshold_ppm,
+      |  min(CASE WHEN r.cum >= th.target THEN r.rank END)::BIGINT
+      |    AS entities_needed,
+      |  min(CASE WHEN r.cum >= th.target THEN r.cum END)::BIGINT
+      |    AS value_covered
+      |FROM th CROSS JOIN r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Global Gini of per-user monetary totals — corpus-scale inequality
+    * with no group key to partition on ([[graft.ops.Audit.giniGlobal]]:
+    * two-phase rank, decimal Σi·x). */
+  val q240GiniGlobal: Q = (spark, dir) =>
+    Audit.giniGlobal(Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 10000).cast("long")).as("monetary_e4")),
+      "monetary_e4", "user_id")
+
+  val q240Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |    sum(round(value * 10000)::BIGINT)::BIGINT AS x
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT x,
+      |    row_number() OVER (ORDER BY x ASC, user_id ASC)::BIGINT AS i
+      |  FROM pu)
+      |SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+      |  ((2 * sum(i::HUGEINT * x) - (count(*) + 1)::HUGEINT * sum(x))
+      |    * 1000000 // (count(*)::HUGEINT * sum(x)))::BIGINT AS gini_ppm
+      |FROM r""".stripMargin
+
+  /** What the q234 df cutoff actually dropped: per-query top-5 overlap
+    * between the uncut (q142) and cut (q234) passage shortlists —
+    * [[graft.ops.RankEval.overlapAtK]]; the governance table that turns
+    * the 2.3× speedup into a measured agreement number. */
+  val q241CutoffAgreement: Q = (spark, dir) =>
+    RankEval.overlapAtK(
+        Queries12.passageRetrieval(spark, dir, maxDfPpm = None),
+        Queries12.passageRetrieval(spark, dir, maxDfPpm = Some(300000L)),
+        "q_id", "passage_id")
+      .orderBy("q_id")
+
+  val q241Sql: String = q241SqlWith(50L)
+
+  /** [[q241Sql]] with the query-sample modulus parameterized for the k×
+    * proofs (see [[Queries11.q130Bm25With]]). */
+  def q241SqlWith(queryMod: Long): String = {
+    def sc(alias: String, maxDfPpm: Option[Long]): String =
+      s"""$alias AS MATERIALIZED (SELECT q_id, passage_id FROM (
+         |  SELECT q_id, passage_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY score_e6 DESC, passage_id) AS rank
+         |  FROM ${if (maxDfPpm.isDefined) "sc_cut" else "sc"}) WHERE rank <= 5)""".stripMargin
+    // one WITH: the shared uncut CTE chain, plus a cut score CTE re-using
+    // the same postings (dfc_cut filters dfreq; wt_cut/sc_cut mirror
+    // Retrieval.bm25ScoresTerms(maxDfPpm))
+    s"""WITH ${Queries12.passageScoreCtes(None, queryMod)},
+       |dfc_cut AS MATERIALIZED (SELECT f.term, f.df FROM dfreq f CROSS JOIN st
+       |  WHERE f.df * 1000000 <= 300000 * st.n_docs),
+       |wt_cut AS MATERIALIZED (SELECT t.passage_id, t.term,
+       |    floor(
+       |      ln(((st.n_docs::DOUBLE - f.df::DOUBLE) + 0.5) / (f.df::DOUBLE + 0.5) + 1.0)
+       |      * ((t.tf::DOUBLE * (1.2 + 1.0))
+       |         / (t.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (l.dl::DOUBLE / st.avgdl))))
+       |      * 1e6 + 0.5)::BIGINT AS c_e6
+       |  FROM tf t JOIN dfc_cut f USING (term)
+       |  JOIN dl l ON l.passage_id = t.passage_id CROSS JOIN st),
+       |sc_cut AS (SELECT q.q_id, w.passage_id, sum(w.c_e6)::BIGINT AS score_e6
+       |  FROM qt q JOIN wt_cut w USING (term)
+       |  WHERE w.passage_id != q.q_id AND w.passage_id // 10000 != q.q_id
+       |  GROUP BY 1, 2),
+       |${sc("ra", None)},
+       |${sc("rb", Some(300000L))},
+       |na AS (SELECT q_id, count(*)::BIGINT AS n_a FROM ra GROUP BY 1),
+       |nb AS (SELECT q_id, count(*)::BIGINT AS n_b FROM rb GROUP BY 1),
+       |ovl AS (SELECT ra.q_id, count(*)::BIGINT AS n_common
+       |  FROM ra JOIN rb USING (q_id, passage_id) GROUP BY 1),
+       |j AS (SELECT coalesce(na.q_id, nb.q_id) AS q_id,
+       |    coalesce(na.n_a, 0)::BIGINT AS n_a,
+       |    coalesce(nb.n_b, 0)::BIGINT AS n_b
+       |  FROM na FULL OUTER JOIN nb ON na.q_id = nb.q_id),
+       |fin AS (SELECT j.q_id, j.n_a, j.n_b,
+       |    coalesce(ovl.n_common, 0)::BIGINT AS n_common
+       |  FROM j LEFT JOIN ovl ON ovl.q_id = j.q_id)
+       |SELECT q_id, n_a, n_b, n_common,
+       |  (CASE WHEN n_a + n_b - n_common = 0 THEN NULL
+       |    ELSE n_common * 1000000 // (n_a + n_b - n_common) END)::BIGINT
+       |    AS jaccard_ppm,
+       |  (CASE WHEN n_a = 0 THEN NULL
+       |    ELSE n_common * 1000000 // n_a END)::BIGINT AS containment_ppm
+       |FROM fin ORDER BY q_id""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q234_bm25_df_cutoff" -> q234PassageRetrievalDfCut,
     "q235_budget_selection" -> q235BudgetSelection,
     "q236_lorenz_curve" -> q236LorenzCurve,
-    "q237_order_statistics" -> q237OrderStatistics)
+    "q237_order_statistics" -> q237OrderStatistics,
+    "q238_conversion_lag" -> q238ConversionLag,
+    "q239_coverage_depth" -> q239CoverageDepth,
+    "q240_gini_global" -> q240GiniGlobal,
+    "q241_cutoff_agreement" -> q241CutoffAgreement)
 
   val oracle: Map[String, String] = Map(
     "q234_bm25_df_cutoff" -> q234Sql,
     "q235_budget_selection" -> q235Sql,
     "q236_lorenz_curve" -> q236Sql,
-    "q237_order_statistics" -> q237Sql)
+    "q237_order_statistics" -> q237Sql,
+    "q238_conversion_lag" -> q238Sql,
+    "q239_coverage_depth" -> q239Sql,
+    "q240_gini_global" -> q240Sql,
+    "q241_cutoff_agreement" -> q241Sql)
 }

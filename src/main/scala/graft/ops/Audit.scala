@@ -120,6 +120,68 @@ object Audit {
         col("abc_class"))
   }
 
+  /** GLOBAL Gini coefficient — [[giniByGroup]] without the group key,
+    * over a frame that scales with the corpus (per-user totals, per-doc
+    * sizes), where the per-group spelling's window would need a
+    * partition. Rank formulation over values ascending (ties by
+    * `tieCol`): G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
+    *
+    * Scale shape: the rank comes from the two-phase
+    * [[Ids.globalRankCumsum]] (no single-partition exchange; n and Σx
+    * are driver literals), then ONE map-side-combined aggregate for
+    * Σ i·xᵢ. That sum accumulates in decimal(38,0) — i·x reaches n²·x̄/2,
+    * past int64 for any corpus-scale frame — and the final ppm divides
+    * once (DuckDB mirrors via its native HUGEINT sum).
+    *
+    * Output: one row — (n, total, gini_ppm); gini_ppm NULL when
+    * n·Σx = 0 (the giniByGroup convention). */
+  def giniGlobal(df: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val base = df.select(col(valueCol).cast("long").as("__x"), col(tieCol))
+    val (ranked, tot, n) = Ids.globalRankCumsum(base,
+      Seq(col("__x").asc, col(tieCol).asc), "__x", "__i", "__c")
+    val giniPpm =
+      if (n <= 0L || tot <= 0L) lit(null).cast("long")
+      else expr(s"cast((2 * sum(cast(__i as decimal(38,0)) * __x)" +
+        s" - cast(${n + 1L} as decimal(38,0)) * ${tot}L) * 1000000" +
+        s" div (cast(${n}L as decimal(38,0)) * ${tot}L) as long)")
+    ranked.agg(lit(n).as("n"), lit(tot).as("total"), giniPpm.as("gini_ppm"))
+  }
+
+  /** Coverage-depth report: for each requested cumulative-share
+    * threshold, HOW MANY top entities it takes to cover that share of
+    * the total — "how many domains until 90% of the corpus tokens".
+    * The inverse readout of [[lorenzCurve]] (that fixes rank buckets and
+    * reports shares; this fixes shares and reports depths).
+    *
+    * Scale shape: keyed rollup → two-phase rank/cumsum → ONE aggregate
+    * with a conditional min per threshold, reshaped by a literal stack.
+    * Each threshold's target value `ceil(tot·t/1e6)` is computed on the
+    * driver in BigInt (tot is a literal), so no in-plan product can
+    * overflow at any total.
+    *
+    * Output: (threshold_ppm, entities_needed, value_covered) per
+    * threshold, ascending; a threshold no prefix reaches (only possible
+    * at t=0 input edge) reports NULLs. */
+  def coverageDepth(facts: DataFrame, keyCol: String, valueCol: String,
+      thresholdsPpm: Seq[Long]): DataFrame = {
+    require(thresholdsPpm.nonEmpty &&
+      thresholdsPpm.forall(t => t >= 1 && t <= 1000000L))
+    val per = facts.groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    val (ranked, tot, _) = Ids.globalRankCumsum(per,
+      Seq(col("value").desc, col(keyCol).asc), "value", "__rank", "__cum")
+    val ts = thresholdsPpm.distinct.sorted
+    val targets = ts.map(t =>
+      ((BigInt(tot) * t + 999999) / 1000000).toLong)
+    val aggs = ts.zip(targets).flatMap { case (t, tgt) => Seq(
+      min(when(col("__cum") >= tgt, col("__rank"))).as(s"__e_$t"),
+      min(when(col("__cum") >= tgt, col("__cum"))).as(s"__v_$t")) }
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val stack = ts.map(t => s"${t}L, __e_$t, __v_$t").mkString(", ")
+    one.select(expr(s"stack(${ts.size}, $stack)" +
+      " as (threshold_ppm, entities_needed, value_covered)"))
+  }
+
   /** Lorenz concentration curve in `nBuckets` rank buckets — the
     * [[giniByGroup]] readout as a TABLE: entities ranked by descending
     * value, bucket b = ceil(rank·B/n), per bucket the entity count, value

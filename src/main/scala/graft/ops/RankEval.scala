@@ -352,4 +352,42 @@ object RankEval {
         col("n_disc"),
         expr("(n_pairs - 2L * n_disc) * 1000000L div n_pairs").as("tau_ppm"))
   }
+
+  /** Shortlist agreement between two retrieval routes (or the same route
+    * under two configurations — q241 audits the BM25 df-cutoff): per
+    * query, both routes' result counts, the intersection size, and
+    * integer Jaccard / containment ratios. [[kendallTau]] compares ORDER
+    * over a shared shortlist; this compares MEMBERSHIP when the lists
+    * themselves may differ — the recall-style readout for "what did the
+    * cheaper configuration drop".
+    *
+    * Queries present in only one route appear with the other side's
+    * count 0 (full-outer on the query id) — a route silently returning
+    * nothing is the finding, not a row to drop.
+    *
+    * Scale shape: both inputs are per-query shortlists (≤k rows per
+    * query), so every join here is shortlist-sized. Output: (queryIdCol,
+    * n_a, n_b, n_common, jaccard_ppm, containment_ppm) with containment
+    * = n_common/n_a (share of the REFERENCE route a retained by b). */
+  def overlapAtK(a: DataFrame, b: DataFrame, queryIdCol: String,
+      idCol: String): DataFrame = {
+    val q = col(queryIdCol)
+    val na = a.groupBy(q).agg(count(lit(1)).as("n_a"))
+    val nb = b.groupBy(q).agg(count(lit(1)).as("n_b"))
+    val common = a.select(q, col(idCol))
+      .join(b.select(q, col(idCol)), Seq(queryIdCol, idCol))
+      .groupBy(q).agg(count(lit(1)).as("n_common"))
+    na.join(nb, Seq(queryIdCol), "full_outer")
+      .join(common, Seq(queryIdCol), "left")
+      .select(q,
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("CASE WHEN n_a + n_b - n_common = 0 THEN null" +
+          " ELSE n_common * 1000000L div (n_a + n_b - n_common) END"))
+      .withColumn("containment_ppm",
+        expr("CASE WHEN n_a = 0 THEN null" +
+          " ELSE n_common * 1000000L div n_a END"))
+  }
 }

@@ -423,7 +423,23 @@ object VerifyScaled {
       "q236_lorenz_curve" ->
         (() => graft.SparkEntry.queries("q236_lorenz_curve")(spark, sfDir)),
       "q237_order_statistics" ->
-        (() => graft.SparkEntry.queries("q237_order_statistics")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q237_order_statistics")(spark, sfDir)),
+      // q238/q240 ride orderStatistics/giniGlobal (two-phase, no
+      // single-partition exchange); q239 is the lorenz inverse readout;
+      // q241 compares the two passage shortlists at the re-derived
+      // queryMod (its oracle re-spells both probe chains at that modulus)
+      "q238_conversion_lag" ->
+        (() => graft.SparkEntry.queries("q238_conversion_lag")(spark, sfDir)),
+      "q239_coverage_depth" ->
+        (() => graft.SparkEntry.queries("q239_coverage_depth")(spark, sfDir)),
+      "q240_gini_global" ->
+        (() => graft.SparkEntry.queries("q240_gini_global")(spark, sfDir)),
+      "q241_cutoff_agreement" ->
+        (() => graft.ops.RankEval.overlapAtK(
+          graft.Queries12.passageRetrieval(spark, sfDir, None, queryMod),
+          graft.Queries12.passageRetrieval(spark, sfDir, Some(300000L), queryMod),
+          "q_id", "passage_id")
+          .orderBy(org.apache.spark.sql.functions.col("q_id"))))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -632,7 +648,14 @@ object VerifyScaled {
       "q236_lorenz_curve" ->
         graft.SparkEntry.oracleSql("q236_lorenz_curve"),
       "q237_order_statistics" ->
-        graft.SparkEntry.oracleSql("q237_order_statistics"))
+        graft.SparkEntry.oracleSql("q237_order_statistics"),
+      "q238_conversion_lag" ->
+        graft.SparkEntry.oracleSql("q238_conversion_lag"),
+      "q239_coverage_depth" ->
+        graft.SparkEntry.oracleSql("q239_coverage_depth"),
+      "q240_gini_global" ->
+        graft.SparkEntry.oracleSql("q240_gini_global"),
+      "q241_cutoff_agreement" -> graft.Queries35.q241SqlWith(queryMod))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

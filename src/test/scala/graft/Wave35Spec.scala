@@ -63,6 +63,47 @@ class Wave35Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("giniGlobal: hand-checked rank formulation, degenerate cases") {
+    // x = (1,2,3,4), n=4, tot=10, Σi·x = 1+4+9+16 = 30:
+    // G = (60 − 50)/40 = 0.25
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("x", "t")
+    val got = graft.ops.Audit.giniGlobal(df, "x", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 10L, 250000L)))
+    // perfect equality → 0; all mass on one row of n → (n−1)/n
+    val eq = graft.ops.Audit.giniGlobal(
+      Seq((5L, "a"), (5L, "b")).toDF("x", "t"), "x", "t")
+      .as[(Long, Long, Long)].collect().head
+    assert(eq._3 == 0L)
+    val conc = graft.ops.Audit.giniGlobal(
+      Seq((0L, "a"), (0L, "b"), (0L, "c"), (9L, "d")).toDF("x", "t"),
+      "x", "t").as[(Long, Long, Long)].collect().head
+    assert(conc._3 == 750000L) // (n−1)/n = 3/4
+  }
+
+  test("coverageDepth: entities to reach each share, rank-ceil targets") {
+    // per-entity values desc: 50, 30, 15, 5 (tot 100)
+    val facts = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .toDF("k", "v")
+    val got = graft.ops.Audit.coverageDepth(facts, "k", "v",
+        Seq(500000L, 800000L, 990000L, 1000000L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((500000L, 1L, 50L), (800000L, 2L, 80L),
+      (990000L, 4L, 100L), (1000000L, 4L, 100L)))
+  }
+
+  test("overlapAtK: full-outer queries, integer jaccard/containment") {
+    val a = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "id")
+    val b = Seq((1L, 11L), (1L, 12L), (1L, 13L), (3L, 30L)).toDF("q", "id")
+    val got = graft.ops.RankEval.overlapAtK(a, b, "q", "id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 2L, Some(500000L), Some(666666L)),
+      (2L, 1L, 0L, 0L, Some(0L), Some(0L)),
+      (3L, 0L, 1L, 0L, Some(0L), None)))
+  }
+
   test("orderStatistics: duplicate target ranks emit one row per requested p") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("v", "t")
     // n=2: p=50→rank 1, p=51..100→rank 2 — ps (99, 100) share rank 2
