@@ -344,8 +344,17 @@ object Queries12 {
       |    sum(floor(x * 1000.0 + 0.5)::BIGINT * floor(x * 1000.0 + 0.5)::BIGINT)::BIGINT AS norm2_q
       |  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
       |  GROUP BY 1),
-      |f AS (SELECT quantile_cont(norm2_q, 0.25) AS q1,
-      |    quantile_cont(norm2_q, 0.75) AS q3 FROM n2)
+      |nn AS (SELECT count(*)::BIGINT AS n FROM n2),
+      |r AS (SELECT norm2_q,
+      |    row_number() OVER (ORDER BY norm2_q ASC, vec_id ASC)::BIGINT
+      |      AS rank
+      |  FROM n2),
+      |f AS (SELECT
+      |    min(CASE WHEN rank = (25 * nn.n + 99) // 100 THEN norm2_q END)
+      |      AS q1,
+      |    min(CASE WHEN rank = (75 * nn.n + 99) // 100 THEN norm2_q END)
+      |      AS q3
+      |  FROM r CROSS JOIN nn)
       |SELECT vec_id, norm2_q,
       |  (norm2_q::DOUBLE < q1 - 1.5 * (q3 - q1)) AS is_low,
       |  (norm2_q::DOUBLE > q3 + 1.5 * (q3 - q1)) AS is_high

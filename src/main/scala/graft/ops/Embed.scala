@@ -173,10 +173,17 @@ object Embed {
       .withColumn("q", floor(col("v") * quantScale + 0.5).cast("long"))
       .groupBy(col(idCol))
       .agg(sum(col("q") * col("q")).as("norm2_q"))
-    val fences = Quantiles.profile(
-        n2.withColumn("__all", lit(1)), "__all", "norm2_q", Seq(0.25, 0.75))
-      .select(element_at(col("quantiles"), 1).as("__q1"),
-        element_at(col("quantiles"), 2).as("__q3"))
+      .localCheckpoint(false) // feeds the fence pass AND the verdict join
+    // quartiles via the two-phase rank-ceil order statistics: squared
+    // norms are nearly ALL-DISTINCT, so the histogram-window spelling
+    // (Quantiles.profile over one constant group) would sort the whole
+    // per-vector frame on one task — the q216 class. Rank-ceil (type-1)
+    // vs the old interpolated (type-7) quartiles moves a fence by less
+    // than one observed value; Tukey's 1.5·IQR rule is an estimator
+    // heuristic either way, and this spelling is integer-exact.
+    val fences = Quantiles.orderStatistics(n2, "norm2_q", idCol, Seq(25, 75))
+      .agg(min(when(col("p") === 25L, col("norm2_q"))).as("__q1"),
+        min(when(col("p") === 75L, col("norm2_q"))).as("__q3"))
     n2.crossJoin(broadcast(fences)) // 1 row — statically bounded
       .select(col(idCol), col("norm2_q"),
         (col("norm2_q").cast("double") <

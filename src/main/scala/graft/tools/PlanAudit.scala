@@ -95,17 +95,67 @@ object PlanAudit {
       "q229_sampler_uniformity", "q230_variance_allocation",
       // q233 broadcasts the 1-ROW join-output grand total into the
       // checkpointed key frame (statically bounded by construction)
-      "q233_join_amplification")
+      "q233_join_amplification",
+      // q206 broadcasts three 1-ROW quintile-cutoff frames (the
+      // rankBuckets contract); q234/q241 inherit BM25's 1-row
+      // corpus-stats cross join (the q130 class; q241 twice — one per
+      // route)
+      "q206_rfm_segments", "q234_bm25_df_cutoff", "q241_cutoff_agreement")
+    // Unpartitioned logical windows (`Window.orderBy` with no partition
+    // key) plan as Exchange SinglePartition + one-task sort — the q216/
+    // q206 round-13 lesson. Deliberate, BOUNDED-frame exceptions only;
+    // every entry names its bound. Anything else flags UNPARTWIN!.
+    val allowUnpartWindow = Set(
+      // topVocabFromCounts discipline: orderBy+limit(k) FIRST, the rank
+      // window then runs over ≤k rows (q90/q91/q96/q98/q107/q224 compose
+      // it; q148/q149 rank the ≤|vocab| merge-artifact frame)
+      "q90_vocab_coverage", "q91_oov_quality", "q111_zipf_fit",
+      "q98_corpus_datasheet", "q107_vocab_materialized",
+      "q224_nucleus_vocab", "q148_vocab_prune", "q149_prune_impact",
+      // seed init: window over the ≤k-row orderBy+limit(k) head
+      // (Embed.lloydQuantized / Pq.codebooks / ivf builders)
+      "q31_kmeans", "q37_ivf_topk", "q47_embed_lsh", "q75_quantized_topk",
+      "q81_density_clusters", "q83_pipeline_golden", "q104_canonical_dedup",
+      "q113_selection_capstone", "q115_semantic_dedup",
+      "q116_semantic_dispersion", "q117_semantic_thinning_report",
+      "q122_ivf_recall", "q124_semantic_decon",
+      "q150_pq_codebook", "q151_pq_adc_topk", "q152_pq_recall",
+      // histogram-cumulative cutoffs: windows over the DISTINCT-value
+      // frame, bounded by the value domain (q179's bins, q189/q226's
+      // score domain, q87's length domain)
+      "q87_length_quantiles", "q179_hist_quantiles",
+      "q189_threshold_calibration", "q226_decile_mix",
+      // artifact-sized round frames: BPE merge ranks over the ≤|vocab|
+      // pair frame; unigram DP/backtrack over ≤charset^n gram frames
+      "q120_bpe_merges", "q121_bpe_compression", "q125_bpe_segment_new",
+      "q126_tokenizer_fertility", "q158_unigram_segment",
+      // report-sized frames: epoch curriculum ranks |epochs|·manifest
+      // rows after the budget cut (q105); needle grid ≤|depths|·|lengths|
+      // (q146); eval matrices ≤|tasks|·|models| (q153/q176); DoReMi's
+      // |domains| frame (q156); pass@k/best-of-n per-prompt shortlists
+      // (q155/q163/q167 group-bounded but their summary rank is global
+      // over ≤|items| leaderboard rows)
+      "q105_epoch_order", "q146_needle_depth", "q153_pass_at_k",
+      "q155_best_of_n", "q156_doremi_weights", "q163_bradley_terry",
+      "q167_self_consistency", "q176_trimmed_eval",
+      // q168's ECE rollup windows over the ≤|bins| calibration frame
+      // (10 rows by construction)
+      "q168_ece")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(spark, sfDir).queryExecution
-          .explainString(ExplainMode.fromString("formatted"))
+        val qe = fn(spark, sfDir).queryExecution
+        val p = qe.explainString(ExplainMode.fromString("formatted"))
         def n(s: String): Int = s"""\\(\\d+\\) $s""".r.findAllIn(p).size
         val cart = n("CartesianProduct")
         val bnlj = n("BroadcastNestedLoopJoin")
+        val uwin = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN!")
         if (bnlj > 0 && !allowNestedLoop(name)) flags.append(" NESTEDLOOP!")
+        if (uwin > 0 && !allowUnpartWindow(name)) flags.append(" UNPARTWIN!")
         // text-reading scans: each one is a pass over the corpus' fat
         // column — the dominant cost at 100 TB when a multi-section plan
         // fans out over union branches (Catalyst shares no subtrees)
