@@ -284,6 +284,40 @@ object Queries35 {
        |FROM fin ORDER BY q_id""".stripMargin
   }
 
+  /** Token-mass length percentiles: the document length at which 50/90/
+    * 99% of the corpus' TOKENS lie at-or-below — the packing/truncation
+    * sizing readout (a doc-count median wildly understates where the
+    * token mass sits on long-tailed corpora).
+    * [[graft.ops.Quantiles.weightedOrderStatistics]] with value = weight
+    * = token count. */
+  val q242TokenMassLengths: Q = (spark, dir) => {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_remove(graft.functions.TextFns.wordTokens(col("text")),
+          "")).cast("long").as("n_tokens"))
+    Quantiles.weightedOrderStatistics(lens, "n_tokens", "n_tokens",
+        "doc_id", Seq(50, 90, 99))
+      .orderBy("p")
+  }
+
+  val q242Sql: String =
+    """WITH lens AS (SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> ''))::BIGINT AS n_tokens
+      |  FROM documents),
+      |tw AS (SELECT sum(n_tokens)::BIGINT AS w FROM lens),
+      |r AS (SELECT n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY n_tokens ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cw
+      |  FROM lens),
+      |t AS (SELECT p, ((tw.w * p + 99) // 100)::BIGINT AS target_weight
+      |  FROM (VALUES (50), (90), (99)) v(p) CROSS JOIN tw)
+      |SELECT t.p::BIGINT AS p, t.target_weight,
+      |  min(CASE WHEN r.cw >= t.target_weight THEN r.n_tokens END)::BIGINT
+      |    AS n_tokens
+      |FROM t CROSS JOIN r GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q234_bm25_df_cutoff" -> q234PassageRetrievalDfCut,
     "q235_budget_selection" -> q235BudgetSelection,
@@ -292,7 +326,8 @@ object Queries35 {
     "q238_conversion_lag" -> q238ConversionLag,
     "q239_coverage_depth" -> q239CoverageDepth,
     "q240_gini_global" -> q240GiniGlobal,
-    "q241_cutoff_agreement" -> q241CutoffAgreement)
+    "q241_cutoff_agreement" -> q241CutoffAgreement,
+    "q242_token_mass_lengths" -> q242TokenMassLengths)
 
   val oracle: Map[String, String] = Map(
     "q234_bm25_df_cutoff" -> q234Sql,
@@ -302,5 +337,6 @@ object Queries35 {
     "q238_conversion_lag" -> q238Sql,
     "q239_coverage_depth" -> q239Sql,
     "q240_gini_global" -> q240Sql,
-    "q241_cutoff_agreement" -> q241Sql)
+    "q241_cutoff_agreement" -> q241Sql,
+    "q242_token_mass_lengths" -> q242Sql)
 }

@@ -171,6 +171,41 @@ object Quantiles {
       .select(col("p"), col("rank"), col(valueCol))
   }
 
+  /** WEIGHTED exact order statistics: the value at which the cumulative
+    * WEIGHT first reaches p% of the total — "the median token lives in a
+    * document of length X" (value = doc length, weight = token count),
+    * the cost-weighted latency percentile, the byte-weighted shard size.
+    * Plain [[orderStatistics]] is the weight ≡ 1 special case.
+    *
+    * Scale shape: one [[Ids.globalRankCumsum]] over (value, tie)
+    * ascending accumulating the weight, targets `ceil(W·p/100)` computed
+    * driver-side in BigInt from the literal total, then ONE aggregate
+    * with a conditional min per p, reshaped by a literal stack — the
+    * [[graft.ops.Audit.coverageDepth]] shape.
+    *
+    * Output: (p, target_weight, value-typed `valueCol`), p ascending.
+    * Zero-weight rows never host a cutoff (the cumulative is flat across
+    * them and `min` picks the first value AT which the target is met,
+    * which is the same value the next positive-weight row carries only
+    * if values tie — boundary semantics identical in both engines). */
+  def weightedOrderStatistics(df: DataFrame, valueCol: String,
+      weightCol: String, tieCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val base = df.select(col(valueCol), col(tieCol),
+      col(weightCol).cast("long").as("__w"))
+    val (ranked, totW, _) = Ids.globalRankCumsum(base,
+      Seq(col(valueCol).asc, col(tieCol).asc), "__w", "__rk", "__cw")
+    val ts = ps.distinct.sorted
+    val targets = ts.map(p => ((BigInt(totW) * p + 99) / 100).toLong)
+    val aggs = ts.zip(targets).map { case (p, tgt) =>
+      min(when(col("__cw") >= tgt, col(valueCol))).as(s"__v_$p") }
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val stack = ts.zip(targets)
+      .map { case (p, tgt) => s"${p}L, ${tgt}L, __v_$p" }.mkString(", ")
+    one.select(expr(
+      s"stack(${ts.size}, $stack) as (p, target_weight, $valueCol)"))
+  }
+
   /** Exact-rank k-tile bucket assignment — the scale-safe replacement for
     * `ntile(k)` over an unbounded frame, for one or several metrics of the
     * same frame at once (the RFM grid's R/F/M quintiles).

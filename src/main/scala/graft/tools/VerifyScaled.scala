@@ -434,6 +434,8 @@ object VerifyScaled {
         (() => graft.SparkEntry.queries("q239_coverage_depth")(spark, sfDir)),
       "q240_gini_global" ->
         (() => graft.SparkEntry.queries("q240_gini_global")(spark, sfDir)),
+      "q242_token_mass_lengths" ->
+        (() => graft.SparkEntry.queries("q242_token_mass_lengths")(spark, sfDir)),
       "q241_cutoff_agreement" ->
         (() => graft.ops.RankEval.overlapAtK(
           graft.Queries12.passageRetrieval(spark, sfDir, None, queryMod),
@@ -655,7 +657,9 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q239_coverage_depth"),
       "q240_gini_global" ->
         graft.SparkEntry.oracleSql("q240_gini_global"),
-      "q241_cutoff_agreement" -> graft.Queries35.q241SqlWith(queryMod))
+      "q241_cutoff_agreement" -> graft.Queries35.q241SqlWith(queryMod),
+      "q242_token_mass_lengths" ->
+        graft.SparkEntry.oracleSql("q242_token_mass_lengths"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -104,6 +104,24 @@ class Wave35Spec extends SparkSpec {
       (3L, 0L, 1L, 0L, Some(0L), None)))
   }
 
+  test("weightedOrderStatistics: cumulative-weight cutoffs, hand-checked") {
+    // values 1..4 with weights 1,1,6,2 (W=10): cw = 1,2,8,10
+    // p50 → target 5 → first cw≥5 is value 3; p80 → 8 → 3; p90 → 9 → 4
+    val df = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 6L, "c"), (4L, 2L, "d"))
+      .toDF("v", "w", "t")
+    val got = Quantiles.weightedOrderStatistics(df, "v", "w", "t",
+        Seq(50, 80, 90))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((50L, 5L, 3L), (80L, 8L, 3L), (90L, 9L, 4L)))
+    // weight ≡ 1 degenerates to plain order statistics
+    val ones = df.withColumn("w", lit(1L))
+    val a = Quantiles.weightedOrderStatistics(ones, "v", "w", "t", Seq(50, 100))
+      .select($"p", $"v").as[(Long, Long)].collect().sorted.toSeq
+    val b = Quantiles.orderStatistics(ones, "v", "t", Seq(50, 100))
+      .select($"p", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("orderStatistics: duplicate target ranks emit one row per requested p") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("v", "t")
     // n=2: p=50→rank 1, p=51..100→rank 2 — ps (99, 100) share rank 2
