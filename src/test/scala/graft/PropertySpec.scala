@@ -368,4 +368,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("globalRankCumsum ≡ single-task scan on random frames, any partition count") {
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 20L))))
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 9))) { case (rows, parts) =>
+      // tiebreak on a unique index so the order is total (the op's contract)
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "i")
+      val (out, tot, n) = graft.ops.Ids.globalRankCumsum(df,
+        Seq($"k".asc, $"i".asc), "v", "rank", "cum", Some(parts))
+      val got = out.select($"i", $"rank", $"cum")
+        .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+      val want = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        .sortBy(t => (t._1, t._2))
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, c), (_, i, v)) =>
+          (i, 0L, v, c + v) }
+        .tail.zipWithIndex
+        .map { case ((i, _, _, c), r) => (i, r + 1L, c) }
+      assert(n == rows.size.toLong && tot == rows.map(_._2).sum)
+      assert(got == want, s"parts=$parts rows=$rows")
+    }
+  }
+
+  test("rankBuckets: buckets are monotone in the metric and ties always share") {
+    val rowsGen = Gen.chooseNum(2, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-9L, 9L)))
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(2, 6))) { case (vs, k) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "i")
+      val got = graft.ops.Quantiles.rankBuckets(df, Seq(("v", "q")), k)
+        .select($"v", $"q").as[(Long, Long)].collect().toSeq
+      val byV = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      assert(byV.values.forall(_.size == 1), s"ties split a bucket: $byV")
+      val ordered = byV.toSeq.sortBy(_._1).map(_._2.head)
+      assert(ordered.zip(ordered.tail).forall(p => p._1 <= p._2),
+        s"buckets not monotone: $ordered")
+      assert(got.forall(t => t._2 >= 1 && t._2 <= k))
+      // exact-rank cutoff semantics: bucket of v = 1 + #cutoffs strictly below v
+      val n = vs.size
+      val sorted = vs.sorted
+      def cum(x: Long) = sorted.count(_ <= x).toLong
+      val cuts = (1 until k).map(q => sorted.find(s => cum(s) * k >= n.toLong * q).get)
+      got.foreach { case (v, q) =>
+        assert(q == 1 + cuts.count(c => v > c), s"v=$v q=$q cuts=$cuts") }
+    }
+  }
 }
