@@ -9,9 +9,12 @@ import graft.ops.{Audit, Mixture, Quantiles, RankEval, Retrieval}
 /** Thirty-fifth query wave: retrieval scale-hardening and global-order
   * analytics on the round-13 two-phase rank/cumsum primitive — the BM25
   * document-frequency cutoff (q234), token-budget best-first data
-  * selection (q235), the Lorenz concentration curve (q236), and exact
-  * order statistics over an all-distinct domain (q237). None of the four
-  * plans a single-partition exchange.
+  * selection (q235), the Lorenz concentration curve (q236), exact order
+  * statistics over an all-distinct domain (q237), conversion-lag
+  * percentiles (q238), coverage depth (q239), the global Gini (q240),
+  * the cutoff-agreement audit (q241), and token-mass weighted order
+  * statistics (q242). None of the nine plans a single-partition
+  * exchange (PlanAudit-clean).
   */
 object Queries35 {
 
