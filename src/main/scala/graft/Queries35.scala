@@ -230,11 +230,40 @@ object Queries35 {
     * [[graft.ops.RankEval.overlapAtK]]; the governance table that turns
     * the 2.3× speedup into a measured agreement number. */
   val q241CutoffAgreement: Q = (spark, dir) =>
-    RankEval.overlapAtK(
-        Queries12.passageRetrieval(spark, dir, maxDfPpm = None),
-        Queries12.passageRetrieval(spark, dir, maxDfPpm = Some(300000L)),
+    cutoffAgreement(spark, dir, queryMod = 50L)
+
+  /** Both routes share ONE postings build (`Retrieval.postings`
+    * lazy-checkpoints the tf table), so the corpus is chunked and
+    * tokenized once instead of once per route — same-session A/B at
+    * sf0.1: 8.23 → 6.68 s min-of-3 vs the two-independent-plans
+    * spelling (the score/rank passes, not the build, dominate). The
+    * oracle's CTE chain is the same factoring (tf/dl/dfreq/st
+    * materialize once, both score passes read them). */
+  private[graft] def cutoffAgreement(spark: SparkSession, dir: String,
+      queryMod: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sd = Queries12.sentenced(Tables.documents(spark, dir))
+    val passages = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
+      .select((col("doc_id") * 10000L + col("chunk_id")).as("passage_id"),
+        col("chunk"))
+    val queries = sd.filter(col("doc_id") % queryMod === 7L)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val p = Retrieval.postings(passages, "passage_id", "chunk")
+    val qterms = Retrieval.queryTerms(queries, "q_id", "q_text")
+      .localCheckpoint(false) // probes BOTH routes
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("passage_id").asc)
+    def route(maxDfPpm: Option[Long]): DataFrame =
+      Retrieval.bm25ScoresTerms(p, "passage_id", qterms, "q_id",
+          maxDfPpm = maxDfPpm)
+        .filter(expr("passage_id div 10000L") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("passage_id"))
+    RankEval.overlapAtK(route(None), route(Some(300000L)),
         "q_id", "passage_id")
       .orderBy("q_id")
+  }
 
   val q241Sql: String = q241SqlWith(50L)
 

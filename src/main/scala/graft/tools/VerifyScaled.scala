@@ -437,11 +437,7 @@ object VerifyScaled {
       "q242_token_mass_lengths" ->
         (() => graft.SparkEntry.queries("q242_token_mass_lengths")(spark, sfDir)),
       "q241_cutoff_agreement" ->
-        (() => graft.ops.RankEval.overlapAtK(
-          graft.Queries12.passageRetrieval(spark, sfDir, None, queryMod),
-          graft.Queries12.passageRetrieval(spark, sfDir, Some(300000L), queryMod),
-          "q_id", "passage_id")
-          .orderBy(org.apache.spark.sql.functions.col("q_id"))))
+        (() => graft.Queries35.cutoffAgreement(spark, sfDir, queryMod)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
