@@ -565,20 +565,31 @@ object Queries12 {
     * per query assembled in-plan ([[graft.ops.Rag.assemblePrompts]]).
     * Output: (q_id, n_passages, n_context_tokens, prompt) — prompt text
     * hashes, so the WHOLE serving artifact is oracle-checked. */
-  val q143PassageContext: Q = (spark, dir) => {
+  val q143PassageContext: Q = (spark, dir) =>
+    passageContext(spark, dir, maxDfPpm = None)
+
+  /** q143's plan with the probe-side df cutoff and the query-sample
+    * modulus as parameters — the same knobs as [[passageRetrieval]]: the
+    * registered q143 serves uncut (the audit reference), q243 is the
+    * DEPLOY spelling (300000-ppm cutoff — the ranking probe skips the
+    * stopword spine, measured 2.3× on q142's class, with q241 providing
+    * the agreement evidence); the k× proofs re-derive `queryMod`. */
+  private[graft] def passageContext(spark: SparkSession, dir: String,
+      maxDfPpm: Option[Long], queryMod: Long = 50L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sd = sentenced(Tables.documents(spark, dir))
     val chunks = graft.ops.Chunk.sentenceChunks(sd, "doc_id", "text", 16)
       .select((col("doc_id") * 10000L + col("chunk_id")).as("passage_id"),
         col("chunk"), col("n_tokens"))
       .localCheckpoint(eager = false)
-    val queries = sd.filter(col("doc_id") % 50 === 7L)
+    val queries = sd.filter(col("doc_id") % queryMod === 7L)
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     val p = Retrieval.postings(chunks, "passage_id", "chunk")
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("score_e6").desc, col("passage_id").asc)
     val ranked = Retrieval.bm25ScoresTerms(p, "passage_id",
-        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id")
+        Retrieval.queryTerms(queries, "q_id", "q_text"), "q_id",
+        maxDfPpm = maxDfPpm)
       .filter(expr("passage_id div 10000L") =!= col("q_id"))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 5)
@@ -599,8 +610,13 @@ object Queries12 {
       .orderBy("q_id")
   }
 
-  val q143Sql: String =
-    s"""WITH $PassageScoreCtes,
+  val q143Sql: String = q143SqlWith(None)
+
+  /** [[q143Sql]] with the df cutoff and query-sample modulus
+    * parameterized (q243's oracle; the k× proofs re-derive queryMod). */
+  private[graft] def q143SqlWith(maxDfPpm: Option[Long],
+      queryMod: Long = 50L): String =
+    s"""WITH ${passageScoreCtes(maxDfPpm, queryMod)},
        |rk AS MATERIALIZED (SELECT q_id, passage_id, rank FROM (
        |  SELECT q_id, passage_id,
        |    row_number() OVER (PARTITION BY q_id

@@ -100,9 +100,19 @@ object Ids {
     * driver literals instead of cross-joining a second aggregation of the
     * input (one fewer scan).
     *
-    * `valueCol` must be LongType (the repo's integer-exact convention);
-    * partial sums must stay within int64 — the caller's contract, same as
-    * any `sum(long)`. */
+    * `valueCol` must be LongType (the repo's integer-exact convention).
+    * Overflow posture: every addition on the way to the grand total — the
+    * per-partition scan sums AND the driver-side prefix scan over them —
+    * is `Math.addExact`, so a frame whose running sum crosses ±2^63 FAILS
+    * LOUDLY (ArithmeticException naming the column) instead of silently
+    * wrapping into a plausible-looking rank table; this primitive
+    * underpins the overflow-audit family (abcClassification, giniGlobal,
+    * joinAmplification's consumers), which exists precisely for inputs
+    * where "the caller's contract" breaks. The phase-3 in-partition
+    * running sum is a Spark `sum(long)` under ANSI mode, which throws on
+    * overflow too — so the bound is exact end to end: any input whose
+    * true running sum fits int64 succeeds; any input where it doesn't
+    * raises. */
   def globalRankCumsum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
       rankOut: String, cumOut: String,
       numPartitions: Option[Int] = None): (DataFrame, Long, Long) = {
@@ -116,17 +126,34 @@ object Ids {
       s"globalRankCumsum needs a LongType value column, " +
         s"got ${schema(vIdx).dataType} for $valueCol")
     val rdd = sorted.queryExecution.toRdd // bounds + shuffle materialize once
+    val colName = valueCol // avoid capturing `this`-adjacent refs in the task
     val stats = rdd.sparkContext.runJob(rdd,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         var n = 0L; var s = 0L
         while (it.hasNext) {
           val r = it.next(); n += 1
-          if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+          if (!r.isNullAt(vIdx)) {
+            try s = Math.addExact(s, r.getLong(vIdx))
+            catch { case _: ArithmeticException =>
+              throw new ArithmeticException(
+                s"globalRankCumsum: partial sum of '$colName' overflowed " +
+                  "int64 within one range partition - the running cumsum " +
+                  "cannot be represented; rescale the value column " +
+                  "(coarser units) or sum in decimal upstream") }
+          }
         }
         (n, s)
       })
     val cntOff: Seq[Long] = stats.map(_._1).toSeq.scanLeft(0L)(_ + _).init
-    val sumScan: Seq[Long] = stats.map(_._2).toSeq.scanLeft(0L)(_ + _)
+    // driver prefix scan over per-partition sums: same loud-overflow rule
+    // (partitions can be individually fine while the global prefix wraps)
+    val sumScan: Seq[Long] = stats.map(_._2).toSeq.scanLeft(0L) { (a, b) =>
+      try Math.addExact(a, b)
+      catch { case _: ArithmeticException =>
+        throw new ArithmeticException(
+          s"globalRankCumsum: global running sum of '$colName' overflowed " +
+            "int64 across partitions - rescale the value column") }
+    }
     val total = sumScan.last
     val nRows = stats.map(_._1).sum
     val base = org.apache.spark.sql.graftbridge.Bridge

@@ -223,35 +223,47 @@ object Quantiles {
     * engine-portable one. Bucket populations are therefore k-quantile up
     * to tie mass, not exactly equal.
     *
-    * Scale shape: the input is lazily checkpointed ONCE (it feeds one
-    * histogram per metric plus the final assignment — Catalyst shares no
-    * subtrees across branches, see the [[graft.ops.Dedup]] checkpoint-
-    * lifetime note). Each metric costs one map-combined distinct-value
+    * Scale shape: the input is lazily checkpointed ONCE to feed the
+    * histogram jobs (one per metric — Catalyst shares no subtrees across
+    * branches, see the [[graft.ops.Dedup]] checkpoint-lifetime note), and
+    * the pinned blocks are RELEASED before returning
+    * ([[org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint]])
+    * — a long-lived session calling this repeatedly accumulates no
+    * executor storage. Each metric costs one map-combined distinct-value
     * histogram and one [[Ids.globalRankCumsum]] over it — the histogram's
     * running count never passes through a single-partition window, so the
     * spelling survives metrics whose value domain scales with the frame
     * (per-user monetary totals are nearly all-distinct). The k−1 cutoffs
-    * per metric come back as ONE broadcast row; assignment is a plain
-    * projection. */
+    * per metric are each one `min` aggregate — ≤ k−1 scalars, collected
+    * to the driver and baked into the output as LITERALS, so the returned
+    * frame is the caller's frame plus plain codegen'd projections (no
+    * crossJoin, no dependence on the released checkpoint; the one cost is
+    * that the final action re-evaluates the caller's lineage once, the
+    * standard storage-vs-rescan trade). */
   def rankBuckets(df: DataFrame, metrics: Seq[(String, String)],
       k: Int): DataFrame = {
     require(k >= 2 && metrics.nonEmpty)
     val base = df.localCheckpoint(false)
-    metrics.foldLeft(base) { case (acc, (valueCol, outCol)) =>
-      val hist = base.groupBy(col(valueCol).as("__s"))
-        .agg(count(lit(1)).as("__c"))
-      val (cumHist, n, _) = Ids.globalRankCumsum(hist,
-        Seq(col("__s").asc), "__c", "__hrk", "__cum")
-      val cutoffCols = (1 until k).map(q =>
-        min(when(col("__cum") * k >= lit(n) * q, col("__s")))
-          .as(s"__cut_${outCol}_$q"))
-      val cutoffs = cumHist.agg(cutoffCols.head, cutoffCols.tail: _*)
-      val bucket = (1 until k).map(q =>
-        when(col(valueCol) > col(s"__cut_${outCol}_$q"), 1L).otherwise(0L))
-        .reduce(_ + _) + lit(1L)
-      acc.crossJoin(broadcast(cutoffs))
-        .withColumn(outCol, bucket)
-        .drop((1 until k).map(q => s"__cut_${outCol}_$q"): _*)
+    val cuts: Seq[(String, String, Seq[Column])] =
+      metrics.map { case (valueCol, outCol) =>
+        val hist = base.groupBy(col(valueCol).as("__s"))
+          .agg(count(lit(1)).as("__c"))
+        val (cumHist, n, _) = Ids.globalRankCumsum(hist,
+          Seq(col("__s").asc), "__c", "__hrk", "__cum")
+        val cutoffCols = (1 until k).map(q =>
+          min(when(col("__cum") * k >= lit(n) * q, col("__s")))
+            .as(s"__cut_$q"))
+        val row = cumHist.agg(cutoffCols.head, cutoffCols.tail: _*).head()
+        val dt = df.schema(df.schema.fieldIndex(valueCol)).dataType
+        val lits = (0 until k - 1).map(i =>
+          if (row.isNullAt(i)) lit(null).cast(dt) else lit(row.get(i)))
+        (valueCol, outCol, lits)
+      }
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(base)
+    cuts.foldLeft(df) { case (acc, (valueCol, outCol, lits)) =>
+      val bucket = lits.map(cv =>
+        when(col(valueCol) > cv, 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+      acc.withColumn(outCol, bucket)
     }
   }
 }

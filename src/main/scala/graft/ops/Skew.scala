@@ -52,20 +52,27 @@ object Skew {
     * `l(key, n_left)` / `r(key, n_right)` — the entry point when key
     * profiles already exist (a stats catalog), and the level where the
     * overflow arithmetic is unit-testable with planet-scale counts
-    * (SkewSpec feeds literal 1e10-row keys no fixture could). */
+    * (SkewSpec feeds literal 1e10-row keys no fixture could).
+    *
+    * A stats catalog can carry zero (or garbage-negative) counts;
+    * those keys contribute out_rows = 0 instead of aborting the whole
+    * audit on the saturation guard's ANSI division. */
   def joinAmplificationCounts(l: DataFrame, r: DataFrame,
       topK: Int): DataFrame = {
     require(topK >= 1)
     val j = l.join(r, Seq("key"))
-      // saturating product: counts are ≥ 1, so the guard division is safe
+      // saturating product; the <=0 arm also keeps the guard division
+      // away from n_right = 0
       .withColumn("out_rows", expr(
-        s"CASE WHEN n_left <= ${Long.MaxValue}L div n_right" +
+        s"CASE WHEN n_left <= 0L OR n_right <= 0L THEN 0L" +
+          s" WHEN n_left <= ${Long.MaxValue}L div n_right" +
           s" THEN n_left * n_right ELSE ${Long.MaxValue}L END"))
       .localCheckpoint(false)
     j.crossJoin(broadcast(
         j.agg(sum(col("out_rows").cast("decimal(38,0)")).as("__tot"))))
       .withColumn("share_ppm", expr(
-        "CASE WHEN __tot <= 9223372036854 THEN" +
+        "CASE WHEN __tot <= 0 THEN 0L" + // all-zero catalog: no output rows
+          " WHEN __tot <= 9223372036854 THEN" +
           " out_rows * 1000000L div cast(__tot as long)" +
           " ELSE out_rows div cast(__tot div 1000000L as long) END"))
       .orderBy(col("out_rows").desc, col("key").asc)

@@ -69,12 +69,15 @@ object GenScale {
     // perturb: per-copy salt token (distinct text per copy) / cyclic
     // embedding rotation (within-copy sims preserved, cross-copy collapse)
     // zipf: every token re-drawn from a 20k-word Zipfian vocabulary via
-    // the inverse log-CDF, seeded by (scaled doc_id, position) — the
-    // remap replaces the salt (copies are already distinct content)
+    // the inverse log-CDF, seeded by (scaled doc_id, position, original
+    // token) — the remap replaces the salt (copies are already distinct
+    // content). trim-then-split matches the engines' tokenizer (a leading
+    // blank must not mint a phantom vocabulary word), and blank tokens
+    // are dropped before remapping so token counts track the base shape.
     val V = 20000
     val zipfText: (DataFrame, Int) => DataFrame = (d, _) =>
       d.withColumn("text", array_join(transform(
-          split(col("text"), "\\s+"),
+          filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
           (t, j) => concat(lit("w"),
             least(greatest(floor(exp(
               (pmod(xxhash64(col("doc_id"), j, t), lit(1000000L))

@@ -146,7 +146,10 @@ object VerifyScaled {
         (() => graft.Queries12.passageRetrieval(spark, sfDir,
           Some(300000L), queryMod)),
       "q143_passage_context" ->
-        (() => graft.SparkEntry.queries("q143_passage_context")(spark, sfDir)),
+        (() => graft.Queries12.passageContext(spark, sfDir, None, queryMod)),
+      "q243_passage_context_cut" ->
+        (() => graft.Queries12.passageContext(spark, sfDir,
+          Some(300000L), queryMod)),
       "q144_multimodal_packing" ->
         (() => graft.SparkEntry.queries("q144_multimodal_packing")(spark, sfDir)),
       "q145_sft_render" ->
@@ -509,7 +512,9 @@ object VerifyScaled {
            |FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
       },
       "q143_passage_context" ->
-        graft.SparkEntry.oracleSql("q143_passage_context"),
+        graft.Queries12.q143SqlWith(None, queryMod),
+      "q243_passage_context_cut" ->
+        graft.Queries12.q143SqlWith(Some(300000L), queryMod),
       "q144_multimodal_packing" ->
         graft.SparkEntry.oracleSql("q144_multimodal_packing"),
       "q145_sft_render" -> graft.SparkEntry.oracleSql("q145_sft_render"),

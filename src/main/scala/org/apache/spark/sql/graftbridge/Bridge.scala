@@ -34,12 +34,41 @@ object Bridge {
     * by `rdd.id` and therefore DIFFER between two independently-planned
     * actions over the same logical plan. Every job launched against the
     * captured RDD shares those bounds (and reuses the shuffle files), so a
-    * count pass and an assignment pass can never disagree on the layout. */
+    * count pass and an assignment pass can never disagree on the layout.
+    *
+    * COMPATIBILITY CONTRACT — the two-phase primitive rests on three
+    * Spark behaviors that are stable in 3.x–4.x but are NOT public API;
+    * `graft.BridgeCanarySpec` asserts each one and fails fast on a Spark
+    * upgrade that moves any of them:
+    *
+    *  1. `queryExecution.toRdd` returns the PHYSICAL `InternalRow` RDD of
+    *     the plan, and re-running jobs against that one instance reuses
+    *     its computed shuffle layout (same partition count, same rows per
+    *     partition across jobs);
+    *  2. `monotonically_increasing_id()` packs `partitionId << 33 |
+    *     recordPositionInPartition` with the position 0-based and dense
+    *     (its documented layout — the assignment projections in
+    *     [[graft.ops.Ids]] decode the low 33 bits);
+    *  3. `classic.SparkSession.internalCreateDataFrame` (private[sql])
+    *     wraps an `InternalRow` RDD without changing its partitioning —
+    *     the rebuilt frame enumerates the captured RDD's partitions
+    *     verbatim. */
   def dataFrameFromInternalRdd(spark: org.apache.spark.sql.SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Release the executor blocks pinned by a `localCheckpoint` the moment
+    * its readers are done — `Dataset.unpersist` only consults the
+    * CacheManager (`.cache()` entries), so a checkpointed frame's storage
+    * otherwise lives until the session dies. Walks the analyzed plan for
+    * the checkpoint's `LogicalRDD` leaves and unpersists their RDDs
+    * (non-blocking); a no-op on frames that were never checkpointed. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Force-compile every WholeStageCodegen subtree of a plan and return the
     * generated sources. `WholeStageCodegenExec.doExecute` swallows Janino

@@ -85,6 +85,29 @@ class IdsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("globalRankCumsum fails loudly when one partition's partial sum crosses 2^63") {
+    // Some(1): every row lands in the single range partition, so the scan
+    // job's Math.addExact is the line that must raise — not a wrapped rank
+    val vals = Seq(("a", Long.MaxValue), ("b", Long.MaxValue), ("c", 1L))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      Ids.globalRankCumsum(vals, Seq($"k".asc), "v", "rank", "cum", Some(1))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("overflowed int64")), e.toString)
+  }
+
+  test("globalRankCumsum fails loudly when the cross-partition prefix sum crosses 2^63") {
+    // 200 rows of 2^56: every per-partition sum fits comfortably, the
+    // DRIVER prefix scan is what wraps — the second addExact site
+    val big = spark.range(0, 200).select($"id".as("k"), lit(1L << 56).as("v"))
+    val e = intercept[ArithmeticException] {
+      Ids.globalRankCumsum(big, Seq($"k".asc), "v", "rank", "cum", Some(8))
+    }
+    assert(e.getMessage.contains("overflowed int64"), e.getMessage)
+  }
+
   test("globalIndex assigns ids as a codegen'd projection over Tungsten rows") {
     val out = Ids.globalIndex(docs, Seq($"lang", $"doc_id"), "idx", Some(3))
     val plan = out.queryExecution.executedPlan.toString

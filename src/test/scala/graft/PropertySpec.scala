@@ -413,4 +413,116 @@ class PropertySpec extends SparkSpec {
         assert(q == 1 + cuts.count(c => v > c), s"v=$v q=$q cuts=$cuts") }
     }
   }
+
+  // ------- order-statistics family ≡ driver sort-and-scan (random frames,
+  // random input partitioning; zero weights, all-ties and empty edges)
+
+  test("orderStatistics ≡ sorted-scan rank-ceil select on random frames") {
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-40L, 40L)))
+    val psGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 100))
+    forAll(Gen.zip(rowsGen, psGen, Gen.chooseNum(1, 7))) { case (vs, ps, parts) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "i").repartition(parts)
+      val got = graft.ops.Quantiles.orderStatistics(df, "v", "i", ps)
+        .select($"p", $"rank", $"v").as[(Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
+      val sorted = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy(identity)
+      val n = vs.size.toLong
+      val want = ps.distinct.sorted.map { p =>
+        val rank = (p.toLong * n + 99L) / 100L
+        (p.toLong, rank, sorted((rank - 1).toInt)._1)
+      }
+      assert(got == want, s"vs=$vs ps=$ps parts=$parts")
+    }
+    // empty-input edge: no rank 0 exists, so the output is empty
+    val empty = Seq.empty[(Long, Long)].toDF("v", "i")
+    assert(graft.ops.Quantiles.orderStatistics(empty, "v", "i", Seq(50)).count() == 0L)
+  }
+
+  test("weightedOrderStatistics ≡ weighted sorted scan, incl. zero weights and all-ties") {
+    val rowsGen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(0L, 9L))))
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 7))) { case (rows, parts) =>
+      val ps = Seq(1, 50, 90, 100)
+      val df = rows.zipWithIndex.map { case ((v, w), i) => (v, w, i.toLong) }
+        .toDF("v", "w", "i").repartition(parts)
+      val got = graft.ops.Quantiles.weightedOrderStatistics(df, "v", "w", "i", ps)
+        .select($"p", $"target_weight", $"v")
+        .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+      val sorted = rows.zipWithIndex.map { case ((v, w), i) => (v, w, i.toLong) }
+        .sortBy(t => (t._1, t._3))
+      val cw = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+      val totW = rows.map(_._2).sum
+      val want = ps.map { p =>
+        val tgt = (BigInt(totW) * p + 99) / 100
+        val hit = sorted.zip(cw).find { case (_, c) => c >= tgt.toLong }
+        (p.toLong, tgt.toLong, hit.map(_._1._1))
+      }
+      assert(got == want, s"rows=$rows parts=$parts")
+    }
+    // all-ties: every percentile reports the tied value
+    val ties = Seq.fill(20)((7L, 3L)).zipWithIndex
+      .map { case ((v, w), i) => (v, w, i.toLong) }.toDF("v", "w", "i")
+    val t = graft.ops.Quantiles.weightedOrderStatistics(ties, "v", "w", "i",
+      Seq(10, 50, 100)).select($"v").as[Long].collect().toSeq
+    assert(t == Seq(7L, 7L, 7L))
+  }
+
+  test("coverageDepth ≡ descending scan to each threshold target") {
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0L, 50L))))
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 7))) { case (rows, parts) =>
+      val ts = Seq(100000L, 500000L, 900000L, 1000000L)
+      val df = rows.map { case (k, v) => (s"k$k", v) }
+        .toDF("key", "v").repartition(parts)
+      val got = graft.ops.Audit.coverageDepth(df, "key", "v", ts)
+        .select($"threshold_ppm", $"entities_needed", $"value_covered")
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      val per = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+        .map { case (k, v) => (s"k$k", v) }
+        .sortBy { case (k, v) => (-v, k) }
+      val tot = per.map(_._2).sum
+      val cum = per.map(_._2).scanLeft(0L)(_ + _).tail
+      val want = ts.map { t =>
+        val tgt = (BigInt(tot) * t + 999999) / 1000000
+        val idx = cum.indexWhere(_ >= tgt.toLong)
+        if (idx < 0) (t, None, None)
+        else (t, Some(idx + 1L), Some(cum(idx)))
+      }
+      assert(got == want, s"rows=$rows parts=$parts")
+    }
+  }
+
+  test("lorenzCurve ≡ descending-rank bucket rollup with exact ppm shares") {
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0L, 50L))))
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 7))) {
+      case (rows, nBuckets, parts) =>
+        val df = rows.map { case (k, v) => (s"k$k", v) }
+          .toDF("key", "v").repartition(parts)
+        val got = graft.ops.Audit.lorenzCurve(df, "key", "v", nBuckets)
+          .select($"bucket", $"n_entities", $"value_sum", $"cum_value",
+            $"cum_share_ppm")
+          .as[(Long, Long, Long, Long, Option[Long])].collect()
+          .sortBy(_._1).toSeq
+        val per = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .map { case (k, v) => (s"k$k", v) }.sortBy { case (k, v) => (-v, k) }
+        val n = per.size.toLong
+        val tot = per.map(_._2).sum
+        val cum = per.map(_._2).scanLeft(0L)(_ + _).tail
+        val want = per.zipWithIndex
+          .map { case ((_, v), i) =>
+            val rank = i + 1L
+            ((rank * nBuckets + n - 1L) / n, v, cum(i)) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (b, g) =>
+            val cv = g.map(_._3).max
+            val share = if (tot <= 0L) None else Some(cv * 1000000L / tot)
+            (b, g.size.toLong, g.map(_._2).sum, cv, share) }
+        assert(got == want, s"rows=$rows B=$nBuckets parts=$parts")
+    }
+  }
 }

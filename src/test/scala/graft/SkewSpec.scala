@@ -52,6 +52,27 @@ class SkewSpec extends SparkSpec {
     assert(got("hot")._1 == Long.MaxValue)
   }
 
+  test("joinAmplificationCounts tolerates zero/negative catalog counts (no ANSI div-by-zero)") {
+    // a stats catalog is external input: a dropped-partition row can carry
+    // n = 0, a corrupted one n < 0 — both must report out_rows = 0, not
+    // abort the audit on the saturation guard's division
+    val l = Seq(("a", 10L), ("z", 0L), ("neg", -3L), ("b", 5L))
+      .toDF("key", "n_left")
+    val r = Seq(("a", 4L), ("z", 7L), ("neg", 2L), ("b", 0L))
+      .toDF("key", "n_right")
+    val got = Skew.joinAmplificationCounts(l, r, topK = 4)
+      .select("key", "out_rows", "share_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 40L, 1000000L), ("b", 0L, 0L),
+      ("neg", 0L, 0L), ("z", 0L, 0L)))
+    // degenerate all-zero catalog: total is 0 — shares report 0, no abort
+    val zl = Seq(("x", 0L)).toDF("key", "n_left")
+    val zr = Seq(("x", 9L)).toDF("key", "n_right")
+    val z = Skew.joinAmplificationCounts(zl, zr, topK = 1)
+      .select("out_rows", "share_ppm").as[(Long, Long)].collect().toSeq
+    assert(z == Seq((0L, 0L)))
+  }
+
   test("joinAmplification small-scale values match the exact all-long arithmetic") {
     val l = (1 to 50).flatMap(i => Seq.fill(i)(s"k${i % 5}")).toDF("key")
       .select(col("key"), lit(1L).as("one"))
