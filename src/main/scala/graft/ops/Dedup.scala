@@ -55,11 +55,23 @@ object Dedup {
     * drivers (Verify/Bench, one session per run) never accumulate enough
     * for this to matter. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minHashLshPairsOn(df, idCol,
+      graft.expr.TextExprs.wordShingles(col(textCol), 2),
+      numHashes, bands, threshold)
+
+  /** [[minHashLshPairs]] over a CALLER-SUPPLIED shingle array column — the
+    * modality-agnostic core: any representation that reduces a row to a
+    * distinct string set (word bigrams, byte k-grams of a binary asset —
+    * [[Multimodal.assetNearDup]], char n-grams) rides the same banded
+    * candidate generation and exact-Jaccard verify. `shingles` must be
+    * `array<string>` with distinct elements (Jaccard is over SETS; a
+    * multiset inflates both the signatures and the verify). */
+  def minHashLshPairsOn(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      graft.expr.TextExprs.wordShingles(col(textCol), 2).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingles.as("sh"))
       .localCheckpoint(false)
     // fused kernel: md5 + k permutations + band keys in one pass per row
     // (the pure-builtin spelling, kept in HashFns, pays ~25 interpreted

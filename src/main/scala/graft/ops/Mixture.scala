@@ -397,4 +397,123 @@ object Mixture {
       .select(col("rank"), col(idCol), col(scoreCol), col(tokenCol),
         col("cum_tokens"))
   }
+
+  /** A phase of an annealing data schedule: admit only documents whose
+    * quality score (ppm) clears `floorPpm`, and spend `budgetTokens` on
+    * the survivors under the α=0.5 temperature rule. */
+  final case class AnnealPhase(name: String, floorPpm: Long, budgetTokens: Long) {
+    require(budgetTokens >= 0, s"phase $name: budget must be >= 0")
+  }
+
+  /** Multi-phase ANNEALING schedule — the mid-training recipe every
+    * recent pretraining report describes (raise the quality floor and
+    * re-weight domains for the final fraction of the token budget): for
+    * each phase, documents at or above that phase's quality floor form
+    * the eligible pool, and the phase's token budget is allocated across
+    * strata by the α=0.5 temperature rule ([[temperatureAlloc]]'s
+    * integer-exact mass = floor(√n_tokens·1e6 + 0.5)). Later phases with
+    * higher floors naturally concentrate the budget on high-quality
+    * strata — and `epochs_ppm > 1e6` tells the caller exactly which
+    * (phase, stratum) cells must repeat data to meet their allocation
+    * (compose with [[repeatWeighted]] to realize it).
+    *
+    * Output: one row per (phase, stratum) with an eligible document —
+    * (phase, stratum, n_docs, n_tokens, mass6, alloc_tokens, epochs_ppm),
+    * integer-exact end to end (the budget·mass product runs in
+    * decimal(38,0), the same rule as [[temperatureAlloc]]).
+    *
+    * Scale shape: ONE corpus scan for the whole schedule — the phase
+    * dimension is a map-side `explode` over the (bounded, driver-literal)
+    * phase list, the per-(phase, stratum) rollup is one map-side-combined
+    * aggregation, and everything after (mass, per-phase total, allocation)
+    * runs on |phases|·|strata| rows with the phase totals as a window
+    * partitioned by phase over that bounded frame. No per-phase re-scan,
+    * no collect, no single-partition exchange. */
+  def annealSchedule(df: DataFrame, strataCol: String, tokenCount: Column,
+      scorePpm: Column, phases: Seq[AnnealPhase]): DataFrame = {
+    require(phases.nonEmpty, "annealSchedule needs at least one phase")
+    require(phases.map(_.name).distinct.size == phases.size,
+      "phase names must be unique")
+    val floorMap = map(phases.flatMap(p => Seq(lit(p.name), lit(p.floorPpm))): _*)
+    val budgetMap = map(phases.flatMap(p => Seq(lit(p.name), lit(p.budgetTokens))): _*)
+    val eligible = df
+      .select(col(strataCol), tokenCount.cast("long").as("__tok"),
+        scorePpm.cast("long").as("__score"))
+      .withColumn("phase", explode(typedLit(phases.map(_.name))))
+      .filter(col("__score") >= element_at(floorMap, col("phase")))
+    val perCell = eligible
+      .groupBy(col("phase"), col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .withColumn("mass6",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+    // bounded frame: |phases| x |strata| rows; the window hashes on phase
+    val wp = Window.partitionBy(col("phase"))
+    perCell
+      .withColumn("__total_mass", sum(col("mass6")).over(wp))
+      .withColumn("__budget", element_at(budgetMap, col("phase")))
+      .withColumn("alloc_tokens",
+        expr("CAST(CAST(__budget AS DECIMAL(38,0)) * mass6 DIV __total_mass" +
+          " AS BIGINT)"))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0, expr("alloc_tokens * 1000000L DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .drop("__total_mass", "__budget")
+  }
+
+  /** Length-band reweighting — the LONG-CONTEXT mix planner: bucket
+    * documents by power-of-two token-length bands (band = ⌊log₂ len⌋,
+    * spelled as the BINARY-DIGIT COUNT minus one so both engines compute
+    * it in integer arithmetic — `log(8)/log(2)` is 2.9999… in IEEE and
+    * floors wrong), compare each band's natural token share against a
+    * caller-given target distribution, and emit the repeat weight that
+    * realizes the target. Long-context training needs this because
+    * natural corpora are short-heavy: hitting "10% of tokens from 8k+
+    * documents" means repeating the long tail, and `weight_ppm` is
+    * exactly the factor [[repeatWeighted]] then applies per band.
+    *
+    * Output per OBSERVED band (a target on a band with no documents is
+    * unrealizable by reweighting — it stays absent, and the caller's
+    * targets-sum check catches the gap): (band, n_docs, n_tokens,
+    * natural_ppm, target_ppm, weight_ppm) where
+    * natural_ppm = band tokens ·1e6 div total (branched on the
+    * 9 223 372 036 854 bound), target_ppm is looked up from the literal
+    * map (0 if absent), and weight_ppm = target_ppm·1e6 div natural_ppm.
+    *
+    * Scale shape: one map-side band projection + one map-combined
+    * aggregation to |bands| rows; the grand total is a 1-row broadcast
+    * into that bounded frame. Zero-length docs land in band 0 alongside
+    * one-token docs (both render one binary digit) — filter upstream if
+    * they shouldn't count. */
+  def lengthBandReweight(df: DataFrame, tokenCount: Column,
+      targetPpm: Map[Long, Long]): DataFrame = {
+    require(targetPpm.values.forall(_ >= 0), "target ppm must be >= 0")
+    val tmap = map(targetPpm.toSeq.sortBy(_._1)
+      .flatMap(p => Seq(lit(p._1), lit(p._2))): _*)
+    val banded = df
+      .select(tokenCount.cast("long").as("__tok"))
+      .withColumn("band",
+        (length(conv(col("__tok"), 10, 2)) - 1L).cast("long"))
+    // ≤64-row band frame, lazily checkpointed: it feeds both the report
+    // and the 1-row grand total, and without the pin the scalar cross
+    // join's second branch would re-scan the corpus (the decayScore rule)
+    val perBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .localCheckpoint(false)
+    // grand total as a 1-row broadcast into the band frame — the
+    // temperatureAlloc scalar pattern (no unpartitioned window)
+    val total = perBand.agg(sum(col("n_tokens")).as("__total"))
+    perBand.crossJoin(broadcast(total))
+      .withColumn("natural_ppm",
+        expr("""CASE WHEN __total <= 0L THEN 0L
+               |     WHEN __total <= 9223372036854L
+               |       THEN n_tokens * 1000000L div __total
+               |     ELSE n_tokens div (__total div 1000000L)
+               |END""".stripMargin).cast("long"))
+      .withColumn("target_ppm",
+        coalesce(element_at(tmap, col("band")), lit(0L)))
+      .withColumn("weight_ppm",
+        when(col("natural_ppm") > 0L,
+          expr("target_ppm * 1000000L div natural_ppm")).otherwise(lit(0L)))
+      .drop("__total")
+  }
 }

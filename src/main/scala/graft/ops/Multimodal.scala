@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A binary multimodal asset row: opaque content bytes + typed metadata.
@@ -137,4 +137,37 @@ object Multimodal {
         col("asset_id"),
         ((col("frame_off") - 1) / everyNBytes).cast("long").as("frame_idx"),
         col("content").substr(col("frame_off"), lit(everyNBytes)).as("frame_bytes"))
+
+  /** Distinct k-byte shingles of binary content, as hex strings — the
+    * modality-free representation that feeds MinHash: hex() is uppercase
+    * and 2 chars/byte in both Spark and DuckDB, so shingle windows step 2
+    * hex chars to stay byte-aligned. Content shorter than k bytes (or
+    * empty) yields one shingle: its whole hex string ('' for empty) —
+    * the wordShingles short-input convention. No codec needed: raw-byte
+    * shingling catches byte-identical regions (re-uploads, crops that
+    * share encoder output, container-level dups) which is the cheap first
+    * tier of asset dedup; perceptual tiers slot into [[decodeFeatures]]'s
+    * mapPartitions stage. */
+  def byteShingles(content: Column, k: Int): Column = {
+    require(k >= 1, s"shingle bytes must be >= 1, got $k")
+    val hx = hex(content)
+    val width = lit(2 * k)
+    when(hx.isNull, array(lit("")))
+      .when(length(hx) < width, array(hx))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(hx) - width + lit(1), lit(2)),
+        i => hx.substr(i, width))))
+  }
+
+  /** Near-duplicate ASSET pairs over raw bytes: k-byte shingles
+    * ([[byteShingles]]) through the banded MinHash+LSH candidate
+    * generation and exact-Jaccard verify
+    * ([[Dedup.minHashLshPairsOn]] — candidates come from a band-signature
+    * equi-join, never an all-pairs product). Output: (id_a, id_b,
+    * jaccard ≥ threshold). */
+  def assetNearDup(assets: DataFrame, idCol: String, contentCol: String,
+      shingleBytes: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame =
+    Dedup.minHashLshPairsOn(assets, idCol,
+      byteShingles(col(contentCol), shingleBytes), numHashes, bands, threshold)
 }

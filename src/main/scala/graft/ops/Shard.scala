@@ -150,4 +150,120 @@ object Shard {
           concat(lit("fold:"), col(idCol).cast("string")), numFolds)
           .as("naive_fold"))
   }
+
+  /** Incremental-export reconciliation: diff two shard [[manifest]]s and
+    * classify every shard — the step a resumed or repeated export runs
+    * FIRST, so it rewrites only shards whose content actually changed
+    * instead of re-uploading 100 TB. Status per shard:
+    *
+    *  - `unchanged` — same rows, tokens, and content checksum (the
+    *    order-independent md5-prefix sum, so task scheduling can't fake a
+    *    diff);
+    *  - `changed`   — present in both with any field differing;
+    *  - `added`     — only in `next`;  `removed` — only in `prev`.
+    *
+    * Output: (shard, status, rows_prev, rows_next, tokens_prev,
+    * tokens_next, row_delta, token_delta), absent sides zero-filled so
+    * the deltas are plain arithmetic. Scale shape: one full-outer
+    * equi-join of two |shards|-row frames — manifest-sized, never
+    * data-sized. */
+  def manifestDelta(prev: DataFrame, next: DataFrame): DataFrame = {
+    val p = prev.select(col("shard"), col("n_rows").as("__rp"),
+      col("n_tokens").as("__tp"), col("checksum").as("__cp"))
+    val n = next.select(col("shard"), col("n_rows").as("__rn"),
+      col("n_tokens").as("__tn"), col("checksum").as("__cn"))
+    p.join(n, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("__rp").isNull, lit("added"))
+          .when(col("__rn").isNull, lit("removed"))
+          .when(col("__rp") === col("__rn") && col("__tp") === col("__tn") &&
+            col("__cp") === col("__cn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("__rp"), lit(0L)).as("rows_prev"),
+        coalesce(col("__rn"), lit(0L)).as("rows_next"),
+        coalesce(col("__tp"), lit(0L)).as("tokens_prev"),
+        coalesce(col("__tn"), lit(0L)).as("tokens_next"))
+      .withColumn("row_delta", col("rows_next") - col("rows_prev"))
+      .withColumn("token_delta", col("tokens_next") - col("tokens_prev"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard of the id: the shard s in
+    * [0, numShards) whose salted digest `md5(id || ':' || s)` is
+    * lexicographically largest (Thaler & Ravishankar 1998 — public
+    * literature; md5 hex compares as an unsigned 128-bit value because
+    * the digest is fixed-length lowercase hex). Unlike `id mod N`, where
+    * changing N remaps nearly every id, rendezvous moves EXACTLY the
+    * minimum: growing N_old → N_new relocates a doc only if one of the
+    * new shards wins its argmax — probability 1 − N_old/N_new — and a
+    * doc that moves always moves to a NEW shard (no churn between
+    * survivors). That is the property a 100 TB shard layout needs: going
+    * 1024 → 1280 shards rewrites 20% of the bytes, not 99%.
+    *
+    * Cost is numShards digests per row, map-side (no shuffle); for the
+    * oracle-free deploy path use [[rendezvousShardFast]] (one xxhash64
+    * per shard — Spark-specific, not engine-portable). */
+  def rendezvousShard(id: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val arr = transform(sequence(lit(0), lit(numShards - 1)),
+      s => md5(concat(id.cast("string"), lit(":"), s.cast("string"))))
+    (array_position(arr, array_max(arr)) - 1L).cast("long")
+  }
+
+  /** xxhash64 spelling of [[rendezvousShard]] — the fast path for the
+    * real export (not oracle-comparable: xxhash64 is Spark-specific). */
+  def rendezvousShardFast(id: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val arr = transform(sequence(lit(0), lit(numShards - 1)),
+      s => xxhash64(id.cast("string"), s))
+    (array_position(arr, array_max(arr)) - 1L).cast("long")
+  }
+
+  /** Resharding-stability audit: when the shard count changes
+    * nOld → nNew, what fraction of documents MOVE under (a) the mod-hash
+    * assignment ([[assignShards]] — the stateless default) vs (b)
+    * [[rendezvousShard]]? One row per scheme:
+    * (scheme ∈ {mod, rendezvous}, n_docs, n_moved, moved_ppm), with the
+    * ppm division branched on the 9 223 372 036 854 bound (the repo's
+    * overflow rule — doc counts past it would overflow the ·1e6).
+    *
+    * Expected values the audit verifies in practice: rendezvous moves
+    * ≈ (1 − nOld/nNew)·1e6 ppm on a grow (the provable minimum — every
+    * move is a doc some NEW shard won); mod-hash moves
+    * ≈ (1 − gcd-structure)·1e6, usually nearly everything. Run this
+    * before a reshard to size the rewrite.
+    *
+    * Scale shape: one map-side projection computing all four assignments
+    * (2·(nOld+nNew) digests per row, no shuffle), one 1-row grand-total
+    * aggregate, exploded to the 2-row report on the driver side of the
+    * plan — no collect, no second scan. */
+  def reshardStability(df: DataFrame, idCol: String,
+      nOld: Int, nNew: Int): DataFrame = {
+    require(nOld >= 1 && nNew >= 1, "shard counts must be >= 1")
+    val id = col(idCol)
+    def modShard(n: Int): Column =
+      pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(n.toLong))
+    val assigned = df.select(
+      (modShard(nOld) =!= modShard(nNew)).as("__mod_mv"),
+      (rendezvousShard(id, nOld) =!= rendezvousShard(id, nNew)).as("__rdv_mv"))
+    assigned
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__mod_mv"), 1L).otherwise(0L)), lit(0L))
+          .as("__mod_moved"),
+        coalesce(sum(when(col("__rdv_mv"), 1L).otherwise(0L)), lit(0L))
+          .as("__rdv_moved"))
+      .select(explode(array(
+        struct(lit("mod").as("scheme"), col("n_docs"),
+          col("__mod_moved").as("n_moved")),
+        struct(lit("rendezvous").as("scheme"), col("n_docs"),
+          col("__rdv_moved").as("n_moved")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_docs").as("n_docs"),
+        col("r.n_moved").as("n_moved"))
+      .withColumn("moved_ppm",
+        expr("""CASE WHEN n_docs <= 0L THEN 0L
+               |     WHEN n_moved <= 9223372036854L
+               |       THEN n_moved * 1000000L div n_docs
+               |     ELSE n_moved div (n_docs div 1000000L)
+               |END""".stripMargin).cast("long"))
+  }
 }

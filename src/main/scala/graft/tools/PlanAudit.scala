@@ -102,7 +102,11 @@ object PlanAudit {
       // route)
       "q206_rfm_segments", "q234_bm25_df_cutoff", "q241_cutoff_agreement",
       // q243 is q143's deploy spelling — the same 1-row stats cross join
-      "q243_passage_context_cut")
+      "q243_passage_context_cut",
+      // q250 cross-joins the 1-ROW token grand total into the ≤64-row
+      // length-band frame (the q90 scalar class; band frame checkpointed
+      // so the scalar branch re-reads the pin, not the corpus)
+      "q250_length_band_mix")
     // Unpartitioned logical windows (`Window.orderBy` with no partition
     // key) plan as Exchange SinglePartition + one-task sort — the q216/
     // q206 round-13 lesson. Two ways an unpartitioned window is

@@ -440,7 +440,30 @@ object VerifyScaled {
       "q242_token_mass_lengths" ->
         (() => graft.SparkEntry.queries("q242_token_mass_lengths")(spark, sfDir)),
       "q241_cutoff_agreement" ->
-        (() => graft.Queries35.cutoffAgreement(spark, sfDir, queryMod)))
+        (() => graft.Queries35.cutoffAgreement(spark, sfDir, queryMod)),
+      // wave 37: q244 is a map-side phase-explode + bounded-frame window;
+      // q245/q246 ride globalIndex/globalRankCumsum (range shuffle, no
+      // single-partition exchange); q247 is a map-side 288-digest
+      // projection + 1-row grand total — all corpus-linear
+      "q244_anneal_schedule" ->
+        (() => graft.SparkEntry.queries("q244_anneal_schedule")(spark, sfDir)),
+      "q245_length_batching" ->
+        (() => graft.SparkEntry.queries("q245_length_batching")(spark, sfDir)),
+      "q246_attention_cost" ->
+        (() => graft.SparkEntry.queries("q246_attention_cost")(spark, sfDir)),
+      "q247_reshard_stability" ->
+        (() => graft.SparkEntry.queries("q247_reshard_stability")(spark, sfDir)),
+      // wave 38: q248 is two manifest-sized aggregates + a |shards|-row
+      // full-outer join; q250 is a ≤64-row band frame + 1-row scalar.
+      // q249's oracle re-shingles the whole corpus into 16-byte hex
+      // windows in DuckDB (list ops, ~hex-length per doc) — linear but
+      // memory-heavy there; prove at 8× only, the q16 parity-class rule
+      "q248_manifest_delta" ->
+        (() => graft.SparkEntry.queries("q248_manifest_delta")(spark, sfDir)),
+      "q249_asset_near_dup" ->
+        (() => graft.SparkEntry.queries("q249_asset_near_dup")(spark, sfDir)),
+      "q250_length_band_mix" ->
+        (() => graft.SparkEntry.queries("q250_length_band_mix")(spark, sfDir)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -660,7 +683,21 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q240_gini_global"),
       "q241_cutoff_agreement" -> graft.Queries35.q241SqlWith(queryMod),
       "q242_token_mass_lengths" ->
-        graft.SparkEntry.oracleSql("q242_token_mass_lengths"))
+        graft.SparkEntry.oracleSql("q242_token_mass_lengths"),
+      "q244_anneal_schedule" ->
+        graft.SparkEntry.oracleSql("q244_anneal_schedule"),
+      "q245_length_batching" ->
+        graft.SparkEntry.oracleSql("q245_length_batching"),
+      "q246_attention_cost" ->
+        graft.SparkEntry.oracleSql("q246_attention_cost"),
+      "q247_reshard_stability" ->
+        graft.SparkEntry.oracleSql("q247_reshard_stability"),
+      "q248_manifest_delta" ->
+        graft.SparkEntry.oracleSql("q248_manifest_delta"),
+      "q249_asset_near_dup" ->
+        graft.SparkEntry.oracleSql("q249_asset_near_dup"),
+      "q250_length_band_mix" ->
+        graft.SparkEntry.oracleSql("q250_length_band_mix"))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
