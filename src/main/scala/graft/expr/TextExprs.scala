@@ -116,6 +116,53 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** Fused byte-k-gram HEX shingling for binary content — the modality-free
+    * asset-dedup representation.
+    *
+    * Spec (identical to the HOF reference spelling
+    * graft.ops.Multimodal.byteShinglesHof, which the DuckDB oracles
+    * mirror via `hex(content::BLOB)`):
+    *   hx = uppercase hex of the bytes (2 chars/byte)
+    *   if |bytes| < k → [hx]                     ('' for empty content)
+    *   else           → sort(distinct([hx[2i..2i+2k) for byte offsets i]))
+    *
+    * One pass, no regex, no intermediate hex string for the main path:
+    * each window's hex is rendered straight off the byte array. Sort is
+    * UTF8String binary order (= array_sort), the [[sortedJaccard]] input
+    * contract. */
+  def byteShingles(input: Array[Byte], k: Int): ArrayData = {
+    val hexd = "0123456789ABCDEF"
+    val n = input.length
+    val sb = new java.lang.StringBuilder(2 * k)
+    if (n < k) {
+      var i = 0
+      while (i < n) {
+        val b = input(i) & 0xff
+        sb.append(hexd.charAt(b >> 4)).append(hexd.charAt(b & 15))
+        i += 1
+      }
+      return new GenericArrayData(Array[Any](UTF8String.fromString(sb.toString)))
+    }
+    val seen = new mutable.HashSet[String]
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        val b = input(i + j) & 0xff
+        sb.append(hexd.charAt(b >> 4)).append(hexd.charAt(b & 15))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) out += UTF8String.fromString(s)
+      i += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Fused character-n-gram shingling.
     *
     * Spec (identical to TextFns.charShingles):
@@ -210,6 +257,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.ShingleKernels.wordShingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused byte-k-gram hex shingling kernel (see
+  * [[ShingleKernels.byteShingles]]); codegen'd like [[WordShingles]] — the
+  * builtin spelling pays one interpreted transform lambda per hex window
+  * (~350 per fixture doc), which dominated q249's profile. */
+case class ByteShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "shingle bytes must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.byteShingles(input.asInstanceOf[Array[Byte]], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.ShingleKernels.byteShingles($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -522,6 +591,10 @@ object TextExprs {
   /** Column wrapper for [[CharShingles]]. */
   def charShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+
+  /** Column wrapper for [[ByteShingles]]. */
+  def byteShingles(content: Column, k: Int): Column =
+    ExpressionUtils.column(ByteShingles(ExpressionUtils.expression(content), k))
 
   /** Column wrapper for [[WordSpans]]. */
   def wordSpans(text: Column, n: Int): Column =

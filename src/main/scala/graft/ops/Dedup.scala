@@ -65,8 +65,11 @@ object Dedup {
     * distinct string set (word bigrams, byte k-grams of a binary asset —
     * [[Multimodal.assetNearDup]], char n-grams) rides the same banded
     * candidate generation and exact-Jaccard verify. `shingles` must be
-    * `array<string>` with distinct elements (Jaccard is over SETS; a
-    * multiset inflates both the signatures and the verify). */
+    * `array<string>` with DISTINCT elements in SORTED (binary UTF8)
+    * order — Jaccard is over sets (a multiset inflates signatures and
+    * verify) and the verify kernel is a sorted-merge intersection
+    * ([[graft.expr.ShingleKernels.sortedJaccard]]) that silently
+    * undercounts on unsorted input. */
   def minHashLshPairsOn(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")

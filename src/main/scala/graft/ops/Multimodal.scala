@@ -143,20 +143,35 @@ object Multimodal {
     * and 2 chars/byte in both Spark and DuckDB, so shingle windows step 2
     * hex chars to stay byte-aligned. Content shorter than k bytes (or
     * empty) yields one shingle: its whole hex string ('' for empty) —
-    * the wordShingles short-input convention. No codec needed: raw-byte
+    * the wordShingles short-input convention. The array is SORTED
+    * distinct — [[Dedup.minHashLshPairsOn]]'s verify step is a
+    * sorted-merge intersection (the wordShingles contract); an unsorted
+    * set silently undercounts the intersection. No codec needed: raw-byte
     * shingling catches byte-identical regions (re-uploads, crops that
     * share encoder output, container-level dups) which is the cheap first
     * tier of asset dedup; perceptual tiers slot into [[decodeFeatures]]'s
-    * mapPartitions stage. */
-  def byteShingles(content: Column, k: Int): Column = {
+    * mapPartitions stage.
+    *
+    * Runs the fused codegen kernel ([[graft.expr.TextExprs.byteShingles]]
+    * — one Java loop per row, no intermediate hex string);
+    * [[byteShinglesHof]] is the builtin-HOF reference spelling the spec
+    * asserts bitwise-identical (the simHashMd5Hof pattern: interpreted
+    * HOFs pay ~1µs per hex window and dominated q249's first profile).
+    * Null content → null in both spellings. */
+  def byteShingles(content: Column, k: Int): Column =
+    graft.expr.TextExprs.byteShingles(content, k)
+
+  /** Builtin higher-order-function reference spelling of [[byteShingles]]
+    * — the form the DuckDB oracles mirror textually; spec-tested
+    * identical to the kernel, kept out of the hot path. */
+  private[graft] def byteShinglesHof(content: Column, k: Int): Column = {
     require(k >= 1, s"shingle bytes must be >= 1, got $k")
     val hx = hex(content)
     val width = lit(2 * k)
-    when(hx.isNull, array(lit("")))
-      .when(length(hx) < width, array(hx))
-      .otherwise(array_distinct(transform(
+    when(length(hx) < width, array(hx))
+      .otherwise(array_sort(array_distinct(transform(
         sequence(lit(1), length(hx) - width + lit(1), lit(2)),
-        i => hx.substr(i, width))))
+        i => hx.substr(i, width)))))
   }
 
   /** Near-duplicate ASSET pairs over raw bytes: k-byte shingles

@@ -68,6 +68,55 @@ class Wave38Spec extends SparkSpec {
       .select(Multimodal.byteShingles(col("content"), 2).as("sh"))
       .as[Seq[String]].head()
     assert(rep == Seq("6162", "6261"))
+    // SORTED output even when occurrence order differs — the
+    // sortedJaccard merge contract ('baab' -> 6261 occurs first)
+    val srt = Seq((8L, "baab")).toDF("id", "s")
+      .select(col("s").cast("binary").as("content"))
+      .select(Multimodal.byteShingles(col("content"), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(srt == Seq("6161", "6162", "6261"))
+  }
+
+  test("assetNearDup: verify jaccard equals the set-based reference on near-dups") {
+    // two long near-identical byte strings whose shingle occurrence order
+    // is NOT sorted (the 8x-fixture regression: unsorted arrays silently
+    // undercount the sorted-merge intersection)
+    val base = "zw qa rb sc td ue vf wg xh yi zj ak bl cm dn eo fp gq hr is jt"
+    val assets = Seq(
+      (1L, base), (2L, base.replace("is jt", "is xx")))
+      .toDF("asset_id", "s")
+      .select(col("asset_id"), col("s").cast("binary").as("content"))
+    val pairs = Multimodal.assetNearDup(assets, "asset_id", "content",
+        shingleBytes = 4, numHashes = 12, bands = 12, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    val ref = assets.as("a").crossJoin(assets.as("b"))
+      .filter(col("a.asset_id") < col("b.asset_id"))
+      .select((size(array_intersect(
+          Multimodal.byteShingles(col("a.content"), 4),
+          Multimodal.byteShingles(col("b.content"), 4))).cast("double") /
+        size(array_union(
+          Multimodal.byteShingles(col("a.content"), 4),
+          Multimodal.byteShingles(col("b.content"), 4)))).as("j"))
+      .as[Double].head()
+    assert(math.abs(pairs.head._3 - math.rint(ref * 1e6) / 1e6) < 1e-9 ||
+      math.abs(pairs.head._3 - ref) < 5e-7)
+  }
+
+  test("byteShingles: fused kernel bitwise-identical to the HOF reference") {
+    val rnd = new scala.util.Random(38)
+    val rows = (1 to 60).map { i =>
+      val n = rnd.nextInt(200)
+      (i.toLong, Array.fill(n)(rnd.nextInt(256).toByte))
+    } :+ (61L, Array.emptyByteArray) :+ (62L, null.asInstanceOf[Array[Byte]])
+    val df = rows.toDF("id", "content")
+    for (k <- Seq(1, 2, 16)) {
+      val both = df.select(col("id"),
+          graft.ops.Multimodal.byteShingles(col("content"), k).as("fused"),
+          graft.ops.Multimodal.byteShinglesHof(col("content"), k).as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      both.foreach { case (id, f, h) => assert(f == h, s"id=$id k=$k") }
+    }
   }
 
   test("assetNearDup: byte-identical assets pair at jaccard 1, disjoint don't") {
