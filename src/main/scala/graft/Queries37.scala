@@ -63,7 +63,9 @@ object Queries37 {
        |    AS mass6 FROM ag),
        |tt AS (SELECT *, sum(mass6) OVER (PARTITION BY phase) AS tot FROM ms),
        |al AS (SELECT phase, lang, n_docs, n_tokens, mass6,
-       |    (budget::HUGEINT * mass6 // tot)::BIGINT AS alloc_tokens FROM tt)
+       |    (CASE WHEN tot <= 0 THEN 0
+       |          ELSE budget::HUGEINT * mass6 // tot END)::BIGINT
+       |      AS alloc_tokens FROM tt)
        |SELECT phase, lang, n_docs, n_tokens, mass6, alloc_tokens,
        |  (CASE WHEN n_tokens > 0 THEN alloc_tokens * 1000000 // n_tokens
        |        ELSE 0 END)::BIGINT AS epochs_ppm

@@ -451,9 +451,13 @@ object Mixture {
     perCell
       .withColumn("__total_mass", sum(col("mass6")).over(wp))
       .withColumn("__budget", element_at(budgetMap, col("phase")))
+      // a phase whose eligible docs are all zero-length has cells but no
+      // mass — nothing to allocate to, 0 by convention (PropertySpec
+      // feeds it), not an ANSI division error
       .withColumn("alloc_tokens",
-        expr("CAST(CAST(__budget AS DECIMAL(38,0)) * mass6 DIV __total_mass" +
-          " AS BIGINT)"))
+        when(col("__total_mass") <= 0L, lit(0L)).otherwise(
+          expr("CAST(CAST(__budget AS DECIMAL(38,0)) * mass6 DIV __total_mass" +
+            " AS BIGINT)")))
       .withColumn("epochs_ppm",
         when(col("n_tokens") > 0, expr("alloc_tokens * 1000000L DIV n_tokens"))
           .otherwise(lit(0L)))

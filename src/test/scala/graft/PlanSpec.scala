@@ -277,6 +277,42 @@ class PlanSpec extends SparkSpec {
       wins.map(_.partitionSpec).mkString("; "))
   }
 
+  test("batching/attention audits: global orders are range-partitioned, windows partitioned") {
+    // q245 rides two Ids.globalIndex range sorts, q246 one globalRankCumsum;
+    // both frames scale with the corpus, so an unpartitioned window or a
+    // missing range exchange (= the order funnelled through one task) is
+    // the q216-class scale killer. The 1-row grand-total rollups at the
+    // top legitimately gather bounded partials into a SinglePartition
+    // exchange — that is the standard final-aggregate shape, not a funnel,
+    // so the assertion targets the order/window machinery, not the plan
+    // string.
+    // (The range-partitioned phase-1 sort runs EAGERLY inside
+    // globalIndex/globalRankCumsum — toRdd is pinned before this plan is
+    // built, so it cannot appear here; IdsSpec/PropertySpec prove that
+    // phase at random partition counts.)
+    for (name <- Seq("q245_length_batching", "q246_attention_cost")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val wins = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name: " + wins.map(_.partitionSpec).mkString("; "))
+      // no corpus-frame sort runs on a single partition: every SortExec
+      // below the first aggregation keeps a non-single child partitioning
+      val aggFree = nodes.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+            if s.find(_.isInstanceOf[
+              org.apache.spark.sql.execution.aggregate.BaseAggregateExec]).isEmpty =>
+          s.child.outputPartitioning
+      }
+      assert(aggFree.forall(_ !=
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
+        s"$name: " + aggFree.mkString("; "))
+    }
+  }
+
   test("RFM quintiles: histogram-cutoff buckets — every window partitioned, cutoffs broadcast") {
     val df = SparkEntry.queries("q206_rfm_segments")(spark, sfDir)
     df.collect()

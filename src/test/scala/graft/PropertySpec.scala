@@ -525,4 +525,59 @@ class PropertySpec extends SparkSpec {
         assert(got == want, s"rows=$rows B=$nBuckets parts=$parts")
     }
   }
+
+  test("annealSchedule ≡ per-phase brute-force floor+temperature allocation") {
+    val rowsGen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 1000000L))))
+    val phaseGen = Gen.listOfN(2, Gen.zip(
+      Gen.chooseNum(0L, 900000L), Gen.chooseNum(0L, 5000L)))
+    forAll(Gen.zip(rowsGen, phaseGen, Gen.chooseNum(1, 7))) {
+      case (rows, phs, parts) =>
+        val phases = phs.zipWithIndex.map { case ((fl, bud), i) =>
+          graft.ops.Mixture.AnnealPhase(s"p$i", fl, bud) }
+        val df = rows.toDF("s", "tok", "score").repartition(parts)
+        val got = graft.ops.Mixture.annealSchedule(df, "s", col("tok"),
+            col("score"), phases)
+          .as[(String, String, Long, Long, Long, Long, Long)]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+        val want = phases.flatMap { p =>
+          val el = rows.filter(_._3 >= p.floorPpm)
+          val cells = el.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+            (s, g.size.toLong, g.map(_._2).sum) }
+          val mass = cells.map { case (_, _, t) =>
+            math.floor(math.sqrt(t.toDouble) * 1e6 + 0.5).toLong }
+          val tot = mass.sum
+          cells.zip(mass).map { case ((s, nd, nt), m) =>
+            val alloc = if (tot == 0L) 0L
+              else (BigInt(p.budgetTokens) * m / tot).toLong
+            val ep = if (nt > 0) alloc * 1000000L / nt else 0L
+            (p.name, s, nd, nt, m, alloc, ep) }
+        }.sortBy(r => (r._1, r._2))
+        assert(got == want, s"parts=$parts rows=$rows phases=$phases")
+    }
+  }
+
+  test("lengthBandReweight ≡ driver band rollup with exact integer shares") {
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 5000L)))
+    val tgtGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 12L),
+      Gen.chooseNum(0L, 1000000L)))
+    forAll(Gen.zip(rowsGen, tgtGen, Gen.chooseNum(1, 7))) {
+      case (lens, tgt, parts) =>
+        val df = lens.toDF("n").repartition(parts)
+        val got = graft.ops.Mixture.lengthBandReweight(df, col("n"), tgt)
+          .as[(Long, Long, Long, Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+        def band(v: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val total = lens.sum
+        val want = lens.groupBy(band).toSeq.sortBy(_._1).map { case (b, g) =>
+          val nt = g.sum
+          val nat = if (total <= 0L) 0L else nt * 1000000L / total
+          val tp = tgt.getOrElse(b, 0L)
+          val w = if (nat > 0L) tp * 1000000L / nat else 0L
+          (b, g.size.toLong, nt, nat, tp, w) }
+        assert(got == want, s"parts=$parts lens=$lens tgt=$tgt")
+    }
+  }
 }
