@@ -118,4 +118,104 @@ object Rag {
         lit(comments), lit("\n\n"),
         col("dialogue"), lit("\n"),
         lit("User: "), lit(question), lit("\nAssistant:")).as("prompt"))
+
+  /** The distinct word-n-gram support join behind the groundedness family:
+    * (query, span) of the answer matched against (query, doc, span) of
+    * that query's context — every frame here is SHORTLIST-sized (answers
+    * and the ≤k context docs per query), so the joins never touch the
+    * corpus; the corpus-scale work happened in whatever retrieval built
+    * `context`. Spans are the [[graft.expr.ShingleKernels.wordSpans]]
+    * positional n-grams made DISTINCT (support is set membership). */
+  private def spanHits(answers: DataFrame, queryIdCol: String,
+      answerCol: String, context: DataFrame, ctxDocCol: String,
+      ctxTextCol: String, n: Int): (DataFrame, DataFrame) = {
+    val aSpans = answers.select(col(queryIdCol),
+        explode(array_distinct(
+          graft.expr.TextExprs.wordSpans(col(answerCol), n))).as("__span"))
+    val cSpans = context.select(col(queryIdCol), col(ctxDocCol),
+        explode(array_distinct(
+          graft.expr.TextExprs.wordSpans(col(ctxTextCol), n))).as("__span"))
+    (aSpans, aSpans.join(cSpans, Seq(queryIdCol, "__span")))
+  }
+
+  /** GROUNDEDNESS audit of generated answers against their retrieval
+    * context — the RAG-serving governance number: which share of an
+    * answer's word n-grams is SUPPORTED (appears verbatim in at least one
+    * context document), and which single document carries the most
+    * support. `unsupported_ppm` is the extractive-hallucination proxy a
+    * serving stack alerts on; `top_doc`/`top_share_ppm` is the citation
+    * the answer should carry. Answers shorter than `n` tokens have no
+    * spans — all-zero row, 0 ppm by convention (nothing to ground).
+    *
+    * Output per query (every `answers` row emits one): (queryIdCol,
+    * n_spans, n_supported, unsupported_ppm, top_doc, top_share_ppm) with
+    * top_doc = −1 when nothing is supported (the noise-label convention).
+    * Integer-exact; ties on the top document break to the smallest id.
+    *
+    * Scale shape: all joins are (query × answer-spans) vs (query × k
+    * context docs × their spans) — shortlist-sized; one window
+    * partitioned by the query over the ≤k-row per-doc counts. */
+  def groundednessAudit(answers: DataFrame, queryIdCol: String,
+      answerCol: String, context: DataFrame, ctxDocCol: String,
+      ctxTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span size must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val (aSpans, hits) = spanHits(answers, queryIdCol, answerCol,
+      context, ctxDocCol, ctxTextCol, n)
+    val totals = answers.select(col(queryIdCol),
+      size(array_distinct(
+        graft.expr.TextExprs.wordSpans(col(answerCol), n)))
+        .cast("long").as("n_spans"))
+    val supported = hits.select(col(queryIdCol), col("__span")).distinct()
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_supported"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__hits").desc, col(ctxDocCol).asc)
+    val top = hits.groupBy(col(queryIdCol), col(ctxDocCol))
+      .agg(count(lit(1)).as("__hits"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(queryIdCol), col(ctxDocCol).as("top_doc"),
+        col("__hits").as("__top_hits"))
+    totals
+      .join(supported, Seq(queryIdCol), "left")
+      .join(top, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_spans"),
+        coalesce(col("n_supported"), lit(0L)).as("n_supported"),
+        when(col("n_spans") > 0L,
+          expr("(n_spans - coalesce(n_supported, 0L)) * 1000000L div n_spans"))
+          .otherwise(lit(0L)).cast("long").as("unsupported_ppm"),
+        coalesce(col("top_doc").cast("long"), lit(-1L)).as("top_doc"),
+        when(coalesce(col("n_supported"), lit(0L)) > 0L,
+          expr("__top_hits * 1000000L div n_supported"))
+          .otherwise(lit(0L)).cast("long").as("top_share_ppm"))
+  }
+
+  /** The citation-level view of [[groundednessAudit]]: one row per
+    * (query, context doc) with that document's share of the supported
+    * answer spans — the attribution table a serving UI renders as
+    * citations. Context docs supporting nothing are kept (0 hits) so the
+    * table always shows the full retrieved set. Output: (queryIdCol,
+    * ctxDocCol, n_hits, share_ppm), share over the query's supported
+    * spans (a span counted once per doc CONTAINING it — shares can sum
+    * past 1e6 when spans appear in several docs, which is the point:
+    * redundant support is visible). */
+  def attributionTable(answers: DataFrame, queryIdCol: String,
+      answerCol: String, context: DataFrame, ctxDocCol: String,
+      ctxTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span size must be >= 1, got $n")
+    val (_, hits) = spanHits(answers, queryIdCol, answerCol,
+      context, ctxDocCol, ctxTextCol, n)
+    val supported = hits.select(col(queryIdCol), col("__span")).distinct()
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("__n_supported"))
+    val perDoc = hits.groupBy(col(queryIdCol), col(ctxDocCol))
+      .agg(count(lit(1)).as("n_hits"))
+    context.select(col(queryIdCol), col(ctxDocCol)).distinct()
+      .join(perDoc, Seq(queryIdCol, ctxDocCol), "left")
+      .join(supported, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col(ctxDocCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("__n_supported"), lit(0L)) > 0L,
+          expr("coalesce(n_hits, 0L) * 1000000L div __n_supported"))
+          .otherwise(lit(0L)).cast("long").as("share_ppm"))
+  }
 }

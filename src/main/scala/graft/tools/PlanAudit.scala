@@ -106,7 +106,11 @@ object PlanAudit {
       // q250 cross-joins the 1-ROW token grand total into the ≤64-row
       // length-band frame (the q90 scalar class; band frame checkpointed
       // so the scalar branch re-reads the pin, not the corpus)
-      "q250_length_band_mix")
+      "q250_length_band_mix",
+      // q251/q252 inherit BM25's 1-row corpus-stats cross join through
+      // their context retrieval (the q130 class); everything after the
+      // (checkpointed) context is shortlist-sized span joins
+      "q251_groundedness", "q252_attribution")
     // Unpartitioned logical windows (`Window.orderBy` with no partition
     // key) plan as Exchange SinglePartition + one-task sort — the q216/
     // q206 round-13 lesson. Two ways an unpartitioned window is

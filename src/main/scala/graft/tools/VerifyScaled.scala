@@ -463,7 +463,14 @@ object VerifyScaled {
       "q249_asset_near_dup" ->
         (() => graft.SparkEntry.queries("q249_asset_near_dup")(spark, sfDir)),
       "q250_length_band_mix" ->
-        (() => graft.SparkEntry.queries("q250_length_band_mix")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q250_length_band_mix")(spark, sfDir)),
+      // wave 39: groundedness rides the q130 BM25 probe (bounded queryMod
+      // — the corpus-proportional sample rule); everything after the
+      // pinned context is shortlist-sized span joins
+      "q251_groundedness" ->
+        (() => graft.Queries39.q251With(spark, sfDir, queryMod)),
+      "q252_attribution" ->
+        (() => graft.Queries39.q252With(spark, sfDir, queryMod)))
     queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -697,7 +704,9 @@ object VerifyScaled {
       "q249_asset_near_dup" ->
         graft.SparkEntry.oracleSql("q249_asset_near_dup"),
       "q250_length_band_mix" ->
-        graft.SparkEntry.oracleSql("q250_length_band_mix"))
+        graft.SparkEntry.oracleSql("q250_length_band_mix"),
+      "q251_groundedness" -> graft.Queries39.q251SqlWith(queryMod),
+      "q252_attribution" -> graft.Queries39.q252SqlWith(queryMod))
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
