@@ -31,13 +31,20 @@ object Queries38 {
     * resumed export rewrites only `changed` shards.
     * [[graft.ops.Shard.manifestDelta]]. */
   val q248ManifestDelta: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
+    // ONE tokenization pass (the oracle's shared tokc CTE): the projected
+    // (id, tokens, drop-slice key) frame is pinned and feeds both
+    // manifests — prev and next overlap ~94%, and without the pin each
+    // side would re-run wordTokens over the corpus
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokCount.as("__tok"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("__h2"))
+      .localCheckpoint(false)
     val prev = Shard.manifest(
-      Shard.assignShards(docs, "doc_id", 32), "shard", "doc_id", tokCount)
-    val kept = docs.filter(
-      substring(md5(col("doc_id").cast("string")), 1, 2) >= "10")
+      Shard.assignShards(staged, "doc_id", 32), "shard", "doc_id",
+      col("__tok"))
     val next = Shard.manifest(
-      Shard.assignShards(kept, "doc_id", 32), "shard", "doc_id", tokCount)
+      Shard.assignShards(staged.filter(col("__h2") >= "10"), "doc_id", 32),
+      "shard", "doc_id", col("__tok"))
     Shard.manifestDelta(prev, next).orderBy("shard")
   }
 

@@ -47,6 +47,9 @@ object Queries39 {
           array_join(slice(topToks, 1, 12), " "), lit(" "),
           array_join(slice(qToks,
             greatest(size(qToks) - 5, lit(1)), lit(6)), " ")).as("answer"))
+      // answers feeds the span join and the per-query totals — pinned so
+      // the query-sample scan + top-1 join run once, not per consumer
+      .localCheckpoint(false)
     (answers, context)
   }
 

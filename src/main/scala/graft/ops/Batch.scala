@@ -47,16 +47,19 @@ object Batch {
     * any global order pays), batch ids as codegen'd projections off the
     * two-phase index, one map-combined aggregation per policy down to
     * |batches| rows, then a 1-row rollup each. No single-partition
-    * exchange, no collect. `lenCol` must be LongType non-negative. */
+    * exchange, no collect. `lenCol` must be LongType non-negative.
+    * The zeroed empty-input report is an ENGINE convention (Wave37Spec
+    * pins it); the registered oracles assume non-empty fixture tables —
+    * DuckDB's aggregate-over-nothing chains return no rows / NULLs
+    * there, a divergence that exists only on inputs the driver never
+    * compares. */
   def paddingWaste(df: DataFrame, idCol: String, lenCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val base = df.select(col(idCol), col(lenCol))
-    def onePolicy(name: String, ordered: DataFrame): DataFrame = {
-      val ranked = Ids.globalIndex(ordered,
-        if (name == "sorted") Seq(col(lenCol).asc, col(idCol).asc)
-        else Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
-        "__rk")
+    def onePolicy(name: String,
+        order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val ranked = Ids.globalIndex(base, order, "__rk")
       ranked
         .withColumn("__batch", expr(s"__rk div ${batchSize}L"))
         .groupBy(col("__batch"))
@@ -74,7 +77,10 @@ object Batch {
                  |     ELSE pad_tokens div ((pad_tokens + n_tokens) div 1000000L)
                  |END""".stripMargin).cast("long").as("pad_ppm"))
     }
-    onePolicy("random", base).unionByName(onePolicy("sorted", base))
+    onePolicy("random",
+        Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc))
+      .unionByName(onePolicy("sorted",
+        Seq(col(lenCol).asc, col(idCol).asc)))
   }
 
   /** Attention-cost audit of fixed-length sequence packing: examples are

@@ -135,7 +135,11 @@ object Rag {
     val cSpans = context.select(col(queryIdCol), col(ctxDocCol),
         explode(array_distinct(
           graft.expr.TextExprs.wordSpans(col(ctxTextCol), n))).as("__span"))
-    (aSpans, aSpans.join(cSpans, Seq(queryIdCol, "__span")))
+    // hits feeds the support rollup AND the per-doc attribution — pinned,
+    // or the span join (and everything upstream of `answers`) runs once
+    // per consumer (Catalyst shares no subtrees across branches)
+    (aSpans, aSpans.join(cSpans, Seq(queryIdCol, "__span"))
+      .localCheckpoint(false))
   }
 
   /** GROUNDEDNESS audit of generated answers against their retrieval

@@ -240,9 +240,10 @@ object Shard {
       nOld: Int, nNew: Int): DataFrame = {
     require(nOld >= 1 && nNew >= 1, "shard counts must be >= 1")
     val id = col(idCol)
+    // the canonical portable hash spelling — MUST stay the [[assignShards]]
+    // assignment or the audit measures a different layout than the export
     def modShard(n: Int): Column =
-      pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-        lit(n.toLong))
+      pmod(graft.functions.HashFns.md5Long(id.cast("string")), lit(n.toLong))
     val assigned = df.select(
       (modShard(nOld) =!= modShard(nNew)).as("__mod_mv"),
       (rendezvousShard(id, nOld) =!= rendezvousShard(id, nNew)).as("__rdv_mv"))

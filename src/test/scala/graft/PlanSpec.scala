@@ -277,7 +277,7 @@ class PlanSpec extends SparkSpec {
       wins.map(_.partitionSpec).mkString("; "))
   }
 
-  test("batching/attention audits: global orders are range-partitioned, windows partitioned") {
+  test("attention audit: cumsum window present and partitioned, no single-partition corpus sort") {
     // q245 rides two Ids.globalIndex range sorts, q246 one globalRankCumsum;
     // both frames scale with the corpus, so an unpartitioned window or a
     // missing range exchange (= the order funnelled through one task) is
@@ -288,29 +288,32 @@ class PlanSpec extends SparkSpec {
     // string.
     // (The range-partitioned phase-1 sort runs EAGERLY inside
     // globalIndex/globalRankCumsum — toRdd is pinned before this plan is
-    // built, so it cannot appear here; IdsSpec/PropertySpec prove that
-    // phase at random partition counts.)
-    for (name <- Seq("q245_length_batching", "q246_attention_cost")) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect()
-      val nodes = allNodes(df.queryExecution.executedPlan)
-      val wins = nodes.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
-      assert(wins.forall(_.partitionSpec.nonEmpty),
-        s"$name: " + wins.map(_.partitionSpec).mkString("; "))
-      // no corpus-frame sort runs on a single partition: every SortExec
-      // below the first aggregation keeps a non-single child partitioning
-      val aggFree = nodes.collect {
-        case s: org.apache.spark.sql.execution.SortExec
-            if s.find(_.isInstanceOf[
-              org.apache.spark.sql.execution.aggregate.BaseAggregateExec]).isEmpty =>
-          s.child.outputPartitioning
-      }
-      assert(aggFree.forall(_ !=
-        org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
-        s"$name: " + aggFree.mkString("; "))
+    // built, so it cannot appear in the executed plan; IdsSpec and
+    // PropertySpec prove that phase at random partition counts. q245 uses
+    // globalIndex, which plans NO window at all — there is nothing
+    // in-plan to assert for it, so the window check targets q246's
+    // cumsum window and must find it (a vacuous forall would go green if
+    // a re-spelling silently dropped the pid window).)
+    val df = SparkEntry.queries("q246_attention_cost")(spark, sfDir)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val wins = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
+    assert(wins.nonEmpty, "expected the pid-partitioned cumsum window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.partitionSpec).mkString("; "))
+    // no corpus-frame sort runs on a single partition: every SortExec
+    // below the first aggregation keeps a non-single child partitioning
+    val aggFree = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+          if s.find(_.isInstanceOf[
+            org.apache.spark.sql.execution.aggregate.BaseAggregateExec]).isEmpty =>
+        s.child.outputPartitioning
+    }
+    assert(aggFree.forall(_ !=
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
+      aggFree.mkString("; "))
   }
 
   test("RFM quintiles: histogram-cutoff buckets — every window partitioned, cutoffs broadcast") {
