@@ -245,6 +245,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live manifest: the batch Shard.manifest over a stream equals a batch rebuild") {
+    // the export-integrity monitor: Shard.manifest is a plain keyed
+    // aggregation, so the SAME operator maintains a live per-shard
+    // manifest in complete mode - and manifestDelta between the live
+    // snapshot and a later release reconciles without a batch re-scan
+    implicit val sqlCtx = spark.sqlContext
+    val docsData = (1L to 40L).map(i => (i, s"doc number $i with words"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val tok = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ")).cast("long")
+    val q = graft.ops.Shard.manifest(
+        graft.ops.Shard.assignShards(df, "doc_id", 4), "shard", "doc_id", tok)
+      .writeStream.format("memory").queryName("live_manifest")
+      .outputMode("complete").start()
+    try {
+      input.addData(docsData.take(15): _*)
+      q.processAllAvailable()
+      input.addData(docsData.drop(15): _*)
+      q.processAllAvailable()
+      val live = spark.table("live_manifest")
+      val batch = graft.ops.Shard.manifest(
+        graft.ops.Shard.assignShards(docsData.toDF("doc_id", "text"),
+          "doc_id", 4), "shard", "doc_id", tok)
+      assert(live.as[(Long, Long, Long, Long)].collect().toSet ==
+        batch.as[(Long, Long, Long, Long)].collect().toSet)
+      // reconcile the live snapshot against a shrunk next release
+      val next = graft.ops.Shard.manifest(
+        graft.ops.Shard.assignShards(
+          docsData.filter(_._1 % 5L != 0L).toDF("doc_id", "text"),
+          "doc_id", 4), "shard", "doc_id", tok)
+      val delta = graft.ops.Shard.manifestDelta(live, next)
+      val byStatus = delta.groupBy("status").count()
+        .as[(String, Long)].collect().toMap
+      assert(byStatus.keySet.subsetOf(Set("changed", "unchanged")))
+      val rowDelta = delta.agg(
+        org.apache.spark.sql.functions.sum("row_delta")).as[Long].head()
+      assert(rowDelta == -8L)
+    } finally q.stop()
+  }
+
   test("postingsStream: live index equals batch postings AND serves identical BM25") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
