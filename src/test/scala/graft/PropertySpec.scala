@@ -580,4 +580,52 @@ class PropertySpec extends SparkSpec {
         assert(got == want, s"parts=$parts lens=$lens tgt=$tgt")
     }
   }
+
+  test("groundednessAudit ≡ driver set-membership reference on random frames") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val textGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val caseGen = for {
+      nq <- Gen.chooseNum(1, 5)
+      answers <- Gen.listOfN(nq, textGen)
+      ctx <- Gen.listOfN(nq * 2, Gen.zip(Gen.chooseNum(1, nq),
+        Gen.chooseNum(1, 9), textGen))
+    } yield (answers.zipWithIndex.map { case (a, i) => (i + 1L, a) },
+      ctx.map { case (q, d, t) => (q.toLong, d.toLong, t) })
+    forAll(Gen.zip(caseGen, Gen.chooseNum(1, 5))) { case ((ans, ctx), parts) =>
+      val n = 3
+      def spans(t: String): Seq[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq.filterNot(_ == "")
+        // wordSpans contract: < n tokens -> no spans (positional, then set)
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      }
+      val got = graft.ops.Rag.groundednessAudit(
+          ans.toDF("q_id", "answer").repartition(parts),
+          "q_id", "answer",
+          ctx.toDF("q_id", "doc_id", "text").repartition(parts),
+          "doc_id", "text", n)
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val want = ans.map { case (q, a) =>
+        val asp = spans(a)
+        val docSpans = ctx.filter(_._1 == q)
+          .groupBy(_._2).map { case (d, rows) =>
+            d -> rows.flatMap(r => spans(r._3)).toSet }
+        val perDoc = docSpans.map { case (d, ds) =>
+          d -> asp.count(ds.contains) }.filter(_._2 > 0)
+        val supported = asp.count(s => docSpans.values.exists(_.contains(s)))
+        val (topDoc, topHits) =
+          if (perDoc.isEmpty) (-1L, 0L)
+          else { val m = perDoc.toSeq.sortBy(p => (-p._2, p._1)).head
+            (m._1, m._2.toLong) }
+        (q, asp.size.toLong, supported.toLong,
+          if (asp.nonEmpty) (asp.size - supported).toLong * 1000000L / asp.size
+          else 0L,
+          topDoc,
+          if (supported > 0) topHits * 1000000L / supported else 0L)
+      }.sortBy(_._1)
+      assert(got == want, s"parts=$parts ans=$ans ctx=$ctx")
+    }
+  }
 }
