@@ -67,7 +67,8 @@ object Queries37 {
        |          ELSE budget::HUGEINT * mass6 // tot END)::BIGINT
        |      AS alloc_tokens FROM tt)
        |SELECT phase, lang, n_docs, n_tokens, mass6, alloc_tokens,
-       |  (CASE WHEN n_tokens > 0 THEN alloc_tokens * 1000000 // n_tokens
+       |  (CASE WHEN n_tokens > 0
+       |        THEN alloc_tokens::HUGEINT * 1000000 // n_tokens
        |        ELSE 0 END)::BIGINT AS epochs_ppm
        |FROM al ORDER BY phase, lang""".stripMargin
 

@@ -112,15 +112,18 @@ object Batch {
   def attentionCost(df: DataFrame, idCol: String, lenCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val base = df.select(col(idCol), col(lenCol))
+    // the caller's length column is re-aliased to an internal name up
+    // front so no expr() string ever interpolates a caller-supplied
+    // identifier (ADVICE r14: a name needing backticks would mis-parse)
+    val base = df.select(col(idCol), col(lenCol).as("__len"))
     val (ranked, _, _) = Ids.globalRankCumsum(base,
       Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
-      lenCol, rankOut = "__rk", cumOut = "__cum")
+      "__len", rankOut = "__rk", cumOut = "__cum")
     ranked
-      .withColumn("__bin", expr(s"(__cum - $lenCol) div ${seqLen}L"))
+      .withColumn("__bin", expr(s"(__cum - __len) div ${seqLen}L"))
       .groupBy(col("__bin"))
-      .agg(sum(col(lenCol)).as("__blen"),
-        sum(col(lenCol) * col(lenCol)).as("__bmask"))
+      .agg(sum(col("__len")).as("__blen"),
+        sum(col("__len") * col("__len")).as("__bmask"))
       .agg(count(lit(1)).as("n_bins"),
         coalesce(sum(col("__blen")), lit(0L)).cast("long").as("n_tokens"),
         coalesce(sum(col("__bmask")), lit(0L)).cast("long").as("masked_cost"),

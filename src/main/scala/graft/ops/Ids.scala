@@ -112,10 +112,24 @@ object Ids {
     * running sum is a Spark `sum(long)` under ANSI mode, which throws on
     * overflow too — so the bound is exact end to end: any input whose
     * true running sum fits int64 succeeds; any input where it doesn't
-    * raises. */
+    * raises. The method REQUIRES `spark.sql.ansi.enabled=true` (Spark 4's
+    * default) and refuses to run otherwise — a non-ANSI consumer session
+    * would keep phases 1-2 loud while phase 3 silently wrapped, an
+    * inconsistent failure mode for the audit-family primitive (IdsSpec
+    * pins the refusal). */
   def globalRankCumsum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
       rankOut: String, cumOut: String,
       numPartitions: Option[Int] = None): (DataFrame, Long, Long) = {
+    // the loud-overflow contract above is only end-to-end when phase 3's
+    // in-partition window sum throws too — that is ANSI behavior. Phases
+    // 1-2 are Math.addExact regardless of session conf, so a non-ANSI
+    // session would get an INCONSISTENT failure mode (loud grand total,
+    // silently wrapped cum column); refuse up front instead.
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        .toBoolean,
+      "globalRankCumsum requires spark.sql.ansi.enabled=true: its " +
+        "overflow contract (a running sum crossing +/-2^63 fails loudly) " +
+        "depends on ANSI arithmetic for the in-partition window sum")
     val parts = numPartitions.getOrElse(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt)
     val sorted = df.repartitionByRange(parts, orderCols: _*)

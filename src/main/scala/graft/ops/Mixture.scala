@@ -458,8 +458,16 @@ object Mixture {
         when(col("__total_mass") <= 0L, lit(0L)).otherwise(
           expr("CAST(CAST(__budget AS DECIMAL(38,0)) * mass6 DIV __total_mass" +
             " AS BIGINT)")))
+      // the ·1e6 upscale rides decimal(38,0) like the allocation itself
+      // (ADVICE r14): a phase budget past ~9.2e12 tokens — plausible at
+      // the 100 TB scale — would overflow the plain-int64 product, and
+      // unlike paddingWaste's ratio this one can exceed 1e6 (epochs > 1),
+      // so the numerator-downscale branch has no safe denominator; the
+      // decimal route is exact at any realizable budget
       .withColumn("epochs_ppm",
-        when(col("n_tokens") > 0, expr("alloc_tokens * 1000000L DIV n_tokens"))
+        when(col("n_tokens") > 0, expr(
+          "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens" +
+            " AS BIGINT)"))
           .otherwise(lit(0L)))
       .drop("__total_mass", "__budget")
   }

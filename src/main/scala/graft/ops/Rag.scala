@@ -125,21 +125,46 @@ object Rag {
     * and the ≤k context docs per query), so the joins never touch the
     * corpus; the corpus-scale work happened in whatever retrieval built
     * `context`. Spans are the [[graft.expr.ShingleKernels.wordSpans]]
-    * positional n-grams made DISTINCT (support is set membership). */
+    * positional n-grams made DISTINCT (support is set membership).
+    *
+    * Returns (spans, hits): `spans` is one row per `answers` row with the
+    * distinct-span ARRAY (zero-span answers keep their row — the audit's
+    * "every answers row emits one" contract needs them), `hits` the
+    * exploded support join. The span kernel runs ONCE, on the pinned
+    * `spans` frame — both the per-query totals and the join side read the
+    * pin (the r14 spelling evaluated wordSpans(answers) twice). */
   private def spanHits(answers: DataFrame, queryIdCol: String,
       answerCol: String, context: DataFrame, ctxDocCol: String,
       ctxTextCol: String, n: Int): (DataFrame, DataFrame) = {
-    val aSpans = answers.select(col(queryIdCol),
-        explode(array_distinct(
-          graft.expr.TextExprs.wordSpans(col(answerCol), n))).as("__span"))
+    val spans = answers.select(col(queryIdCol),
+        array_distinct(graft.expr.TextExprs.wordSpans(col(answerCol), n))
+          .as("__spans"))
+      .localCheckpoint(false)
+    val aSpans = spans.select(col(queryIdCol),
+      explode(col("__spans")).as("__span"))
     val cSpans = context.select(col(queryIdCol), col(ctxDocCol),
         explode(array_distinct(
           graft.expr.TextExprs.wordSpans(col(ctxTextCol), n))).as("__span"))
     // hits feeds the support rollup AND the per-doc attribution — pinned,
     // or the span join (and everything upstream of `answers`) runs once
     // per consumer (Catalyst shares no subtrees across branches)
-    (aSpans, aSpans.join(cSpans, Seq(queryIdCol, "__span"))
+    (spans, aSpans.join(cSpans, Seq(queryIdCol, "__span"))
       .localCheckpoint(false))
+  }
+
+  /** The groundedness pair reports `top_doc` in the ID DOMAIN with −1 as
+    * the "nothing supported" sentinel — that sentinel only exists for
+    * integral ids, and a silent long-cast of a string id column would
+    * coalesce real support onto the sentinel (ADVICE r14). Loud contract
+    * instead: map string ids to a numeric surrogate upstream. */
+  private def requireIntegralDocId(context: DataFrame, ctxDocCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = context.schema(ctxDocCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt),
+      s"groundedness ops need an integral context doc-id column (top_doc's " +
+        s"-1 no-support sentinel lives in the id domain); got $dt for " +
+        s"'$ctxDocCol' - map string ids to a numeric surrogate first")
   }
 
   /** GROUNDEDNESS audit of generated answers against their retrieval
@@ -163,13 +188,12 @@ object Rag {
       answerCol: String, context: DataFrame, ctxDocCol: String,
       ctxTextCol: String, n: Int): DataFrame = {
     require(n >= 1, s"span size must be >= 1, got $n")
+    requireIntegralDocId(context, ctxDocCol)
     import org.apache.spark.sql.expressions.Window
-    val (aSpans, hits) = spanHits(answers, queryIdCol, answerCol,
+    val (spans, hits) = spanHits(answers, queryIdCol, answerCol,
       context, ctxDocCol, ctxTextCol, n)
-    val totals = answers.select(col(queryIdCol),
-      size(array_distinct(
-        graft.expr.TextExprs.wordSpans(col(answerCol), n)))
-        .cast("long").as("n_spans"))
+    val totals = spans.select(col(queryIdCol),
+      size(col("__spans")).cast("long").as("n_spans"))
     val supported = hits.select(col(queryIdCol), col("__span")).distinct()
       .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_supported"))
     val w = Window.partitionBy(col(queryIdCol))
@@ -207,6 +231,7 @@ object Rag {
       answerCol: String, context: DataFrame, ctxDocCol: String,
       ctxTextCol: String, n: Int): DataFrame = {
     require(n >= 1, s"span size must be >= 1, got $n")
+    requireIntegralDocId(context, ctxDocCol)
     val (_, hits) = spanHits(answers, queryIdCol, answerCol,
       context, ctxDocCol, ctxTextCol, n)
     val supported = hits.select(col(queryIdCol), col("__span")).distinct()

@@ -108,6 +108,20 @@ class IdsSpec extends SparkSpec {
     assert(e.getMessage.contains("overflowed int64"), e.getMessage)
   }
 
+  test("globalRankCumsum refuses a non-ANSI session up front") {
+    // phases 1-2 are Math.addExact regardless of conf, but phase 3's
+    // window sum is only overflow-loud under ANSI - a non-ANSI session
+    // must be rejected, not served an inconsistent overflow posture
+    val vals = Seq(("a", 1L)).toDF("k", "v")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Ids.globalRankCumsum(vals, Seq($"k".asc), "v", "rank", "cum", Some(1))
+      }
+      assert(e.getMessage.contains("spark.sql.ansi.enabled"), e.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("globalIndex assigns ids as a codegen'd projection over Tungsten rows") {
     val out = Ids.globalIndex(docs, Seq($"lang", $"doc_id"), "idx", Some(3))
     val plan = out.queryExecution.executedPlan.toString

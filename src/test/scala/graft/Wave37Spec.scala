@@ -37,6 +37,18 @@ class Wave37Spec extends SparkSpec {
     assert(p2.map(_._6).sum <= 100L)
   }
 
+  test("annealSchedule: epochs_ppm exact past the int64 upscale bound") {
+    // a 1e13-token phase budget: alloc*1e6 = 1e19 > 2^63 would abort the
+    // plain-int64 spelling under ANSI (r14 ADVICE); the decimal route is
+    // exact - one cell takes the whole budget, epochs = budget*1e6/n_tok
+    val df = Seq(("a", 1000000L, 900000L)).toDF("lang", "n_tok", "score_ppm")
+    val out = Mixture.annealSchedule(df, "lang", col("n_tok"),
+        col("score_ppm"),
+        Seq(Mixture.AnnealPhase("p", 0L, 10000000000000L)))
+      .select("alloc_tokens", "epochs_ppm").as[(Long, Long)].head()
+    assert(out == ((10000000000000L, 10000000000000L)))
+  }
+
   test("annealSchedule: duplicate phase names rejected") {
     val df = Seq(("a", 1L, 1L)).toDF("lang", "n_tok", "score_ppm")
     intercept[IllegalArgumentException] {
@@ -96,6 +108,15 @@ class Wave37Spec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(s._2 == 1L && s._4 == 20000L && s._5 == 40000L)
     assert(s._6 == (40000L - 20000L) * 1000000L / 40000L)
+  }
+
+  test("attentionCost: caller column names never reach a SQL string") {
+    // a length column whose name needs backticks (r14 ADVICE: the expr()
+    // interpolation mis-parsed it) - re-aliased internally, so it works
+    val lens = Seq((1L, 100L), (2L, 300L)).toDF("doc_id", "len col")
+    val out = Batch.attentionCost(lens, "doc_id", "len col", 512)
+      .select("n_bins", "n_tokens").as[(Long, Long)].head()
+    assert(out == ((1L, 400L)))
   }
 
   test("attentionCost: masked <= naive and totals preserved on random frames") {

@@ -54,6 +54,22 @@ class Wave39Spec extends SparkSpec {
     assert(none.toSeq == Seq((1L, 10L, 0L, 0L), (1L, 20L, 0L, 0L)))
   }
 
+  test("groundedness ops refuse a non-integral context doc id") {
+    // top_doc's -1 no-support sentinel lives in the id domain; a string
+    // id would silently cast to null and coalesce onto the sentinel
+    // (r14 ADVICE) - the contract is loud instead
+    val a = Seq((1L, "alpha beta gamma delta")).toDF("q_id", "answer")
+    val sctx = Seq((1L, "d1", "alpha beta gamma delta"))
+      .toDF("q_id", "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Rag.groundednessAudit(a, "q_id", "answer", sctx, "doc_id", "text", 4)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Rag.attributionTable(a, "q_id", "answer", sctx, "doc_id", "text", 4)
+    }
+  }
+
   test("groundednessAudit: top-doc ties break to the smallest id") {
     val ctx2 = Seq(
       (9L, 5L, "red green blue cyan"),
