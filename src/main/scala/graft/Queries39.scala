@@ -68,7 +68,10 @@ object Queries39 {
       .orderBy("q_id")
   }
 
-  private def inputCtesWith(queryMod: Long): String =
+  /** The (answers, context) CTE chain shared by q251/q252 AND the q255
+    * span-size sweep: BM25 context + the synthesized extractive answers,
+    * WITHOUT the fixed-n span CTEs. */
+  private[graft] def baseCtesWith(queryMod: Long): String =
     s"""${Queries11.bm25CtesSharedWith(3, queryMod)},
        |ctx AS MATERIALIZED (SELECT r.q_id, r.doc_id, r.rank, d.text
        |  FROM lexrk r JOIN documents d USING (doc_id)),
@@ -83,7 +86,10 @@ object Queries39 {
        |      string_split_regex('', '\\s+'))[1:12], ' ') || ' ' ||
        |    array_to_string(q.qt[greatest(len(q.qt) - 5, 1):len(q.qt)], ' ')
        |      AS answer
-       |  FROM qdoc q LEFT JOIN t1 t USING (q_id)),
+       |  FROM qdoc q LEFT JOIN t1 t USING (q_id))""".stripMargin
+
+  private def inputCtesWith(queryMod: Long): String =
+    s"""${baseCtesWith(queryMod)},
        |asp AS MATERIALIZED (SELECT DISTINCT q_id,
        |    array_to_string(at[i : i + 3], ' ') AS span
        |  FROM (SELECT q_id, at, unnest(generate_series(1, len(at) - 3)) AS i

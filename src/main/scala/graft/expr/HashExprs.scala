@@ -72,6 +72,32 @@ object HashKernels {
     new GenericArrayData(keys)
   }
 
+  /** Jump consistent hash (Lamping & Veach, "A Fast, Minimal Memory,
+    * Consistent Hash Algorithm", 2014 — public literature): maps a 64-bit
+    * key to a shard in [0, numShards) such that growing the shard count
+    * n_old → n_new relocates exactly the minimal fraction of keys (a key
+    * moves only ever to a NEW shard, with probability 1 − n_old/n_new),
+    * in O(log n) expected iterations, zero memory, zero digests — the
+    * deploy-path answer to [[graft.ops.Shard.rendezvousShard]]'s
+    * O(numShards) digests per row.
+    *
+    * The arithmetic is spelled EXACTLY like the paper (64-bit LCG with
+    * wraparound; `(b+1) * (2^31 / ((key >>> 33) + 1))` in IEEE doubles,
+    * that association) and identically in the DuckDB oracle's recursive
+    * CTE, so the hash-compare is bit-exact: both engines' doubles are
+    * IEEE-754 and the operand order is pinned. */
+  def jumpHash(key: Long, numShards: Int): Long = {
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < numShards) {
+      b = j
+      k = k * 2862933555777941757L + 1L // unsigned-64 wraparound LCG
+      j = ((b + 1) * (2147483648.0 / (((k >>> 33) + 1).toDouble))).toLong
+    }
+    b
+  }
+
   /** 32-bit md5-prefix SimHash majority vote; null/empty token array → 0
     * for the zero votes and the degenerate all-bits-set empty case exactly
     * like the HOF reference spelling (see [[SimHashMd5]]). */
@@ -180,6 +206,35 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd [[HashKernels.jumpHash]] over a LongType key — the loop has a
+  * data-dependent trip count (O(log n) expected, n worst case), so it lives
+  * in a kernel call rather than an unrolled expression tree; the call sits
+  * inside whole-stage codegen like the shingle kernels. */
+case class JumpConsistentHash(child: Expression, numShards: Int)
+    extends UnaryExpression {
+
+  require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jump_hash needs a LongType key, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.jumpHash(input.asInstanceOf[Long], numShards)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.HashKernels.jumpHash($c, $numShards)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Column wrapper for [[MinHashBandKeys]]. */
   def minHashBandKeys(shingles: Column, coeffs: Seq[(Long, Long)], bands: Int): Column =
@@ -189,4 +244,9 @@ object HashExprs {
   /** Column wrapper for [[SimHashMd5]]. */
   def simHashMd5(tokens: Column): Column =
     ExpressionUtils.column(SimHashMd5(ExpressionUtils.expression(tokens)))
+
+  /** Column wrapper for [[JumpConsistentHash]]. */
+  def jumpHash(key: Column, numShards: Int): Column =
+    ExpressionUtils.column(
+      JumpConsistentHash(ExpressionUtils.expression(key), numShards))
 }

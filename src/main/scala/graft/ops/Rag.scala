@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** RAG context retrieval — the reference's serving-side composition
@@ -216,6 +216,67 @@ object Rag {
         when(coalesce(col("n_supported"), lit(0L)) > 0L,
           expr("__top_hits * 1000000L div n_supported"))
           .otherwise(lit(0L)).cast("long").as("top_share_ppm"))
+  }
+
+  /** Span-size SWEEP of [[groundednessAudit]]'s corpus-level rollup: the
+    * supported/unsupported split at every n in `ns`, in ONE plan — the
+    * q196 tier-sweep lesson applied to groundedness (how does the
+    * extractive-hallucination ppm move with span size? small n is
+    * lenient, large n strict; the sweep shows where the curve knees).
+    * The answer/context frames are tokenized ONCE per row; the per-n
+    * spans are a map-side explode over the (driver-literal, bounded)
+    * size list — no per-n re-scan. All frames are shortlist-sized (the
+    * corpus work happened in the retrieval that built `context`), so the
+    * interpreted HOF span spelling is fine here — unlike the corpus-side
+    * kernels, there is no hot path.
+    *
+    * Output one row per n: (n, n_answers, n_spans, n_supported,
+    * unsupported_ppm), spans distinct per (query, n), support = the span
+    * appears in ANY of that query's context docs, unsupported_ppm =
+    * (n_spans − n_supported)·1e6 div n_spans (0 when no spans).
+    * Tokenization matches [[graft.expr.ShingleKernels.wordSpans]]:
+    * split(lower(trim(x)), \\s+), no empty-token filter. */
+  def groundednessSweep(answers: DataFrame, queryIdCol: String,
+      answerCol: String, context: DataFrame, ctxDocCol: String,
+      ctxTextCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"span sizes must be non-empty and >= 1, got $ns")
+    val sizes = ns.distinct.sorted
+    // per-n distinct-span arrays from one tokenization: [(n, spans)]
+    def nSpanStructs(textCol: Column): Column = {
+      val toks = graft.functions.TextFns.wordTokens(textCol)
+      transform(typedLit(sizes), n => struct(n.cast("long").as("n"),
+        when(size(toks) >= n, array_distinct(transform(
+            sequence(lit(1), size(toks) - n + 1),
+            i => array_join(slice(toks, i, n), " "))))
+          .otherwise(array().cast("array<string>")).as("spans")))
+    }
+    // zero-span (q, n) rows survive as empty arrays — totals must count
+    // every answer at every n, the groundednessAudit row contract
+    val aArr = answers.select(col(queryIdCol),
+        explode(nSpanStructs(col(answerCol))).as("__ns"))
+      .select(col(queryIdCol), col("__ns.n").as("n"),
+        col("__ns.spans").as("__spans"))
+      .localCheckpoint(false)
+    val totals = aArr.groupBy(col("n")).agg(
+      count(lit(1)).as("n_answers"),
+      coalesce(sum(size(col("__spans")).cast("long")), lit(0L)).as("n_spans"))
+    val aSpans = aArr.select(col(queryIdCol), col("n"),
+      explode(col("__spans")).as("__span"))
+    val cSpans = context.select(col(queryIdCol),
+        explode(nSpanStructs(col(ctxTextCol))).as("__ns"))
+      .select(col(queryIdCol), col("__ns.n").as("n"),
+        explode(col("__ns.spans")).as("__span"))
+      .distinct() // membership in ANY context doc — drop the doc dimension
+    val supported = aSpans.join(cSpans, Seq(queryIdCol, "n", "__span"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_supported"))
+    totals
+      .join(supported, Seq("n"), "left")
+      .select(col("n"), col("n_answers"), col("n_spans"),
+        coalesce(col("n_supported"), lit(0L)).as("n_supported"),
+        when(col("n_spans") > 0L,
+          expr("(n_spans - coalesce(n_supported, 0L)) * 1000000L div n_spans"))
+          .otherwise(lit(0L)).cast("long").as("unsupported_ppm"))
   }
 
   /** The citation-level view of [[groundednessAudit]]: one row per

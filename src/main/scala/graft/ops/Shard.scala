@@ -218,6 +218,21 @@ object Shard {
     (array_position(arr, array_max(arr)) - 1L).cast("long")
   }
 
+  /** Jump-consistent-hash shard of a LONG id (Lamping & Veach 2014 —
+    * [[graft.expr.HashKernels.jumpHash]]): the same minimal-move property
+    * as [[rendezvousShard]] for grow-by-append shard changes (a doc moves
+    * only to a NEW shard, probability 1 − nOld/nNew) at O(log n) expected
+    * LCG steps per row instead of O(numShards) md5 digests — the deploy
+    * assignment for four-digit shard counts (1024 shards: ~10 integer
+    * multiplies vs 1024 digests per row). Trade-offs vs rendezvous: the
+    * shard space must grow/shrink at the END (jump has no notion of
+    * removing a middle shard), and the key is the integer id itself —
+    * hash string ids to a long first. Map-side, no shuffle, and
+    * oracle-portable: pure integer/IEEE-double arithmetic a recursive
+    * CTE re-spells exactly (q253). */
+  def jumpShard(id: Column, numShards: Int): Column =
+    graft.expr.HashExprs.jumpHash(id.cast("long"), numShards)
+
   /** Resharding-stability audit: when the shard count changes
     * nOld → nNew, what fraction of documents MOVE under (a) the mod-hash
     * assignment ([[assignShards]] — the stateless default) vs (b)
@@ -237,27 +252,42 @@ object Shard {
     * aggregate, exploded to the 2-row report on the driver side of the
     * plan — no collect, no second scan. */
   def reshardStability(df: DataFrame, idCol: String,
-      nOld: Int, nNew: Int): DataFrame = {
+      nOld: Int, nNew: Int): DataFrame =
+    reshardReport(df, idCol, nOld, nNew, includeJump = false)
+
+  /** [[reshardStability]] extended with the [[jumpShard]] scheme — the
+    * three-way report (mod / rendezvous / jump) a reshard decision reads:
+    * on a grow, jump matches rendezvous's provably-minimal moved fraction
+    * (both ≈ (1 − nOld/nNew)·1e6 ppm) at O(log n) integer work per row
+    * instead of O(n) digests, while mod rewrites nearly everything. */
+  def reshardStability3(df: DataFrame, idCol: String,
+      nOld: Int, nNew: Int): DataFrame =
+    reshardReport(df, idCol, nOld, nNew, includeJump = true)
+
+  private def reshardReport(df: DataFrame, idCol: String,
+      nOld: Int, nNew: Int, includeJump: Boolean): DataFrame = {
     require(nOld >= 1 && nNew >= 1, "shard counts must be >= 1")
     val id = col(idCol)
     // the canonical portable hash spelling — MUST stay the [[assignShards]]
     // assignment or the audit measures a different layout than the export
     def modShard(n: Int): Column =
       pmod(graft.functions.HashFns.md5Long(id.cast("string")), lit(n.toLong))
-    val assigned = df.select(
-      (modShard(nOld) =!= modShard(nNew)).as("__mod_mv"),
-      (rendezvousShard(id, nOld) =!= rendezvousShard(id, nNew)).as("__rdv_mv"))
+    val schemes: Seq[(String, Column)] =
+      Seq("mod" -> (modShard(nOld) =!= modShard(nNew)),
+        "rendezvous" -> (rendezvousShard(id, nOld) =!= rendezvousShard(id, nNew))) ++
+        (if (includeJump)
+          Seq("jump" -> (jumpShard(id, nOld) =!= jumpShard(id, nNew)))
+        else Nil)
+    val assigned = df.select(schemes.map { case (name, mv) =>
+      mv.as(s"__${name}_mv") }: _*)
     assigned
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(when(col("__mod_mv"), 1L).otherwise(0L)), lit(0L))
-          .as("__mod_moved"),
-        coalesce(sum(when(col("__rdv_mv"), 1L).otherwise(0L)), lit(0L))
-          .as("__rdv_moved"))
-      .select(explode(array(
-        struct(lit("mod").as("scheme"), col("n_docs"),
-          col("__mod_moved").as("n_moved")),
-        struct(lit("rendezvous").as("scheme"), col("n_docs"),
-          col("__rdv_moved").as("n_moved")))).as("r"))
+        schemes.map { case (name, _) =>
+          coalesce(sum(when(col(s"__${name}_mv"), 1L).otherwise(0L)), lit(0L))
+            .as(s"__${name}_moved") }: _*)
+      .select(explode(array(schemes.map { case (name, _) =>
+        struct(lit(name).as("scheme"), col("n_docs"),
+          col(s"__${name}_moved").as("n_moved")) }: _*)).as("r"))
       .select(col("r.scheme").as("scheme"), col("r.n_docs").as("n_docs"),
         col("r.n_moved").as("n_moved"))
       .withColumn("moved_ppm",

@@ -109,8 +109,9 @@ object PlanAudit {
       "q250_length_band_mix",
       // q251/q252 inherit BM25's 1-row corpus-stats cross join through
       // their context retrieval (the q130 class); everything after the
-      // (checkpointed) context is shortlist-sized span joins
-      "q251_groundedness", "q252_attribution")
+      // (checkpointed) context is shortlist-sized span joins — q255 (the
+      // span-size sweep) rides the same inputs
+      "q251_groundedness", "q252_attribution", "q255_groundedness_sweep")
     // Unpartitioned logical windows (`Window.orderBy` with no partition
     // key) plan as Exchange SinglePartition + one-task sort — the q216/
     // q206 round-13 lesson. Two ways an unpartitioned window is
