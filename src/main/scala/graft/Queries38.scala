@@ -87,11 +87,29 @@ object Queries38 {
       .orderBy("id_a", "id_b")
   }
 
-  val q249Sql: String = {
+  /** [[q249AssetNearDup]] restricted to pairs with BOTH endpoints in a
+    * deterministic id slice — the 64× proof spelling (the q122 id-slice
+    * precedent): the ENGINE still runs the full banded LSH over the whole
+    * corpus (candidate generation is pairwise, so filtering finished
+    * pairs to the slice equals running on the slice), while the oracle
+    * shingles only the slice — bounding the DuckDB side's list-heavy
+    * hex re-shingling that made the full 64× compare impractical. */
+  private[graft] def q249Sliced(spark: SparkSession, dir: String,
+      m: Long, r: Long): DataFrame =
+    q249AssetNearDup(spark, dir)
+      .filter(col("id_a") % m === r && col("id_b") % m === r)
+
+  val q249Sql: String = q249SqlWhere("")
+
+  private[graft] def q249SqlSliced(m: Long, r: Long): String =
+    q249SqlWhere(s" WHERE doc_id % $m = $r")
+
+  private def q249SqlWhere(docFilter: String): String = {
     val perms = HashFns.minHashCoeffs(12).map { case (a, b) =>
       s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
     }.mkString(",\n       ")
-    s"""WITH t AS (SELECT doc_id AS id, hex(text::BLOB) AS hx FROM documents),
+    s"""WITH t AS (SELECT doc_id AS id, hex(text::BLOB) AS hx
+       |  FROM documents$docFilter),
        |sh AS (SELECT id,
        |  CASE WHEN len(hx) < 32 THEN [hx]
        |       ELSE list_distinct(list_transform(

@@ -16,8 +16,12 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // known, justified exceptions — every nested loop here runs over a
-    // BOUNDED side: q18/q41 cross-join a 1-row query vector, q16's exact
+    runAudit(spark, sfDir)
+    spark.stop()
+  }
+
+  // known, justified exceptions — every nested loop here runs over a
+  // BOUNDED side: q18/q41 cross-join a 1-row query vector, q16's exact
     // verifier is capped to the vec_id<2000 sample slice (the cap is part
     // of its contract; unbounded inputs take q17/q37/q47 instead)
     val allowNestedLoop = Set("q16_near_dup_embed", "q18_cosine_topk",
@@ -135,7 +139,29 @@ object PlanAudit {
     //     Every entry names its bound; this list is the residue the
     //     structural proof can't reach, kept as small as possible.
     //
+  // Round-14 shrink: the structural proof covers what used to be ~35
+  // hand-maintained entries (the orderBy+limit(k)-first heads prove
+  // themselves; the BPE/unigram round loops and most seed inits
+  // materialize eagerly, so the registered plan carries no unpartitioned
+  // window at all — if a re-spelling ever surfaces one, the flag fires
+  // and the bound gets re-justified). Only the value-DOMAIN-bounded
+  // histogram windows remain contracts the plan can't express.
+  val allowUnpartWindow = Set(
+    // histogram-cumulative cutoffs and report rollups: windows over
+    // DISTINCT-value or per-domain frames, bounded by the value DOMAIN
+    // (q189/q226's integer score domain; q98's datasheet sections) —
+    // grouping aggregates, structurally opaque
+      "q189_threshold_calibration", "q226_decile_mix",
+      "q98_corpus_datasheet",
+    // q156's DoReMi rounds window over the ≤|domains| frame (grouping
+    // aggregate over the domain key)
+      "q156_doremi_weights",
+    // q168's ECE rollup windows over the ≤|bins| calibration frame
+    // (10 rows by construction)
+      "q168_ece")
+
     // Anything matching neither flags UNPARTWIN!.
+  def runAudit(spark: SparkSession, sfDir: String): Unit = {
     def boundedInput(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.plans.logical._
@@ -148,26 +174,6 @@ object PlanAudit {
         case _ => p.children.forall(boundedInput)
       }
     }
-    // Round-14 shrink: the structural proof covers what used to be ~35
-    // hand-maintained entries (the orderBy+limit(k)-first heads prove
-    // themselves; the BPE/unigram round loops and most seed inits
-    // materialize eagerly, so the registered plan carries no unpartitioned
-    // window at all — if a re-spelling ever surfaces one, the flag fires
-    // and the bound gets re-justified). Only the value-DOMAIN-bounded
-    // histogram windows remain contracts the plan can't express.
-    val allowUnpartWindow = Set(
-      // histogram-cumulative cutoffs and report rollups: windows over
-      // DISTINCT-value or per-domain frames, bounded by the value DOMAIN
-      // (q189/q226's integer score domain; q98's datasheet sections) —
-      // grouping aggregates, structurally opaque
-      "q189_threshold_calibration", "q226_decile_mix",
-      "q98_corpus_datasheet",
-      // q156's DoReMi rounds window over the ≤|domains| frame (grouping
-      // aggregate over the domain key)
-      "q156_doremi_weights",
-      // q168's ECE rollup windows over the ≤|bins| calibration frame
-      // (10 rows by construction)
-      "q168_ece")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val qe = fn(spark, sfDir).queryExecution
@@ -200,6 +206,5 @@ object PlanAudit {
         println(s"$name AUDIT-ERROR ${e.getClass.getSimpleName}")
       }
     }
-    spark.stop()
   }
 }

@@ -67,9 +67,41 @@ object VerifyScaled {
     System.err.println(
       s"[verifyscaled] nDocs=$nDocs simHashBits=$docBits queryMod=$queryMod")
 
-    // q106/q113 need no resolution retune — they are the standard
-    // SparkEntry plans + oracle SQL, hash-checked here at 8x deploy scale
-    val queries = Map(
+    val queries = queryMap(spark, sfDir, planes, bits, docBits, queryMod)
+    queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      System.err.println(
+        f"[verifyscaled] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val oracle = oracleMap(planes, bits, docBits, queryMod)
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracle.filter(q => selected(q._1))
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+
+  /** The scale-proof query registry, exposed as a method so RegistrySpec
+    * can mechanically assert every entry resolves against SparkEntry and
+    * every SparkEntry query is either registered here or carries a
+    * documented exclusion in [[Registry]]. Thunks are lazy — building the
+    * map executes nothing.
+    *
+    * q106/q113 need no resolution retune — they are the standard
+    * SparkEntry plans + oracle SQL, hash-checked here at 8x deploy scale. */
+  def queryMap(spark: SparkSession, sfDir: String,
+      planes: Array[Array[Double]], bits: Int, docBits: Int,
+      queryMod: Long): Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "q83_pipeline_golden" ->
         (() => graft.Queries6.q83PipelineWith(spark, sfDir, planes, bits)),
       "q104_canonical_dedup" ->
@@ -470,14 +502,29 @@ object VerifyScaled {
       "q251_groundedness" ->
         (() => graft.Queries39.q251With(spark, sfDir, queryMod)),
       "q252_attribution" ->
-        (() => graft.Queries39.q252With(spark, sfDir, queryMod)))
-    queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      System.err.println(
-        f"[verifyscaled] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    val oracle = Map(
+        (() => graft.Queries39.q252With(spark, sfDir, queryMod)),
+      // wave 40: q253/q254 are map-side integer assignments + a 1-row
+      // grand total (64x fine — the oracle's recursive jump CTE is
+      // corpus-linear at ~5 steps per doc); q255 rides the q130 bounded
+      // queryMod like q251/q252
+      "q253_jump_shard" ->
+        (() => graft.SparkEntry.queries("q253_jump_shard")(spark, sfDir)),
+      "q254_reshard_three" ->
+        (() => graft.SparkEntry.queries("q254_reshard_three")(spark, sfDir)),
+      "q255_groundedness_sweep" ->
+        (() => graft.Queries40.q255With(spark, sfDir, queryMod)),
+      // q249 bounded-slice spelling for the 64x proof (the q122
+      // id-slice precedent): the ENGINE runs the full banded LSH over
+      // the whole corpus and filters finished pairs to the slice; the
+      // oracle shingles only the slice (pair generation is pairwise, so
+      // slice-restricted pairs equal full pairs with both ends in it) —
+      // the full-oracle spelling stays the 8x proof
+      "q249_asset_near_dup_slice" ->
+        (() => graft.Queries38.q249Sliced(spark, sfDir, 8L, 3L)))
+
+  /** Oracle SQL for [[queryMap]], same keys. */
+  def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
+      queryMod: Long): Map[String, String] = Map(
       "q83_pipeline_golden" -> graft.Queries6.q83SqlWith(planes, bits),
       "q104_canonical_dedup" -> graft.Queries8.q104SqlWith(planes, bits),
       "q31_kmeans" -> graft.SparkEntry.oracleSql("q31_kmeans"),
@@ -706,20 +753,11 @@ object VerifyScaled {
       "q250_length_band_mix" ->
         graft.SparkEntry.oracleSql("q250_length_band_mix"),
       "q251_groundedness" -> graft.Queries39.q251SqlWith(queryMod),
-      "q252_attribution" -> graft.Queries39.q252SqlWith(queryMod))
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracle.filter(q => selected(q._1))
-      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
-  }
+      "q252_attribution" -> graft.Queries39.q252SqlWith(queryMod),
+      "q253_jump_shard" ->
+        graft.SparkEntry.oracleSql("q253_jump_shard"),
+      "q254_reshard_three" ->
+        graft.SparkEntry.oracleSql("q254_reshard_three"),
+      "q255_groundedness_sweep" -> graft.Queries40.q255SqlWith(queryMod),
+      "q249_asset_near_dup_slice" -> graft.Queries38.q249SqlSliced(8L, 3L))
 }
