@@ -54,9 +54,18 @@ object Queries11 {
   /** [[bm25CtesShared]] with the query-sample modulus parameterized in
     * lockstep with [[q130Bm25With]]. */
   def bm25CtesSharedWith(k: Int, queryMod: Long): String =
-    s"""tok AS MATERIALIZED (SELECT doc_id, tok AS term FROM (
-       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |    FROM documents) WHERE tok <> ''),
+    bm25CtesFromTok(k, queryMod, defaultTokCte)
+
+  /** The standard (doc_id, term) token CTE the BM25 chain consumes —
+    * parameterized so variants (q256's zipf-remapped tokens) can swap the
+    * tokenization while sharing the whole scoring chain verbatim. */
+  val defaultTokCte: String =
+    """tok AS MATERIALIZED (SELECT doc_id, tok AS term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) WHERE tok <> '')""".stripMargin
+
+  def bm25CtesFromTok(k: Int, queryMod: Long, tokCte: String): String =
+    s"""$tokCte,
        |tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tf
        |  FROM tok GROUP BY 1, 2),
        |dl AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),

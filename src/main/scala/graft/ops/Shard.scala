@@ -251,6 +251,49 @@ object Shard {
     * (2·(nOld+nNew) digests per row, no shuffle), one 1-row grand-total
     * aggregate, exploded to the 2-row report on the driver side of the
     * plan — no collect, no second scan. */
+  /** Shard-balance audit of the three stateless assignment schemes at a
+    * fixed shard count — the pre-deploy check that the cheap scheme (jump:
+    * O(log n) integer steps) balances like the digest schemes before a
+    * layout commits to it. One row per scheme ∈ {jump, mod, rendezvous}:
+    * (scheme, n_shards_used, min_docs, max_docs, peak_ppm), where
+    * `peak_ppm = max_docs·numShards·1e6 div n_docs` is the hottest shard's
+    * load factor ×1e6 (1e6 = perfectly even) and `n_shards_used <
+    * numShards` means some shard got NOTHING (min/max are over non-empty
+    * shards). A uniform hash lands peak_ppm at 1e6 + O(√(numShards/rows));
+    * a broken assignment (biased key, wrong modulus) reads far above.
+    *
+    * Scale shape: one map-side projection computing all three assignments,
+    * a map-side explode to (scheme, shard), one map-combined count down to
+    * ≤ 3·numShards rows, one |schemes|-row rollup. No joins, no collect. */
+  def shardBalance(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val id = col(idCol)
+    val assigned = df.select(explode(array(
+        struct(lit("mod").as("scheme"),
+          pmod(graft.functions.HashFns.md5Long(id.cast("string")),
+            lit(numShards.toLong)).as("shard")),
+        struct(lit("rendezvous").as("scheme"),
+          rendezvousShard(id, numShards).as("shard")),
+        struct(lit("jump").as("scheme"),
+          jumpShard(id, numShards).as("shard")))).as("a"))
+      .select(col("a.scheme").as("scheme"), col("a.shard").as("shard"))
+    // branch bound: the ·numShards·1e6 upscale of max_docs must fit int64
+    val exactBound = Long.MaxValue / (numShards.toLong * 1000000L)
+    assigned.groupBy(col("scheme"), col("shard"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_shards_used"),
+        min(col("__c")).as("min_docs"), max(col("__c")).as("max_docs"),
+        sum(col("__c")).as("__n"))
+      .select(col("scheme"), col("n_shards_used"), col("min_docs"),
+        col("max_docs"),
+        expr(s"""CASE WHEN __n <= 0L THEN 0L
+                |     WHEN max_docs <= ${exactBound}L
+                |       THEN max_docs * ${numShards}L * 1000000L div __n
+                |     ELSE max_docs * ${numShards}L div (__n div 1000000L)
+                |END""".stripMargin).cast("long").as("peak_ppm"))
+  }
+
   def reshardStability(df: DataFrame, idCol: String,
       nOld: Int, nNew: Int): DataFrame =
     reshardReport(df, idCol, nOld, nNew, includeJump = false)

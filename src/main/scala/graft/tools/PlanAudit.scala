@@ -115,7 +115,10 @@ object PlanAudit {
       // their context retrieval (the q130 class); everything after the
       // (checkpointed) context is shortlist-sized span joins — q255 (the
       // span-size sweep) rides the same inputs
-      "q251_groundedness", "q252_attribution", "q255_groundedness_sweep")
+      "q251_groundedness", "q252_attribution", "q255_groundedness_sweep",
+      // q256 is the q130 probe over the zipf-remapped corpus — the same
+      // 1-row corpus-stats cross join
+      "q256_bm25_zipf")
     // Unpartitioned logical windows (`Window.orderBy` with no partition
     // key) plan as Exchange SinglePartition + one-task sort — the q216/
     // q206 round-13 lesson. Two ways an unpartitioned window is

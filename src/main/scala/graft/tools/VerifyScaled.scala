@@ -520,7 +520,15 @@ object VerifyScaled {
       // slice-restricted pairs equal full pairs with both ends in it) —
       // the full-oracle spelling stays the 8x proof
       "q249_asset_near_dup_slice" ->
-        (() => graft.Queries38.q249Sliced(spark, sfDir, 8L, 3L)))
+        (() => graft.Queries38.q249Sliced(spark, sfDir, 8L, 3L)),
+      // wave 41: q256 is the q130 probe over the inline zipf remap (the
+      // bounded-queryMod rule applies — its own corpus is already
+      // long-tailed, which is the point); q257 is three map-side
+      // assignments + a ≤3·64-row histogram
+      "q256_bm25_zipf" ->
+        (() => graft.Queries41.q256With(spark, sfDir, queryMod)),
+      "q257_shard_balance" ->
+        (() => graft.SparkEntry.queries("q257_shard_balance")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -759,5 +767,8 @@ object VerifyScaled {
       "q254_reshard_three" ->
         graft.SparkEntry.oracleSql("q254_reshard_three"),
       "q255_groundedness_sweep" -> graft.Queries40.q255SqlWith(queryMod),
-      "q249_asset_near_dup_slice" -> graft.Queries38.q249SqlSliced(8L, 3L))
+      "q249_asset_near_dup_slice" -> graft.Queries38.q249SqlSliced(8L, 3L),
+      "q256_bm25_zipf" -> graft.Queries41.q256SqlWith(queryMod),
+      "q257_shard_balance" ->
+        graft.SparkEntry.oracleSql("q257_shard_balance"))
 }
