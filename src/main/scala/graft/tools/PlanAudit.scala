@@ -118,7 +118,10 @@ object PlanAudit {
       "q251_groundedness", "q252_attribution", "q255_groundedness_sweep",
       // q256 is the q130 probe over the zipf-remapped corpus — the same
       // 1-row corpus-stats cross join
-      "q256_bm25_zipf")
+      "q256_bm25_zipf",
+      // q258/q259 broadcast the bounded query sample through knnJoin per
+      // truncation route (the q19 class)
+      "q258_matryoshka_overlap", "q259_matryoshka_sweep")
     // Unpartitioned logical windows (`Window.orderBy` with no partition
     // key) plan as Exchange SinglePartition + one-task sort — the q216/
     // q206 round-13 lesson. Two ways an unpartitioned window is

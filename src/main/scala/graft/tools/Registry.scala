@@ -127,6 +127,8 @@ object Registry {
           "8x only by the q122 precedent"),
       "q171_edit_confirm" -> editDp,
       "q231_near_miss_pairs" -> editDp,
+      "q258_matryoshka_overlap" -> exactAudit,
+      "q259_matryoshka_sweep" -> exactAudit,
       "q198_dedup_venn" ->
         ("composes the FIXTURE-resolution q14/q73 tiers; the scale " +
           "spelling is its parameterized members, proven individually"))

@@ -528,7 +528,14 @@ object VerifyScaled {
       "q256_bm25_zipf" ->
         (() => graft.Queries41.q256With(spark, sfDir, queryMod)),
       "q257_shard_balance" ->
-        (() => graft.SparkEntry.queries("q257_shard_balance")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q257_shard_balance")(spark, sfDir)),
+      // wave 42: exact-kNN routes over the bounded query sample (the q19
+      // class) — 8x proof; 64x is the queries x corpus DuckDB grid, see
+      // Registry.scale64OnlyExclusions
+      "q258_matryoshka_overlap" ->
+        (() => graft.Queries42.q258With(spark, sfDir, queryMod)),
+      "q259_matryoshka_sweep" ->
+        (() => graft.Queries42.q259With(spark, sfDir, queryMod)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -770,5 +777,7 @@ object VerifyScaled {
       "q249_asset_near_dup_slice" -> graft.Queries38.q249SqlSliced(8L, 3L),
       "q256_bm25_zipf" -> graft.Queries41.q256SqlWith(queryMod),
       "q257_shard_balance" ->
-        graft.SparkEntry.oracleSql("q257_shard_balance"))
+        graft.SparkEntry.oracleSql("q257_shard_balance"),
+      "q258_matryoshka_overlap" -> graft.Queries42.q258SqlWith(queryMod),
+      "q259_matryoshka_sweep" -> graft.Queries42.q259SqlWith(queryMod))
 }
