@@ -76,7 +76,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val probeX = if (probe < 0) -1.0 else probe / probePin
+    // the 3.931 pin is sf0.1-only: at any other dir a ratio would be a
+    // plausible-looking lie in a self-documenting record (review pass) -
+    // emit -1 and let probe_sec stand as a raw floor
+    val probeX =
+      if (probe < 0 || !sfDir.contains("sf0.1")) -1.0 else probe / probePin
     val line = s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","n":${results.size},"probe_sec":${fmt(probe)},"probe_pin":$probePin,"probe_x":${fmt(probeX)},"metric":"total","unit":"sec","value":${fmt(total)}}"""
     println(line)
     // also persist the complete record: stdout capture has truncated the

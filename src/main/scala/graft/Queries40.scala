@@ -104,7 +104,7 @@ object Queries40 {
       queryMod: Long): DataFrame = {
     val (answers, context) = Queries39.groundednessInputs(spark, dir, queryMod)
     Rag.groundednessSweep(answers, "q_id", "answer",
-        context, "doc_id", "text", ns = Seq(3, 4, 5))
+        context, "text", ns = Seq(3, 4, 5))
       .orderBy("n")
   }
 

@@ -43,7 +43,12 @@ object Queries42 {
       queryMod: Long): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val qs = querySample(emb, queryMod)
-    RankEval.overlapAtK(route(emb, qs, None), route(emb, qs, Some(16)),
+    // both routes pinned: overlapAtK's n_a/n_b/common branches each
+    // consume their input, and Catalyst shares no subtrees — unpinned,
+    // every brute-force scan would run twice (review-pass finding)
+    RankEval.overlapAtK(
+        route(emb, qs, None).localCheckpoint(false),
+        route(emb, qs, Some(16)).localCheckpoint(false),
         "q_id", "vec_id")
       .orderBy("q_id")
   }
@@ -101,7 +106,9 @@ object Queries42 {
     // pinned, or each overlap branch re-runs the full-dim scan
     val full = route(emb, qs, None).localCheckpoint(false)
     sweepDims.map { d =>
-      RankEval.overlapAtK(full, route(emb, qs, Some(d)), "q_id", "vec_id")
+      // each truncated route pinned too: overlapAtK consumes it twice
+      RankEval.overlapAtK(full,
+          route(emb, qs, Some(d)).localCheckpoint(false), "q_id", "vec_id")
         .agg(count(lit(1)).as("n_queries"),
           coalesce(sum(col("n_a")), lit(0L)).as("n_full"),
           coalesce(sum(col("n_common")), lit(0L)).as("n_common"))

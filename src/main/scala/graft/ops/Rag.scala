@@ -230,6 +230,10 @@ object Rag {
     * interpreted HOF span spelling is fine here — unlike the corpus-side
     * kernels, there is no hot path.
     *
+    * The context doc identity is deliberately NOT a parameter (unlike
+    * [[groundednessAudit]]): support is membership in ANY of the query's
+    * context rows, so only (queryIdCol, ctxTextCol) participate.
+    *
     * Output one row per n: (n, n_answers, n_spans, n_supported,
     * unsupported_ppm), spans distinct per (query, n), support = the span
     * appears in ANY of that query's context docs, unsupported_ppm =
@@ -237,7 +241,7 @@ object Rag {
     * Tokenization matches [[graft.expr.ShingleKernels.wordSpans]]:
     * split(lower(trim(x)), \\s+), no empty-token filter. */
   def groundednessSweep(answers: DataFrame, queryIdCol: String,
-      answerCol: String, context: DataFrame, ctxDocCol: String,
+      answerCol: String, context: DataFrame,
       ctxTextCol: String, ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1),
       s"span sizes must be non-empty and >= 1, got $ns")

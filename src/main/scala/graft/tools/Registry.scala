@@ -144,9 +144,15 @@ object Registry {
 
   /** A scale-artifact key `k` covers query `q` when it IS `q` or is a
     * documented bounded-oracle variant `q_<suffix>` (the
-    * `q249_asset_near_dup_slice` / `q143_..._zipf_boundedmod` spellings). */
-  private def covers(artifactKeys: Set[String], q: String): Boolean =
-    artifactKeys.contains(q) || artifactKeys.exists(_.startsWith(q + "_"))
+    * `q249_asset_near_dup_slice` / `q143_..._zipf_boundedmod` spellings).
+    * A suffixed key that is ITSELF a registered query never counts — a
+    * future wave could otherwise name a first-class query extending an
+    * older one and silently credit the old query with the new one's row
+    * (review-pass finding). */
+  private def covers(artifactKeys: Set[String], queries: Set[String],
+      q: String): Boolean =
+    artifactKeys.contains(q) || artifactKeys.exists(k =>
+      k.startsWith(q + "_") && !queries.contains(k))
 
   /** Cross-registry invariants over the whole suite. Parameters are the
     * REAL registries in RegistrySpec; tests also feed deliberately broken
@@ -180,7 +186,7 @@ object Registry {
     def scalePass(tier: String, artifact: Set[String],
         excl: Map[String, String]): Unit = {
       for (q <- queries.toSeq.sorted)
-        if (!covers(artifact, q) && !excl.contains(q))
+        if (!covers(artifact, queries, q) && !excl.contains(q))
           out += Violation(s"$tier-unproven", q,
             s"no CORRECTNESS_$tier row (or bounded-oracle variant) and no " +
               "documented exclusion in Registry - wire it into " +
@@ -189,7 +195,7 @@ object Registry {
         if (!queries.contains(q))
           out += Violation(s"$tier-exclusion-unknown", q,
             "exclusion names a query that does not exist")
-        else if (covers(artifact, q))
+        else if (covers(artifact, queries, q))
           out += Violation(s"$tier-stale-exclusion", q,
             s"excluded but CORRECTNESS_$tier has a row for it - drop the " +
               "exclusion (proofs beat reasons)")

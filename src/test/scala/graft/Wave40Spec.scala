@@ -72,7 +72,7 @@ class Wave40Spec extends SparkSpec {
       (4L, "too short"))
       .toDF("q_id", "answer")
     val sweep = Rag.groundednessSweep(answers, "q_id", "answer",
-        ctx, "doc_id", "text", Seq(2, 3, 4, 5))
+        ctx, "text", Seq(2, 3, 4, 5))
       .orderBy("n").as[(Long, Long, Long, Long, Long)].collect()
     assert(sweep.map(_._1).toSeq == Seq(2L, 3L, 4L, 5L))
     for (row <- sweep) {
@@ -93,12 +93,12 @@ class Wave40Spec extends SparkSpec {
     val a = Seq((1L, "x y z")).toDF("q_id", "answer")
     val c = Seq((1L, 1L, "x y z")).toDF("q_id", "doc_id", "text")
     intercept[IllegalArgumentException] {
-      Rag.groundednessSweep(a, "q_id", "answer", c, "doc_id", "text", Nil)
+      Rag.groundednessSweep(a, "q_id", "answer", c, "text", Nil)
     }
     intercept[IllegalArgumentException] {
-      Rag.groundednessSweep(a, "q_id", "answer", c, "doc_id", "text", Seq(0))
+      Rag.groundednessSweep(a, "q_id", "answer", c, "text", Seq(0))
     }
-    val out = Rag.groundednessSweep(a, "q_id", "answer", c, "doc_id", "text",
+    val out = Rag.groundednessSweep(a, "q_id", "answer", c, "text",
       Seq(2, 2, 3)).orderBy("n").as[(Long, Long, Long, Long, Long)].collect()
     assert(out.map(_._1).toSeq == Seq(2L, 3L))
   }
