@@ -535,7 +535,13 @@ object VerifyScaled {
       "q258_matryoshka_overlap" ->
         (() => graft.Queries42.q258With(spark, sfDir, queryMod)),
       "q259_matryoshka_sweep" ->
-        (() => graft.Queries42.q259With(spark, sfDir, queryMod)))
+        (() => graft.Queries42.q259With(spark, sfDir, queryMod)),
+      // wave 43: regex projections + a 3-row domain rollup — corpus-linear
+      // on both engines at any k
+      "q260_url_canonical" ->
+        (() => graft.SparkEntry.queries("q260_url_canonical")(spark, sfDir)),
+      "q261_url_dedup_domains" ->
+        (() => graft.SparkEntry.queries("q261_url_dedup_domains")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -779,5 +785,9 @@ object VerifyScaled {
       "q257_shard_balance" ->
         graft.SparkEntry.oracleSql("q257_shard_balance"),
       "q258_matryoshka_overlap" -> graft.Queries42.q258SqlWith(queryMod),
-      "q259_matryoshka_sweep" -> graft.Queries42.q259SqlWith(queryMod))
+      "q259_matryoshka_sweep" -> graft.Queries42.q259SqlWith(queryMod),
+      "q260_url_canonical" ->
+        graft.SparkEntry.oracleSql("q260_url_canonical"),
+      "q261_url_dedup_domains" ->
+        graft.SparkEntry.oracleSql("q261_url_dedup_domains"))
 }
