@@ -245,6 +245,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live URL frontier: canonical-key dedup across micro-batches equals batch distinct") {
+    // the crawl-frontier shape: re-crawl URLs arrive as a stream, the
+    // BATCH canonicalization column (UrlFns.canonicalizeUrl) is the
+    // dedup key, and dedupKeyed drops within-watermark re-crawls - the
+    // same operator serves batch corpus hygiene and the live frontier
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "url")
+      .withColumn("canonical",
+        graft.functions.UrlFns.canonicalizeUrl(
+          org.apache.spark.sql.functions.col("url")))
+    val q = Stream.dedupKeyed(df, Seq("canonical"), "ts")
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "HTTPS://Example.COM:443/a?utm_x=1&b=2&a=1#f1"),
+        (2L, ts(1), "https://example.com/a?a=1&b=2"),  // same canonical
+        (3L, ts(2), "https://example.com/b"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts(3), "https://EXAMPLE.com/b#frag"),     // re-crawl of /b
+        (5L, ts(4), "https://example.com/c"))
+      q.processAllAvailable()
+      val got = spark.table("frontier").select("canonical")
+        .as[String].collect().sorted
+      assert(got.toSeq == Seq(
+        "https://example.com/a?a=1&b=2",
+        "https://example.com/b",
+        "https://example.com/c"))
+    } finally q.stop()
+  }
+
   test("live manifest: the batch Shard.manifest over a stream equals a batch rebuild") {
     // the export-integrity monitor: Shard.manifest is a plain keyed
     // aggregation, so the SAME operator maintains a live per-shard
