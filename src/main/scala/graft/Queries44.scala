@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.HashFns
+import graft.ops.Dedup
+
+/** Forty-fourth query wave: TF-WEIGHTED near-dup verification — the
+  * multiset Jaccard refinement of the q14 candidates (q262). Set-Jaccard
+  * cannot tell a template stuffed with one repeated phrase from a single
+  * occurrence; the weighted measure prices repetition mass, and emitting
+  * BOTH metrics per pair makes the divergence auditable.
+  */
+object Queries44 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weighted-Jaccard near-dup pairs at wj >= 0.6 over the q14 banding
+    * (12 hashes × 4 bands). [[graft.ops.Dedup.weightedJaccardPairs]]. */
+  val q262WeightedJaccard: Q = (spark, dir) =>
+    Dedup.weightedJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", numHashes = 12, bands = 4, thresholdPpm = 600000L)
+      .orderBy("id_a", "id_b")
+
+  val q262Sql: String = {
+    val perms = HashFns.minHashCoeffs(12).map { case (a, b) =>
+      s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
+    }.mkString(",\n       ")
+    s"""WITH ${Queries2.ShinglesCte},
+       |hbs AS (SELECT doc_id, list_transform(sh,
+       |          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % ${HashFns.MinHashP}) AS hb
+       |        FROM sh),
+       |mh AS (SELECT doc_id, [$perms] AS sig
+       |       FROM hbs),
+       |bands AS (SELECT doc_id, b,
+       |            array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '_') AS bsig
+       |          FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.bsig = c.bsig
+       |           AND a.doc_id < c.doc_id),
+       |cj AS MATERIALIZED (SELECT id_a, id_b,
+       |    round(len(list_intersect(x.sh, y.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(x.sh, y.sh))), 6)
+       |      AS jaccard_set
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+       |            JOIN sh y ON y.doc_id = cand.id_b),
+       |tfq AS MATERIALIZED (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |          string_split_regex(lower(trim(text)), '\\s+'),
+       |          x -> x <> '')) AS t
+       |        FROM documents) GROUP BY 1, 2),
+       |lq AS (SELECT doc_id, sum(tf)::BIGINT AS len FROM tfq GROUP BY 1),
+       |iv AS (SELECT c.id_a, c.id_b,
+       |    sum(least(a.tf, b.tf))::BIGINT AS inter_tf
+       |  FROM cj c JOIN tfq a ON a.doc_id = c.id_a
+       |            JOIN tfq b ON b.doc_id = c.id_b AND b.term = a.term
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard_set, inter_tf, wj_ppm FROM (
+       |  SELECT c.id_a, c.id_b, c.jaccard_set,
+       |    coalesce(iv.inter_tf, 0)::BIGINT AS inter_tf,
+       |    (CASE WHEN la.len + lb.len - coalesce(iv.inter_tf, 0) <= 0 THEN 0
+       |          ELSE coalesce(iv.inter_tf, 0) * 1000000
+       |               // (la.len + lb.len - coalesce(iv.inter_tf, 0))
+       |     END)::BIGINT AS wj_ppm
+       |  FROM cj c LEFT JOIN iv ON iv.id_a = c.id_a AND iv.id_b = c.id_b
+       |    JOIN lq la ON la.doc_id = c.id_a
+       |    JOIN lq lb ON lb.doc_id = c.id_b) v
+       |WHERE wj_ppm >= 600000 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "q262_weighted_jaccard" -> q262WeightedJaccard)
+
+  val oracle: Map[String, String] = Map(
+    "q262_weighted_jaccard" -> q262Sql)
+}

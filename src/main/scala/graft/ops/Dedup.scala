@@ -99,6 +99,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** TF-WEIGHTED (multiset) Jaccard refinement of the banded near-dup
+    * candidates: per pair,
+    * `J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)` over unigram term
+    * frequencies, with `Σmax = len_a + len_b − Σmin` so only the INNER
+    * term join is ever computed. Set-Jaccard ([[minHashLshPairs]]) sees
+    * "spam spam spam spam" and "spam" as identical; the weighted measure
+    * sees repetition MASS — the standard refinement for templated /
+    * boilerplate near-dups, and integer-exact (ppm) so it hash-compares.
+    *
+    * Candidates come from the q14 shingle banding (SET semantics), so
+    * recall targets set-Jaccard: a pair with high J_w but low shingle
+    * overlap (e.g. heavy token reordering) is out of candidate reach BY
+    * DESIGN — banding on a multiset-faithful key would need weighted
+    * MinHash (ICWS), whose gamma draws are not portable to the integer
+    * oracle. Output: (id_a, id_b, jaccard_set, inter_tf, wj_ppm) for
+    * pairs with `wj_ppm >= thresholdPpm` — both metrics side by side, so
+    * the set-vs-weighted divergence is visible per pair.
+    *
+    * Scale shape: the banded candidate join (q14's), one tf aggregation
+    * of the corpus (pinned — it feeds BOTH sides of the term join), and
+    * a candidates×terms inner equi-join that touches only candidate
+    * pairs' terms. No new corpus passes beyond q14's. */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 0, s"thresholdPpm must be >= 0, got $thresholdPpm")
+    val cands = minHashLshPairs(df, idCol, textCol, numHashes, bands, 0.0)
+    val tf = df.select(col(idCol).as("id"),
+        explode(array_remove(
+          graft.functions.TextFns.wordTokens(col(textCol)), "")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds lens AND both term-join sides
+    val lens = tf.groupBy(col("id")).agg(sum(col("tf")).as("len"))
+    val inter = cands.select(col("id_a"), col("id_b"))
+      .join(tf.select(col("id").as("id_a"), col("term"),
+        col("tf").as("__ta")), Seq("id_a"))
+      .join(tf.select(col("id").as("id_b"), col("term"),
+        col("tf").as("__tb")), Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__ta"), col("__tb"))).as("inter_tf"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(lens.select(col("id").as("id_a"), col("len").as("__la")),
+        Seq("id_a"))
+      .join(lens.select(col("id").as("id_b"), col("len").as("__lb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("jaccard").as("jaccard_set"),
+        coalesce(col("inter_tf"), lit(0L)).as("inter_tf"),
+        expr("""CASE WHEN __la + __lb - coalesce(inter_tf, 0L) <= 0L THEN 0L
+               |     ELSE coalesce(inter_tf, 0L) * 1000000L
+               |          div (__la + __lb - coalesce(inter_tf, 0L))
+               |END""".stripMargin).cast("long").as("wj_ppm"))
+      .filter(col("wj_ppm") >= thresholdPpm)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs — the quote-inclusion case
     * symmetric Jaccard misses: a short document fully embedded in a long
     * one has tiny Jaccard (|A∩B|/|A∪B| ≈ |A|/|B|) but containment

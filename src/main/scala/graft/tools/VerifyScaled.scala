@@ -541,7 +541,12 @@ object VerifyScaled {
       "q260_url_canonical" ->
         (() => graft.SparkEntry.queries("q260_url_canonical")(spark, sfDir)),
       "q261_url_dedup_domains" ->
-        (() => graft.SparkEntry.queries("q261_url_dedup_domains")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q261_url_dedup_domains")(spark, sfDir)),
+      // wave 44: the q14 banded candidates + a term equi-join — proven at
+      // 8x; at 64x the DuckDB side's per-candidate list_intersect over
+      // 320k shingle lists is the q249 memory class (see Registry)
+      "q262_weighted_jaccard" ->
+        (() => graft.SparkEntry.queries("q262_weighted_jaccard")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -789,5 +794,7 @@ object VerifyScaled {
       "q260_url_canonical" ->
         graft.SparkEntry.oracleSql("q260_url_canonical"),
       "q261_url_dedup_domains" ->
-        graft.SparkEntry.oracleSql("q261_url_dedup_domains"))
+        graft.SparkEntry.oracleSql("q261_url_dedup_domains"),
+      "q262_weighted_jaccard" ->
+        graft.SparkEntry.oracleSql("q262_weighted_jaccard"))
 }
