@@ -24,11 +24,29 @@ object Queries44 {
         "doc_id", "text", numHashes = 12, bands = 4, thresholdPpm = 600000L)
       .orderBy("id_a", "id_b")
 
-  val q262Sql: String = {
+  /** [[q262WeightedJaccard]] restricted to pairs with BOTH endpoints in
+    * a deterministic id slice — the 64× proof spelling (the q249
+    * precedent): banding signatures and term frequencies are per-doc, so
+    * filtering finished pairs to the slice equals running on the slice,
+    * while the oracle shingles/tokenizes only the slice. */
+  private[graft] def q262Sliced(spark: SparkSession, dir: String,
+      m: Long, r: Long): DataFrame =
+    Dedup.weightedJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", numHashes = 12, bands = 4, thresholdPpm = 600000L)
+      .filter(col("id_a") % m === r && col("id_b") % m === r)
+      .orderBy("id_a", "id_b")
+
+  private[graft] def q262SqlSliced(m: Long, r: Long): String =
+    q262SqlWhere(s"docs AS (SELECT * FROM documents WHERE doc_id % $m = $r)")
+
+  val q262Sql: String = q262SqlWhere("docs AS (SELECT * FROM documents)")
+
+  private def q262SqlWhere(docsCte: String): String = {
     val perms = HashFns.minHashCoeffs(12).map { case (a, b) =>
       s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
     }.mkString(",\n       ")
-    s"""WITH ${Queries2.ShinglesCte},
+    s"""WITH $docsCte,
+       |${Queries2.ShinglesCte.replace("FROM documents", "FROM docs")},
        |hbs AS (SELECT doc_id, list_transform(sh,
        |          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % ${HashFns.MinHashP}) AS hb
        |        FROM sh),
@@ -50,7 +68,7 @@ object Queries44 {
        |  FROM (SELECT doc_id, unnest(list_filter(
        |          string_split_regex(lower(trim(text)), '\\s+'),
        |          x -> x <> '')) AS t
-       |        FROM documents) GROUP BY 1, 2),
+       |        FROM docs) GROUP BY 1, 2),
        |lq AS (SELECT doc_id, sum(tf)::BIGINT AS len FROM tfq GROUP BY 1),
        |iv AS (SELECT c.id_a, c.id_b,
        |    sum(least(a.tf, b.tf))::BIGINT AS inter_tf

@@ -129,11 +129,6 @@ object Registry {
       "q231_near_miss_pairs" -> editDp,
       "q258_matryoshka_overlap" -> exactAudit,
       "q259_matryoshka_sweep" -> exactAudit,
-      "q262_weighted_jaccard" ->
-        ("composes q14's fixture-resolution shingle banding; the oracle's " +
-          "per-candidate list_intersect over 320k shingle lists is the " +
-          "q249 single-node memory class - 8x proof stands, the byte-level " +
-          "family member carries 64x via its slice spelling"),
       "q198_dedup_venn" ->
         ("composes the FIXTURE-resolution q14/q73 tiers; the scale " +
           "spelling is its parameterized members, proven individually"))

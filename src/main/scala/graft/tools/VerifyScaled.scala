@@ -546,7 +546,10 @@ object VerifyScaled {
       // 8x; at 64x the DuckDB side's per-candidate list_intersect over
       // 320k shingle lists is the q249 memory class (see Registry)
       "q262_weighted_jaccard" ->
-        (() => graft.SparkEntry.queries("q262_weighted_jaccard")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q262_weighted_jaccard")(spark, sfDir)),
+      // q262 bounded-slice spelling for 64x (the q249 precedent)
+      "q262_weighted_jaccard_slice" ->
+        (() => graft.Queries44.q262Sliced(spark, sfDir, 8L, 3L)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -796,5 +799,6 @@ object VerifyScaled {
       "q261_url_dedup_domains" ->
         graft.SparkEntry.oracleSql("q261_url_dedup_domains"),
       "q262_weighted_jaccard" ->
-        graft.SparkEntry.oracleSql("q262_weighted_jaccard"))
+        graft.SparkEntry.oracleSql("q262_weighted_jaccard"),
+      "q262_weighted_jaccard_slice" -> graft.Queries44.q262SqlSliced(8L, 3L))
 }
