@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The ambience-probe pin: q83_pipeline_golden's sf0.1 steady-state
+    * min-of-3 from BENCH_stable.json. Duplicated here so the probe needs
+    * no JSON parse at bench time — RegistrySpec asserts this constant
+    * EQUALS the BENCH_stable entry on every `sbt test`, so a re-pin
+    * cannot silently stale the calibration (r15 verdict watch item 2). */
+  val probePin = 3.931
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,7 +32,11 @@ object Bench {
     // 1.35x slow and proving that took a same-code re-sweep). probe_x is
     // only calibrated at sf0.1, the pin's fixture; at other dirs read
     // probe_sec as a raw floor. A probe failure records -1, never aborts.
-    val probePin = 3.931
+    // Known bias (ADVICE r15, accepted): the probe gives q83 two extra
+    // warm runs before the timed passes, so q83's per-query number is
+    // post-probe warm relative to every other query and to pre-probe
+    // baselines — read q83's BENCH_full entry as a warm floor, and use
+    // BENCH_stable's min-of-3 (same warmth) for its cross-round compare.
     val probe = try (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       SparkEntry.queries("q83_pipeline_golden")(spark, sfDir).count()

@@ -26,13 +26,20 @@ object Queries2 {
   /** DuckDB word-bigram shingles CTE body over `documents` (mirrors
     * TextFns.wordShingles(text, 2): normalized single-space tokens,
     * adjacent pairs, distinct). */
-  private[graft] val ShinglesCte =
-    s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM documents),
+  /** [[ShinglesCte]] parameterized on its source relation (the
+    * bm25CtesFromTok pattern) — callers that shingle a restricted CTE
+    * (q262's id slice) pass its name instead of post-hoc string surgery
+    * on the shared fragment (ADVICE r15: a `.replace` that stops matching
+    * silently reads the full corpus). */
+  private[graft] def shinglesCteFrom(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split($NormSql, ' ') AS tk FROM $rel),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
        |       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 1),
        |              i -> tk[i::INT] || ' ' || tk[(i + 1)::INT])) END AS sh
        |  FROM t)""".stripMargin
+
+  private[graft] val ShinglesCte = shinglesCteFrom("documents")
 
   // ------------------------------------------------------------- U3/dedup
   /** Exact content dedup via md5 of normalized text. */

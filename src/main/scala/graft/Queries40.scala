@@ -31,10 +31,17 @@ object Queries40 {
     * modular multiply — DuckDB UBIGINT arithmetic errors on overflow
     * rather than wrapping) and jumps `j` by the paper's double formula in
     * the SAME operand association the Scala kernel uses; the terminal row
-    * per doc is the first with j >= n. */
+    * per doc is the first with j >= n. The base row reinterprets the
+    * signed id as unsigned via HUGEINT mod-2^64 (ADVICE r15: a plain
+    * `doc_id::UBIGINT` errors on negative ids, while the Scala kernel
+    * accepts any Long bit pattern — this spelling agrees on the full
+    * signed domain, not just the fixture's non-negative ids). */
   private def jumpCteSql(name: String, n: Int): String =
     s"""$name AS (
-       |  SELECT doc_id, doc_id::UBIGINT AS k, -1::BIGINT AS b, 0::BIGINT AS j
+       |  SELECT doc_id,
+       |    ((doc_id::HUGEINT % 18446744073709551616 + 18446744073709551616)
+       |      % 18446744073709551616)::UBIGINT AS k,
+       |    -1::BIGINT AS b, 0::BIGINT AS j
        |  FROM ids
        |  UNION ALL
        |  SELECT doc_id, k2, j AS b,

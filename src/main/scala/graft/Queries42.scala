@@ -125,9 +125,15 @@ object Queries42 {
   private[graft] def q259SqlWith(queryMod: Long): String = {
     val cuts = sweepDims.map(d =>
       knnCteSql(s"t$d", s"[1:$d]", queryMod)).mkString(",\n")
+    // n_queries from the fa/t$d q_id UNION — the same set overlapAtK's
+    // full-outer join rows count on the engine side, so the equivalence
+    // holds even if a truncated route ever returns a query the full
+    // route doesn't (ADVICE r15; degenerate corpora only — both routes
+    // share the query sample here)
     val arms = sweepDims.map(d =>
       s"""SELECT $d::BIGINT AS dim,
-         |  (SELECT count(DISTINCT q_id) FROM fa)::BIGINT AS n_queries,
+         |  (SELECT count(*) FROM (SELECT q_id FROM fa
+         |    UNION SELECT q_id FROM t$d))::BIGINT AS n_queries,
          |  (SELECT count(*) FROM fa)::BIGINT AS n_full,
          |  (SELECT count(*) FROM fa JOIN t$d USING (q_id, vec_id))::BIGINT
          |    AS n_common""".stripMargin).mkString("\nUNION ALL\n")

@@ -46,7 +46,7 @@ object Queries44 {
       s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
     }.mkString(",\n       ")
     s"""WITH $docsCte,
-       |${Queries2.ShinglesCte.replace("FROM documents", "FROM docs")},
+       |${Queries2.shinglesCteFrom("docs")},
        |hbs AS (SELECT doc_id, list_transform(sh,
        |          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % ${HashFns.MinHashP}) AS hb
        |        FROM sh),

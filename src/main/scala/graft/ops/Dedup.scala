@@ -117,6 +117,14 @@ object Dedup {
     * pairs with `wj_ppm >= thresholdPpm` — both metrics side by side, so
     * the set-vs-weighted divergence is visible per pair.
     *
+    * Row-drop semantics (ADVICE r15, documented rather than papered
+    * over): a candidate endpoint that tokenizes to ZERO terms (possible —
+    * the shingle kernel's <2-token fallback gives even an empty document
+    * a band signature) has no row in the per-doc length frame, so the
+    * inner length join DROPS such pairs instead of emitting wj_ppm = 0.
+    * A no-term document has no weighted mass to compare; the oracle
+    * inner-joins identically, so both engines agree.
+    *
     * Scale shape: the banded candidate join (q14's), one tf aggregation
     * of the corpus (pinned — it feeds BOTH sides of the term join), and
     * a candidates×terms inner equi-join that touches only candidate

@@ -156,12 +156,21 @@ object Registry {
 
   /** Cross-registry invariants over the whole suite. Parameters are the
     * REAL registries in RegistrySpec; tests also feed deliberately broken
-    * ones to prove the audit fires. Returns every violation found. */
+    * ones to prove the audit fires. Returns every violation found.
+    *
+    * `benchFullKeys` are the queries with a VALID (>= 0 s) timing in
+    * BENCH_full.json — the one artifact the audit ignored through r15 (a
+    * wave could register a query that never landed in a full bench sweep
+    * and pass every gate; r15 verdict watch item 1). `probePinConst` /
+    * `probePinStable` are [[graft.Bench.probePin]] and BENCH_stable's
+    * q83 min3: the calibration constant is duplicated by design (no JSON
+    * parse at bench time), so the audit asserts the two never drift. */
   def audit(queries: Set[String], oracles: Set[String],
       verifyScaledQueries: Set[String], verifyScaledOracles: Set[String],
       scale8Keys: Set[String], scale64Keys: Set[String],
       planAllowNested: Set[String], planAllowUnpart: Set[String],
-      benchPins: Set[String],
+      benchPins: Set[String], benchFullKeys: Set[String],
+      probePinConst: Double, probePinStable: Double,
       scale8Excl: Map[String, String] = scale8Exclusions,
       scale64Excl: Map[String, String] = scale64Exclusions): Seq[Violation] = {
     val out = Seq.newBuilder[Violation]
@@ -212,6 +221,19 @@ object Registry {
     for (q <- (benchPins -- queries).toSeq.sorted)
       out += Violation("bench-pin-stale", q,
         "BENCH_stable.json pins a query that does not exist")
+    for (q <- (queries -- benchFullKeys).toSeq.sorted)
+      out += Violation("benchfull-missing", q,
+        "registered query with no valid BENCH_full.json timing - run " +
+          "graft.Bench over the full registry (a -1 sentinel counts as " +
+          "missing: the query crashed in the sweep)")
+    for (q <- (benchFullKeys -- queries).toSeq.sorted)
+      out += Violation("benchfull-stale", q,
+        "BENCH_full.json times a query that does not exist - re-sweep")
+    if (probePinConst != probePinStable)
+      out += Violation("probe-pin-drift", "q83_pipeline_golden",
+        f"Bench.probePin=$probePinConst%.3f != BENCH_stable min3=" +
+          f"$probePinStable%.3f - a re-pin must update BOTH (the probe_x " +
+          "calibration in every BENCH artifact reads the constant)")
     out.result()
   }
 }

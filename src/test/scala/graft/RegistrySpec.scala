@@ -38,6 +38,28 @@ class RegistrySpec extends SparkSpec {
       .filter(_.matches("q\\d+_.*")).toSet
   }
 
+  /** Queries with a VALID (>= 0) timing in a BENCH sweep artifact
+    * ({"queries":{"qNN_name":sec,...},...}); a -1 sentinel means the
+    * query crashed in the sweep and counts as NOT covered. */
+  private def benchFullKeys(path: String): Set[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    """"(q\d+[a-z0-9_]*)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+      .findAllMatchIn(text)
+      .collect { case m if m.group(2).toDouble >= 0 => m.group(1) }.toSet
+  }
+
+  /** BENCH_stable's q83 steady-state pin (queries.q83_pipeline_golden
+    * .min3) — the value [[graft.Bench.probePin]] duplicates. */
+  private def stableProbePin(path: String): Double = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    """"q83_pipeline_golden"\s*:\s*\{\s*"min3"\s*:\s*([0-9.]+)""".r
+      .findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+      .getOrElse(fail("BENCH_stable.json has no q83_pipeline_golden.min3"))
+  }
+
   private lazy val queries = SparkEntry.queries.keySet
   private lazy val oracles = SparkEntry.oracleSql.keySet
 
@@ -50,53 +72,68 @@ class RegistrySpec extends SparkSpec {
     (q, o)
   }
 
-  test("the real registries carry zero wiring violations") {
-    val vs = Registry.audit(
-      queries, oracles, vsQueries, vsOracles,
+  private lazy val realBenchFull = benchFullKeys("BENCH_full.json")
+  private lazy val realStablePin = stableProbePin("BENCH_stable.json")
+
+  private def auditWith(qs: Set[String] = queries,
+      os: Set[String] = oracles,
+      pins: Set[String] = benchPinKeys("BENCH_stable.json"),
+      full: Set[String] = realBenchFull,
+      pinConst: Double = Bench.probePin,
+      pinStable: Double = realStablePin,
+      scale8Excl: Map[String, String] = Registry.scale8Exclusions) =
+    Registry.audit(
+      qs, os, vsQueries, vsOracles,
       artifactKeys("CORRECTNESS_scale8.json"),
       artifactKeys("CORRECTNESS_scale64.json"),
       PlanAudit.allowNestedLoop, PlanAudit.allowUnpartWindow,
-      benchPinKeys("BENCH_stable.json"))
+      pins, full, pinConst, pinStable, scale8Excl = scale8Excl)
+
+  test("the real registries carry zero wiring violations") {
+    val vs = auditWith()
     assert(vs.isEmpty, vs.mkString("\n", "\n", ""))
   }
 
   test("a deliberately unwired query fails the audit at every gate") {
     val ghost = "q999_unwired"
-    val vs = Registry.audit(
-      queries + ghost, oracles, vsQueries, vsOracles,
-      artifactKeys("CORRECTNESS_scale8.json"),
-      artifactKeys("CORRECTNESS_scale64.json"),
-      PlanAudit.allowNestedLoop, PlanAudit.allowUnpartWindow,
-      benchPinKeys("BENCH_stable.json"))
+    val vs = auditWith(qs = queries + ghost)
     val kinds = vs.filter(_.name == ghost).map(_.kind).toSet
-    assert(kinds == Set("oracle-missing", "scale8-unproven", "scale64-unproven"),
-      kinds.toString)
+    assert(kinds == Set("oracle-missing", "scale8-unproven",
+      "scale64-unproven", "benchfull-missing"), kinds.toString)
   }
 
   test("stale entries fail the audit: dropped query, kept wiring") {
     val victim = "q253_jump_shard"
-    val vs = Registry.audit(
-      queries - victim, oracles - victim, vsQueries, vsOracles,
-      artifactKeys("CORRECTNESS_scale8.json"),
-      artifactKeys("CORRECTNESS_scale64.json"),
-      PlanAudit.allowNestedLoop, PlanAudit.allowUnpartWindow,
-      benchPinKeys("BENCH_stable.json") + victim)
+    val vs = auditWith(qs = queries - victim, os = oracles - victim,
+      pins = benchPinKeys("BENCH_stable.json") + victim)
     val kinds = vs.filter(_.name == victim).map(_.kind).toSet
-    assert(kinds.contains("vs-unknown") || kinds.contains("bench-pin-stale"),
-      kinds.toString)
+    assert(kinds.contains("bench-pin-stale") &&
+      kinds.contains("benchfull-stale"), kinds.toString)
   }
 
   test("a proven query may not keep its exclusion (proofs beat reasons)") {
-    val vs = Registry.audit(
-      queries, oracles, vsQueries, vsOracles,
-      artifactKeys("CORRECTNESS_scale8.json"),
-      artifactKeys("CORRECTNESS_scale64.json"),
-      PlanAudit.allowNestedLoop, PlanAudit.allowUnpartWindow,
-      benchPinKeys("BENCH_stable.json"),
-      scale8Excl = Registry.scale8Exclusions +
-        ("q31_kmeans" -> "bogus reason - q31 HAS a scale8 row"))
+    val vs = auditWith(scale8Excl = Registry.scale8Exclusions +
+      ("q31_kmeans" -> "bogus reason - q31 HAS a scale8 row"))
     assert(vs.exists(v =>
       v.kind == "scale8-stale-exclusion" && v.name == "q31_kmeans"),
       vs.mkString("\n"))
+  }
+
+  test("a crashed bench entry (-1 sentinel) counts as benchfull-missing") {
+    // the parser drops <0 timings, so simulate by removing the key
+    val vs = auditWith(full = realBenchFull - "q01_pricing_summary")
+    assert(vs.exists(v =>
+      v.kind == "benchfull-missing" && v.name == "q01_pricing_summary"),
+      vs.mkString("\n"))
+  }
+
+  test("a probe re-pin that forgets Bench.probePin fails the audit") {
+    val vs = auditWith(pinStable = realStablePin + 0.5)
+    assert(vs.exists(_.kind == "probe-pin-drift"), vs.mkString("\n"))
+  }
+
+  test("Bench.probePin equals the BENCH_stable q83 pin (the real pair)") {
+    assert(Bench.probePin == realStablePin,
+      s"Bench.probePin=${Bench.probePin} BENCH_stable=$realStablePin")
   }
 }
