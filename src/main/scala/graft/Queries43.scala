@@ -10,15 +10,21 @@ import graft.functions.UrlFns
   * oracle-checked per-row transform (q260) and canonical-URL dedup rolled
   * up by registered domain (q261), the TIER-0 dedup a web corpus runs
   * before any content fingerprint: re-crawls differing only in case,
-  * default port, fragment, tracking params, or query order collapse on a
-  * map-side key, no document bytes touched.
+  * default port, fragment, tracking params, query order, or
+  * percent-encoding spelling collapse on a map-side key, no document
+  * bytes touched.
   *
   * The fixture has no URL column, so both engines synthesize the same
   * deterministic URLs from (doc_id, source) — mixed-case scheme/host, a
   * `:443` default port, a PER-DOCUMENT `utm_campaign` tracking param (so
   * zero duplicates exist unless tracking-param removal works), unsorted
-  * params, and a per-document fragment. Canonical-key cardinality is
-  * 3·5·7 = 105 per source, so real duplicate mass exists at every SF.
+  * params, a per-document fragment, a lowercase-hex UNRESERVED escape
+  * (`%7e` → `~`), a lowercase-hex RESERVED escape (`%2f` → `%2F`,
+  * case-normalized but NOT decoded), a malformed escape (`%zz`, passed
+  * through verbatim), and a `.CO.UK`-registry arm on odd ids (so the
+  * registered-domain rollup is wrong under any two-label heuristic —
+  * the r15 public-suffix-LITE gap, closed). Canonical-key cardinality is
+  * 2·3·5·7 = 210 per source, so real duplicate mass exists at every SF.
   */
 object Queries43 {
 
@@ -26,22 +32,53 @@ object Queries43 {
 
   private def synthUrl(d: Column, source: Column): Column =
     concat(lit("HTTPS://WWW."), source, lit(".Example"),
-      (d % 3).cast("string"), lit(".COM:443/Docs/"), (d % 5).cast("string"),
+      (d % 3).cast("string"),
+      when(d % 2 === 0, lit(".COM")).otherwise(lit(".CO.UK")),
+      lit(":443/Docs/%7e"), (d % 5).cast("string"), lit("%2fx%zz"),
       lit("?utm_campaign=c"), d.cast("string"),
       lit("&id="), (d % 7).cast("string"),
       lit("#sec"), d.cast("string"))
 
   private val synthUrlSql: String =
     "'HTTPS://WWW.' || source || '.Example' || (doc_id % 3)::VARCHAR ||" +
-      " '.COM:443/Docs/' || (doc_id % 5)::VARCHAR ||" +
+      " (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.CO.UK' END) ||" +
+      " ':443/Docs/%7e' || (doc_id % 5)::VARCHAR || '%2fx%zz' ||" +
       " '?utm_campaign=c' || doc_id::VARCHAR ||" +
       " '&id=' || (doc_id % 7)::VARCHAR || '#sec' || doc_id::VARCHAR"
 
+  /** The 66 unreserved hex codes as a DuckDB list literal — rendered from
+    * the SAME Scala constant the engine kernel reads, so the two engines
+    * cannot drift. */
+  private val unreservedHexSql: String =
+    UrlFns.UnreservedHex.map(h => s"'$h'").mkString("[", ", ", "]")
+
+  /** The shipped public-suffix entries as a DuckDB list literal (same
+    * shared-constant rule). All current entries are two-label; the
+    * require pins that so the oracle's single two-label CASE arm stays
+    * faithful if the list ever grows a longer entry. */
+  private val pslSql: String = {
+    require(UrlFns.publicSuffixes.forall(_.count(_ == '.') == 1),
+      "q261 oracle spells ONLY the two-label PSL arm - a 3+-label entry " +
+        "in UrlFns.publicSuffixes needs a matching CASE arm here")
+    UrlFns.publicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+  }
+
   /** The canonicalization steps in DuckDB, mirroring
-    * [[graft.functions.UrlFns.canonicalizeUrl]] one-for-one. */
+    * [[graft.functions.UrlFns.canonicalizeUrl]] one-for-one (step 0 is
+    * [[graft.functions.UrlFns.normalizePercentEncoding]]: split on `%`,
+    * decode unreserved triplets, uppercase surviving triplet hex, pass
+    * malformed escapes through). */
   private val canonCteSql: String =
     s"""raw AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
-       |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM raw),
+       |pe AS (SELECT doc_id,
+       |    ps[1] || array_to_string(list_transform(ps[2:], p ->
+       |      CASE WHEN list_contains($unreservedHexSql, upper(p[1:2]))
+       |             THEN chr(('0x' || upper(p[1:2]))::INT) || p[3:]
+       |           WHEN regexp_matches(upper(p[1:2]), '^[0-9A-F]{2}$$')
+       |             THEN '%' || upper(p[1:2]) || p[3:]
+       |           ELSE '%' || p END), '') AS u
+       |  FROM (SELECT doc_id, string_split(url, '%') AS ps FROM raw)),
+       |nf AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM pe),
        |pieces AS (SELECT doc_id,
        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |      AS scheme,
@@ -70,8 +107,9 @@ object Queries43 {
        |        FROM parts))""".stripMargin
 
   /** Per-row canonicalization on a deterministic id slice — the transform
-    * itself hash-checked (case/port/fragment/tracking/sort each visible
-    * in the output). [[graft.functions.UrlFns.canonicalizeUrl]]. */
+    * itself hash-checked (percent-normalization, case, port, fragment,
+    * tracking removal, and param sort each visible in the output).
+    * [[graft.functions.UrlFns.canonicalizeUrl]]. */
   val q260UrlCanonical: Q = (spark, dir) =>
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 3L)
@@ -85,10 +123,12 @@ object Queries43 {
        |SELECT doc_id, canonical FROM canon WHERE doc_id % 10 = 3
        |ORDER BY doc_id""".stripMargin
 
-  /** Canonical-URL dedup by registered domain: per domain the raw URL
-    * count, distinct canonical count, and the duplicate share removed by
-    * canonicalization ALONE (every URL here is unique pre-canonical —
-    * the per-doc utm_campaign guarantees it).
+  /** Canonical-URL dedup by registered domain under the PUBLIC-SUFFIX
+    * list: per domain the raw URL count, distinct canonical count, and
+    * the duplicate share removed by canonicalization ALONE (every URL
+    * here is unique pre-canonical — the per-doc utm_campaign guarantees
+    * it). The `.CO.UK` arm groups as `exampleN.co.uk` (suffix-list
+    * match), not `co.uk` (what the r15 two-label rule would emit).
     * [[graft.functions.UrlFns.registeredDomain]]. */
   val q261UrlDedupDomains: Q = (spark, dir) =>
     Tables.documents(spark, dir)
@@ -109,7 +149,10 @@ object Queries43 {
   val q261Sql: String =
     s"""WITH $canonCteSql,
        |dom AS (SELECT canonical,
-       |    CASE WHEN len(ls) >= 2
+       |    CASE WHEN len(ls) >= 3 AND list_contains($pslSql,
+       |           array_to_string(ls[len(ls) - 1 : len(ls)], '.'))
+       |         THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
+       |         WHEN len(ls) >= 2
        |         THEN array_to_string(ls[len(ls) - 1 : len(ls)], '.')
        |         ELSE host END AS domain
        |  FROM (SELECT canonical, host, string_split(host, '.') AS ls

@@ -6,34 +6,72 @@ import org.apache.spark.sql.functions._
 /** URL canonicalization — the crawl-side TIER-0 dedup key: before any
   * content fingerprint runs, a web corpus collapses re-crawls of the same
   * resource whose URLs differ only in case, default ports, fragments,
-  * tracking parameters, or query-parameter order. At 100 TB this is a
-  * map-side projection ahead of the q07 fingerprint shuffle — it removes
-  * the cheapest duplicate class without touching document bytes.
+  * tracking parameters, query-parameter order, or percent-encoding
+  * spelling. At 100 TB this is a map-side projection ahead of the q07
+  * fingerprint shuffle — it removes the cheapest duplicate class without
+  * touching document bytes.
   *
   * The spec is deliberately REGEX/LIST-portable (every step has the same
   * spelling in DuckDB), so the transform itself is oracle-hash-checked
   * per row (q260) rather than trusted:
   *
-  *  1. strip the `#fragment`;
-  *  2. lowercase the scheme and the host (path/query case PRESERVED —
+  *  1. normalize percent-encoding (RFC 3986 §6.2.2: decode `%XX` triplets
+  *     of UNRESERVED characters — ALPHA / DIGIT / `-._~` — and uppercase
+  *     the hex of the triplets that stay encoded; `%2f` and `%2F` spell
+  *     the same reserved byte, `%7E` and `~` the same unreserved one);
+  *  2. strip the `#fragment`;
+  *  3. lowercase the scheme and the host (path/query case PRESERVED —
   *     paths are case-sensitive on most origins);
-  *  3. strip the scheme's default port (`:443` for https, `:80` for http);
-  *  4. drop tracking query params (`utm_*`, `fbclid`, `gclid`);
-  *  5. sort the surviving query params bytewise (param order is
+  *  4. strip the scheme's default port (`:443` for https, `:80` for http);
+  *  5. drop tracking query params (`utm_*`, `fbclid`, `gclid`);
+  *  6. sort the surviving query params bytewise (param order is
   *     almost never semantic; sorting makes the key order-independent);
-  *  6. an empty path becomes `/`; an emptied query drops its `?`.
+  *  7. an empty path becomes `/`; an emptied query drops its `?`.
   *
-  * Trailing-slash folding and percent-decoding are deliberately NOT done:
-  * both change semantics on real origins (`/a` vs `/a/` can differ;
-  * decoding can merge distinct resources). The HOF steps (filter/sort
-  * over the param list) are interpreted — fine for a cleaning projection;
-  * fuse into a kernel only if a profile ever shows it hot. */
+  * Trailing-slash folding and RESERVED-character decoding are deliberately
+  * NOT done: both change semantics on real origins (`/a` vs `/a/` can
+  * differ; decoding `%2F` merges distinct resources). The HOF steps
+  * (filter/sort/transform over split lists) are interpreted — fine for a
+  * cleaning projection; fuse into a kernel only if a profile shows it
+  * hot. */
 object UrlFns {
 
   private val TrackingParam = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
+  /** Hex codes of RFC 3986 UNRESERVED characters (ALPHA / DIGIT /
+    * `-._~`) — the percent-triplets [[normalizePercentEncoding]] decodes.
+    * Uppercase, matching the triplet-hex normalization. */
+  private[graft] val UnreservedHex: Seq[String] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => f"${c.toInt}%02X")
+
+  /** RFC 3986 §6.2.2.1-2 percent-encoding normalization: split on `%`,
+    * and for each following part decode the leading two-hex-digit triplet
+    * when it spells an unreserved character, uppercase its hex when it
+    * stays encoded, and pass a malformed escape (`%z`, trailing `%`)
+    * through verbatim. Decoding an unreserved triplet can never create a
+    * URL delimiter (`# ? & = / :` are all reserved), so this runs as
+    * step 0 on the RAW url and every later step sees normalized text.
+    * Only single-byte ASCII triplets decode — multi-byte UTF-8 sequences
+    * (`%C3%A9`) are reserved-class by the hex list and just get their
+    * hex uppercased. */
+  def normalizePercentEncoding(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    val tail = slice(parts, lit(2), size(parts))
+    val fixed = transform(tail, p => {
+      val h = upper(substring(p, 1, 2))
+      val rest = p.substr(lit(3), length(p))
+      when(h.isin(UnreservedHex: _*),
+          concat(unhex(h).cast("string"), rest))
+        .when(h.rlike("^[0-9A-F]{2}$"), concat(lit("%"), h, rest))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
+
   def canonicalizeUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
+    val norm = normalizePercentEncoding(u)
+    val noFrag = regexp_replace(norm, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
@@ -53,16 +91,99 @@ object UrlFns {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
-  /** Registered domain, public-suffix-LITE: the last two host labels
-    * (`a.b.example.com` → `example.com`). A real deployment swaps in the
-    * public-suffix list (the two-label rule mis-handles `co.uk`-class
-    * suffixes — documented limitation, same on both engines); hosts with
-    * fewer than two labels pass through unchanged. Port must already be
-    * stripped (feed it [[canonicalizeUrl]] output's host or a bare host). */
-  def registeredDomain(host: Column): Column = {
+  /** Multi-label entries of the public suffix list (publicsuffix.org —
+    * public data) this build ships: a curated SUBSET covering the
+    * highest-traffic ccTLD second-level registries. The full list
+    * (~10k entries, including wildcard `*.ck`-class and exception
+    * `!www.ck`-class rules) is public and swaps in here unchanged at
+    * deploy time — the matching below is list-driven and a 10k-entry
+    * literal/broadcast is still a map-side projection. Single-label
+    * TLDs need no entry: the PSL default rule (no match → the last
+    * label is the public suffix) covers them. */
+  val publicSuffixes: Seq[String] = Seq(
+    // United Kingdom / Ireland
+    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
+    "me.uk", "ltd.uk", "plc.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // Japan / Korea / Greater China / SE Asia
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "com.my", "org.my", "net.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    // South Asia / Middle East / Africa
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
+    // Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "gob.ve",
+    "com.ec", "com.uy", "com.bo", "com.py", "com.gt", "com.do", "com.pa",
+    "com.ni",
+    // Europe (multi-label registries)
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.ro", "org.ro", "nt.ro", "tm.ro",
+    "com.ru", "net.ru", "org.ru", "edu.ru", "gov.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
+    // North America / misc
+    "co.us", "com.mt", "com.cy", "com.lb", "com.jo", "com.kw", "com.qa",
+    "com.om", "com.bh", "com.np", "com.lk", "com.kh", "com.mm", "com.fj")
+
+  /** Number of labels in the longest [[publicSuffixes]] entry — bounds
+    * the suffix-match loop. */
+  private[graft] val MaxSuffixLabels: Int =
+    publicSuffixes.map(_.count(_ == '.') + 1).max
+
+  /** Registered (registrable) domain under the public-suffix list:
+    * longest `suffixes` entry matching the host's trailing labels — with
+    * the PSL default rule (no match → the last label is the public
+    * suffix) — plus ONE more label. `a.b.example.co.uk` → `example.co.uk`
+    * (suffix `co.uk` matched), `a.b.example.com` → `example.com`
+    * (default rule). A host that IS a public suffix, or has too few
+    * labels to carry a registrable part, passes through unchanged.
+    * Wildcard/exception PSL rules are not modeled (documented subset —
+    * none of the shipped entries need them). Host must be lowercase with
+    * the port already stripped (feed it [[canonicalizeUrl]] output's
+    * host or a bare lowercase host). */
+  def registeredDomain(host: Column,
+      suffixes: Seq[String] = publicSuffixes): Column = {
+    val suffixArr = typedLit(suffixes)
     val labels = split(host, "\\.")
-    when(size(labels) >= 2,
-      array_join(slice(labels, size(labels) - 1, lit(2)), "."))
+    val n = size(labels)
+    val maxK = suffixes.map(_.count(_ == '.') + 1).max
+    // longest match wins: fold ascending so a later (longer) hit
+    // overwrites; a k-label suffix needs k+1 host labels to leave a
+    // registrable part
+    val k = (2 to maxK).foldLeft(lit(1)) { (acc, kk) =>
+      when(n >= kk + 1 && array_contains(suffixArr,
+          array_join(slice(labels, n - lit(kk - 1), lit(kk)), ".")),
+        lit(kk)).otherwise(acc)
+    }
+    when(n >= k + 1,
+      array_join(slice(labels, n - k, k + 1), "."))
       .otherwise(host)
   }
 

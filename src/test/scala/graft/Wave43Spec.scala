@@ -38,17 +38,41 @@ class Wave43Spec extends SparkSpec {
       == "https://h.example.com/p?autumn=1")
   }
 
-  test("registeredDomain: public-suffix-lite last-two-labels rule") {
-    val got = Seq("a.b.example.com", "example.com", "localhost")
+  test("normalizePercentEncoding: RFC 3986 unreserved decode + hex case") {
+    def norm(u: String): String = Seq(u).toDF("u")
+      .select(UrlFns.normalizePercentEncoding($"u")).as[String].head()
+    // unreserved decodes, case-insensitively on the hex digits
+    assert(norm("/a%7eb%7Ec%41") == "/a~b~cA")
+    // reserved stays encoded, hex uppercased
+    assert(norm("/a%2fb%3A") == "/a%2Fb%3A")
+    // malformed escapes pass through verbatim; trailing % survives
+    assert(norm("/a%zzb%7") == "/a%zzb%7")
+    assert(norm("100%") == "100%")
+    // multi-byte UTF-8 sequences are reserved-class: hex-normalized only
+    assert(norm("/caf%c3%a9") == "/caf%C3%A9")
+    // double-percent: empty part passes through
+    assert(norm("a%%41b") == "a%Ab")
+  }
+
+  test("registeredDomain: public-suffix-list longest match + default rule") {
+    val got = Seq("a.b.example.com", "example.com", "localhost",
+        "a.b.example.co.uk", "example.co.uk", "co.uk", "x.gov.br")
       .toDF("h").select(UrlFns.registeredDomain($"h")).as[String].collect()
-    assert(got.toSeq == Seq("example.com", "example.com", "localhost"))
+    assert(got.toSeq == Seq(
+      "example.com", "example.com", "localhost",
+      // PSL match: co.uk is the public suffix, so the registrable part
+      // keeps THREE labels (the r15 two-label rule returned "co.uk")
+      "example.co.uk", "example.co.uk",
+      // a host that IS a public suffix has no registrable part
+      "co.uk", "x.gov.br"))
   }
 
   test("q261 shape: canonicalization alone removes the synthetic re-crawls") {
     val out = graft.Queries43.q261UrlDedupDomains(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
-    assert(out.length == 3 && out.map(_._1).toSeq ==
-      Seq("example0.com", "example1.com", "example2.com"))
+    assert(out.length == 6 && out.map(_._1).toSeq ==
+      Seq("example0.co.uk", "example0.com", "example1.co.uk",
+        "example1.com", "example2.co.uk", "example2.com"))
     // every raw URL is unique (per-doc utm_campaign + fragment); all
     // duplicate mass comes from the canonicalization. Canonical keys per
     // domain are bounded by |sources| * 5 * 7 by construction.
