@@ -37,16 +37,24 @@ object Queries40 {
     * accepts any Long bit pattern — this spelling agrees on the full
     * signed domain, not just the fixture's non-negative ids). */
   private def jumpCteSql(name: String, n: Int): String =
+    jumpCteSqlOn(name, n, "doc_id", "doc_id")
+
+  /** [[jumpCteSql]] parameterized on the carried id column and the long
+    * key expression (both columns of the caller's `ids` CTE) — q263's
+    * string-key route feeds the md5Long hash of the key here. */
+  private[graft] def jumpCteSqlOn(name: String, n: Int, idCol: String,
+      keyExpr: String): String =
     s"""$name AS (
-       |  SELECT doc_id,
-       |    ((doc_id::HUGEINT % 18446744073709551616 + 18446744073709551616)
+       |  SELECT $idCol,
+       |    ((($keyExpr)::HUGEINT % 18446744073709551616
+       |        + 18446744073709551616)
        |      % 18446744073709551616)::UBIGINT AS k,
        |    -1::BIGINT AS b, 0::BIGINT AS j
        |  FROM ids
        |  UNION ALL
-       |  SELECT doc_id, k2, j AS b,
+       |  SELECT $idCol, k2, j AS b,
        |    floor((j + 1) * (2147483648.0 / ((k2 >> 33) + 1)::DOUBLE))::BIGINT
-       |  FROM (SELECT doc_id, j,
+       |  FROM (SELECT $idCol, j,
        |          ((k::HUGEINT * 2862933555777941757 + 1)
        |            % 18446744073709551616)::UBIGINT AS k2
        |        FROM $name WHERE j < $n))""".stripMargin

@@ -233,6 +233,23 @@ object Shard {
   def jumpShard(id: Column, numShards: Int): Column =
     graft.expr.HashExprs.jumpHash(id.cast("long"), numShards)
 
+  /** [[jumpShard]] for STRING keys (URLs, uuids, composite ids — the
+    * r15 gap: string-keyed tables had no deploy-path assignment):
+    * md5Long of the key (the repo's portable mod-hash spelling — 8 hex
+    * digits, 32 bits) feeds the same jump loop, so the recursive-CTE
+    * oracle runs unchanged on the hashed key (q263). Still map-side,
+    * no shuffle: one digest + ~log n integer steps per row.
+    *
+    * Collision stance: keys that collide in the 32-bit md5 prefix
+    * co-move between shard layouts forever. That is harmless for
+    * BALANCE (numShards ≪ 2^32, and the jump LCG diffuses the 32-bit
+    * key over the full state) and costs only minimal-move granularity
+    * (a colliding pair can't split across a grow); widen `md5Long`'s
+    * hexDigits at the call site if that granularity ever matters. */
+  def jumpShardStr(key: Column, numShards: Int): Column =
+    graft.expr.HashExprs.jumpHash(
+      graft.functions.HashFns.md5Long(key), numShards)
+
   /** Resharding-stability audit: when the shard count changes
     * nOld → nNew, what fraction of documents MOVE under (a) the mod-hash
     * assignment ([[assignShards]] — the stateless default) vs (b)
@@ -268,6 +285,15 @@ object Shard {
   def shardBalance(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val id = col(idCol)
+    // mod and rendezvous hash the STRING rendering, so they accept any
+    // key type as-is; jump keys on the integer domain, so a string key
+    // routes through jumpShardStr's md5Long (r15 verdict task: string
+    // tables get the same three-scheme audit, q264)
+    val jumpCol = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        jumpShardStr(id, numShards)
+      case _ => jumpShard(id, numShards)
+    }
     val assigned = df.select(explode(array(
         struct(lit("mod").as("scheme"),
           pmod(graft.functions.HashFns.md5Long(id.cast("string")),
@@ -275,7 +301,7 @@ object Shard {
         struct(lit("rendezvous").as("scheme"),
           rendezvousShard(id, numShards).as("shard")),
         struct(lit("jump").as("scheme"),
-          jumpShard(id, numShards).as("shard")))).as("a"))
+          jumpCol.as("shard")))).as("a"))
       .select(col("a.scheme").as("scheme"), col("a.shard").as("shard"))
     // branch bound: the ·numShards·1e6 upscale of max_docs must fit int64
     val exactBound = Long.MaxValue / (numShards.toLong * 1000000L)

@@ -549,7 +549,14 @@ object VerifyScaled {
         (() => graft.SparkEntry.queries("q262_weighted_jaccard")(spark, sfDir)),
       // q262 bounded-slice spelling for 64x (the q249 precedent)
       "q262_weighted_jaccard_slice" ->
-        (() => graft.Queries44.q262Sliced(spark, sfDir, 8L, 3L)))
+        (() => graft.Queries44.q262Sliced(spark, sfDir, 8L, 3L)),
+      // wave 45: string-key jump assignment + balance — one md5 digest
+      // and ~6 LCG steps per row, corpus-linear on both engines (the
+      // q253/q257 class)
+      "q263_jump_shard_str" ->
+        (() => graft.SparkEntry.queries("q263_jump_shard_str")(spark, sfDir)),
+      "q264_shard_balance_str" ->
+        (() => graft.SparkEntry.queries("q264_shard_balance_str")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -800,5 +807,9 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q261_url_dedup_domains"),
       "q262_weighted_jaccard" ->
         graft.SparkEntry.oracleSql("q262_weighted_jaccard"),
-      "q262_weighted_jaccard_slice" -> graft.Queries44.q262SqlSliced(8L, 3L))
+      "q262_weighted_jaccard_slice" -> graft.Queries44.q262SqlSliced(8L, 3L),
+      "q263_jump_shard_str" ->
+        graft.SparkEntry.oracleSql("q263_jump_shard_str"),
+      "q264_shard_balance_str" ->
+        graft.SparkEntry.oracleSql("q264_shard_balance_str"))
 }

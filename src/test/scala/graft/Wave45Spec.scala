@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.HashKernels
+import graft.ops.Shard
+
+/** Wave 45: string-key jump sharding and the string-key balance audit. */
+class Wave45Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("jumpShardStr matches md5Long->jumpHash by hand and plans map-side") {
+    val df = Seq("a", "url:x", "source:42", "", "Ünïcode-key")
+      .toDF("key")
+    val got = df.select($"key", Shard.jumpShardStr($"key", 17).as("s"))
+      .as[(String, Long)].collect().toMap
+    // hand-spell the portable hash: first 8 hex chars of md5, parsed
+    // base-16, through the kernel
+    def expected(k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(8)
+      HashKernels.jumpHash(java.lang.Long.parseLong(hex, 16), 17)
+    }
+    got.foreach { case (k, s) =>
+      assert(s == expected(k), s"key=$k")
+      assert(s >= 0 && s < 17)
+    }
+    val plan = df.select(Shard.jumpShardStr($"key", 17))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("jumpShardStr: grow-by-append still moves only onto new shards") {
+    val keys = (0 until 5000).map(i => s"k$i")
+    val df = keys.toDF("key")
+      .select(Shard.jumpShardStr($"key", 64).as("a"),
+        Shard.jumpShardStr($"key", 80).as("b"))
+      .as[(Long, Long)].collect()
+    val moved = df.filter { case (a, b) => a != b }
+    assert(moved.forall(_._2 >= 64), "a moved key landed on a survivor")
+    val frac = moved.length.toDouble / keys.size
+    assert(frac > 0.14 && frac < 0.26, s"moved fraction $frac")
+  }
+
+  test("shardBalance routes a string key through jumpShardStr") {
+    val df = (0 until 2000).map(i => s"u$i").toDF("key")
+    val rows = Shard.shardBalance(df, "key", 16)
+      .orderBy("scheme").as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("jump", "mod", "rendezvous"))
+    // every scheme accounted for all 2000 keys, and jump's histogram
+    // equals the direct jumpShardStr assignment's
+    val direct = df.select(Shard.jumpShardStr($"key", 16).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    val j = rows.find(_._1 == "jump").get
+    assert(j._2 == direct.size.toLong)
+    assert(j._3 == direct.values.min && j._4 == direct.values.max)
+    // uniformity: peak load factor within 2x of even on 2000 keys
+    rows.foreach(r => assert(r._5 < 2000000L, r.toString))
+  }
+
+  test("q264 shape on the fixture: three schemes, all docs, sane peaks") {
+    val out = Queries45.q264ShardBalanceStr(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("jump", "mod", "rendezvous"))
+    val nDocs = graft.io.Tables.documents(spark, sfDir).count()
+    // each scheme's histogram sums to nDocs: min*used <= n <= max*used
+    out.foreach { r =>
+      assert(r._3 * r._2 <= nDocs && nDocs <= r._4 * r._2, r.toString)
+    }
+  }
+}
