@@ -88,7 +88,7 @@ object Queries39 {
        |      AS answer
        |  FROM qdoc q LEFT JOIN t1 t USING (q_id))""".stripMargin
 
-  private def inputCtesWith(queryMod: Long): String =
+  private[graft] def inputCtesWith(queryMod: Long): String =
     s"""${baseCtesWith(queryMod)},
        |asp AS MATERIALIZED (SELECT DISTINCT q_id,
        |    array_to_string(at[i : i + 3], ' ') AS span

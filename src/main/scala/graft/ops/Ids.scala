@@ -66,6 +66,34 @@ object Ids {
     base.withColumn(outCol, (offset + local).cast("long"))
   }
 
+  /** Deterministic DENSE numeric surrogate for a key column — the helper
+    * [[graft.ops.Rag]]'s `requireIntegralDocId` contract implies (r15
+    * verdict: the groundedness ops refuse string doc-ids and tell callers
+    * to "map string ids to a numeric surrogate first", but the repo
+    * provided no such op, so every caller hand-rolled the mapping and
+    * risked collisions or nondeterminism). Distinct keys are ranked in
+    * total key order by the two-phase [[globalIndex]] (no single-task
+    * window, no hash collisions — surrogates are 0-based, DENSE, and
+    * rerun-stable: equal inputs give equal surrogates under any partition
+    * count) and joined back onto the frame.
+    *
+    * The 0-based domain never collides with the groundedness family's −1
+    * "no support" sentinel. NULL keys are DROPPED (an equi-join never
+    * matches null — a null document identity has nothing to cite);
+    * coalesce upstream if null must be a citable value. Cost: one
+    * distinct shuffle over the key + [[globalIndex]]'s range shuffle on
+    * the (distinct, so strictly smaller) key frame + one key equi-join —
+    * all key-width shuffles, no document bodies. */
+  def surrogateKey(df: DataFrame, keyCol: String, outCol: String): DataFrame = {
+    // nulls are dropped by the equi-join below anyway — filter them BEFORE
+    // ranking so they don't occupy a surrogate slot (Spark's asc is NULLS
+    // FIRST: an unfiltered null would take 0 and shift every real key)
+    val keys = df.select(col(keyCol))
+      .filter(col(keyCol).isNotNull).distinct()
+    val ranked = globalIndex(keys, Seq(col(keyCol).asc), outCol)
+    df.join(ranked, Seq(keyCol))
+  }
+
   /** [[globalIndex]] extended with a global RUNNING SUM of a long-valued
     * column — global rank (1-based) AND cumulative total in one two-phase
     * pass, for Pareto/ABC-style "cumulative share in rank order" analytics

@@ -556,7 +556,14 @@ object VerifyScaled {
       "q263_jump_shard_str" ->
         (() => graft.SparkEntry.queries("q263_jump_shard_str")(spark, sfDir)),
       "q264_shard_balance_str" ->
-        (() => graft.SparkEntry.queries("q264_shard_balance_str")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q264_shard_balance_str")(spark, sfDir)),
+      // wave 46: q265 rides the q251 bounded-queryMod groundedness chain
+      // (same scale rule: 8x perturb, 64x zipf); q266 is the surrogate
+      // helper itself — distinct + two-phase rank + join, corpus-linear
+      "q265_groundedness_str_id" ->
+        (() => graft.Queries46.q265With(spark, sfDir, queryMod)),
+      "q266_surrogate_ids" ->
+        (() => graft.SparkEntry.queries("q266_surrogate_ids")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -811,5 +818,8 @@ object VerifyScaled {
       "q263_jump_shard_str" ->
         graft.SparkEntry.oracleSql("q263_jump_shard_str"),
       "q264_shard_balance_str" ->
-        graft.SparkEntry.oracleSql("q264_shard_balance_str"))
+        graft.SparkEntry.oracleSql("q264_shard_balance_str"),
+      "q265_groundedness_str_id" -> graft.Queries46.q265SqlWith(queryMod),
+      "q266_surrogate_ids" ->
+        graft.SparkEntry.oracleSql("q266_surrogate_ids"))
 }

@@ -122,6 +122,30 @@ class IdsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("surrogateKey: dense 0-based surrogates in key order, stable, null-dropping") {
+    val df = Seq("b", "a", "c", "a", null, "b").map(Tuple1(_)).toDF("k")
+    val out = Ids.surrogateKey(df, "k", "sid")
+      .select($"k", $"sid").as[(String, Long)].collect().toSeq
+    // dense over DISTINCT keys in total key order: a->0, b->1, c->2;
+    // duplicates share the surrogate; the null key row is dropped
+    assert(out.sorted == Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L),
+      ("c", 2L)))
+    // rerun-stable under a different partition count
+    val out2 = Ids.surrogateKey(df.repartition(7), "k", "sid")
+      .select($"k", $"sid").as[(String, Long)].collect().toSeq
+    assert(out2.sorted == out.sorted)
+  }
+
+  test("surrogateKey feeds groundedness: integral dtype, -1-sentinel-safe") {
+    val ctx = Seq(("doc-1", "t"), ("doc-2", "u")).toDF("key", "text")
+    val sid = Ids.surrogateKey(ctx, "key", "doc_sid")
+    assert(sid.schema("doc_sid").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // 0-based surrogates never collide with the -1 no-support sentinel
+    val vals = sid.select($"doc_sid").as[Long].collect()
+    assert(vals.forall(_ >= 0L) && vals.toSet == Set(0L, 1L))
+  }
+
   test("globalIndex assigns ids as a codegen'd projection over Tungsten rows") {
     val out = Ids.globalIndex(docs, Seq($"lang", $"doc_id"), "idx", Some(3))
     val plan = out.queryExecution.executedPlan.toString
