@@ -146,11 +146,102 @@ object Queries42 {
        |FROM u ORDER BY dim""".stripMargin
   }
 
+  /** The IVF route at an optional prefix truncation — the index the
+    * truncation would actually DEPLOY against (r15 verdict task 8: q258/
+    * q259 compare exact-kNN routes; the deployment question is how the
+    * TRUNCATED IVF index degrades vs the full-dim one). Both the coarse
+    * routing (centroids of the sliced vectors ≡ sliced centroids — the
+    * mean is per-coordinate) and the in-bucket scan run at the truncated
+    * dimension, exactly as a 16-dim index would serve. */
+  private def ivfRoute(emb: DataFrame, queries: DataFrame,
+      dim: Option[Int]): DataFrame = {
+    def cut(df: DataFrame, vecCol: String): DataFrame = dim.fold(df)(d =>
+      df.withColumn(vecCol, slice(col(vecCol), 1, d)))
+    Similarity.ivfKnnJoin(cut(emb, "embedding"), "vec_id", "embedding",
+      "label", cut(queries, "qvec"), "q_id", "qvec", nprobe = 3, k = 10)
+  }
+
+  /** Per-query top-10 overlap between the full-dim IVF route and the
+    * 16-dim-truncated IVF route (nprobe 3 of the 10 coarse buckets on
+    * both): the matryoshka audit closed over the deployed index shape.
+    * Divergence here includes ROUTING drift (a truncated centroid can
+    * send the query to different buckets), which the exact-route audits
+    * q258/q259 cannot see. */
+  val q267MatryoshkaIvf: Q = (spark, dir) => q267With(spark, dir, 50L)
+
+  private[graft] def q267With(spark: SparkSession, dir: String,
+      queryMod: Long): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val qs = querySample(emb, queryMod)
+    // both routes pinned: overlapAtK consumes each side several times
+    // (n_a/n_b/common branches) — the q258 rule
+    RankEval.overlapAtK(
+        ivfRoute(emb, qs, None).localCheckpoint(false),
+        ivfRoute(emb, qs, Some(16)).localCheckpoint(false),
+        "q_id", "vec_id")
+      .orderBy("q_id")
+  }
+
+  /** One IVF route as oracle CTEs: probe the top-3 centroids (per-pos
+    * mean fold from [[Queries2.CentroidSqlCte]]'s `a`, optionally
+    * truncated via `posFilter`), then exact top-10 inside the probed
+    * buckets with the engine's tiebreaks (sim DESC rounded at 6dp,
+    * vec_id ASC, self-excluded). */
+  private def ivfRouteCteSql(name: String, centsRel: String,
+      sliceExpr: String): String =
+    s"""p$name AS (SELECT q_id, label FROM (
+       |  SELECT q.q_id, c.label, row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_cosine_similarity(c.centroid,
+       |        (q.embedding$sliceExpr)::DOUBLE[]), 6) DESC, c.label) AS rk
+       |  FROM qs q CROSS JOIN $centsRel c) WHERE rk <= 3),
+       |$name AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT p.q_id, e.vec_id, row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY round(list_cosine_similarity(
+       |        (e.embedding$sliceExpr)::DOUBLE[],
+       |        (q.embedding$sliceExpr)::DOUBLE[]), 6) DESC, e.vec_id)
+       |      AS rank
+       |  FROM p$name p JOIN embeddings e USING (label)
+       |    JOIN qs q USING (q_id)
+       |  WHERE e.vec_id != q.q_id) WHERE rank <= 10)""".stripMargin
+
+  val q267Sql: String = q267SqlWith(50L)
+
+  private[graft] def q267SqlWith(queryMod: Long): String =
+    s"""${Queries2.CentroidSqlCte},
+       |cf AS (SELECT label, list(m ORDER BY pos) AS centroid
+       |  FROM a GROUP BY label),
+       |ct AS (SELECT label, list(m ORDER BY pos) AS centroid
+       |  FROM a WHERE pos <= 16 GROUP BY label),
+       |qs AS (SELECT vec_id AS q_id, embedding FROM embeddings
+       |  WHERE vec_id % $queryMod = 7),
+       |${ivfRouteCteSql("fa", "cf", "")},
+       |${ivfRouteCteSql("fb", "ct", "[1:16]")},
+       |na AS (SELECT q_id, count(*)::BIGINT AS n_a FROM fa GROUP BY 1),
+       |nb AS (SELECT q_id, count(*)::BIGINT AS n_b FROM fb GROUP BY 1),
+       |cm AS (SELECT q_id, count(*)::BIGINT AS n_common
+       |  FROM fa JOIN fb USING (q_id, vec_id) GROUP BY 1)
+       |SELECT q_id, coalesce(n_a, 0)::BIGINT AS n_a,
+       |  coalesce(n_b, 0)::BIGINT AS n_b,
+       |  coalesce(n_common, 0)::BIGINT AS n_common,
+       |  (CASE WHEN coalesce(n_a, 0) + coalesce(n_b, 0)
+       |          - coalesce(n_common, 0) = 0 THEN null
+       |        ELSE coalesce(n_common, 0) * 1000000
+       |          // (coalesce(n_a, 0) + coalesce(n_b, 0)
+       |             - coalesce(n_common, 0)) END)::BIGINT AS jaccard_ppm,
+       |  (CASE WHEN coalesce(n_a, 0) = 0 THEN null
+       |        ELSE coalesce(n_common, 0) * 1000000
+       |          // n_a END)::BIGINT AS containment_ppm
+       |FROM na FULL OUTER JOIN nb USING (q_id) LEFT JOIN cm USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q258_matryoshka_overlap" -> q258MatryoshkaOverlap,
-    "q259_matryoshka_sweep" -> q259MatryoshkaSweep)
+    "q259_matryoshka_sweep" -> q259MatryoshkaSweep,
+    "q267_matryoshka_ivf" -> q267MatryoshkaIvf)
 
   val oracle: Map[String, String] = Map(
     "q258_matryoshka_overlap" -> q258Sql,
-    "q259_matryoshka_sweep" -> q259Sql)
+    "q259_matryoshka_sweep" -> q259Sql,
+    "q267_matryoshka_ivf" -> q267Sql)
 }

@@ -563,7 +563,12 @@ object VerifyScaled {
       "q265_groundedness_str_id" ->
         (() => graft.Queries46.q265With(spark, sfDir, queryMod)),
       "q266_surrogate_ids" ->
-        (() => graft.SparkEntry.queries("q266_surrogate_ids")(spark, sfDir)))
+        (() => graft.SparkEntry.queries("q266_surrogate_ids")(spark, sfDir)),
+      // q267: the IVF-route matryoshka audit — unlike q258/q259's exact
+      // grids, the oracle scan is bucket-restricted (nprobe 3 of 10), so
+      // the DuckDB side stays ~queries x 0.3 corpus and runs at 64x too
+      "q267_matryoshka_ivf" ->
+        (() => graft.Queries42.q267With(spark, sfDir, queryMod)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -821,5 +826,6 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q264_shard_balance_str"),
       "q265_groundedness_str_id" -> graft.Queries46.q265SqlWith(queryMod),
       "q266_surrogate_ids" ->
-        graft.SparkEntry.oracleSql("q266_surrogate_ids"))
+        graft.SparkEntry.oracleSql("q266_surrogate_ids"),
+      "q267_matryoshka_ivf" -> graft.Queries42.q267SqlWith(queryMod))
 }
