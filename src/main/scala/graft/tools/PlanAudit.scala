@@ -16,7 +16,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    runAudit(spark, sfDir)
+    runAudit(spark, sfDir).foreach { case (name, line) =>
+      println(f"$name%-26s $line")
+    }
     spark.stop()
   }
 
@@ -167,7 +169,14 @@ object PlanAudit {
       "q168_ece")
 
     // Anything matching neither flags UNPARTWIN!.
-  def runAudit(spark: SparkSession, sfDir: String): Unit = {
+
+  /** Audit ONE already-built frame: returns the census + flag line
+    * ("ex=… sort=… [CARTESIAN!|NESTEDLOOP!|UNPARTWIN!]"). `name` selects
+    * the allowlists; a frame that cannot even plan returns
+    * "AUDIT-ERROR <class>". Exposed so PlanAuditSpec can flag a
+    * deliberately broken plan without registering it. */
+  def auditOne(name: String,
+      df: org.apache.spark.sql.DataFrame): String = {
     def boundedInput(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.plans.logical._
@@ -180,37 +189,50 @@ object PlanAudit {
         case _ => p.children.forall(boundedInput)
       }
     }
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val qe = fn(spark, sfDir).queryExecution
-        val p = qe.explainString(ExplainMode.fromString("formatted"))
-        def n(s: String): Int = s"""\\(\\d+\\) $s""".r.findAllIn(p).size
-        val cart = n("CartesianProduct")
-        val bnlj = n("BroadcastNestedLoopJoin")
-        val uwinAll = qe.optimizedPlan.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.isEmpty => w
-        }
-        val (proven, contracted) = uwinAll.partition(w => boundedInput(w.child))
-        val flags = new StringBuilder
-        if (cart > 0) flags.append(" CARTESIAN!")
-        if (bnlj > 0 && !allowNestedLoop(name)) flags.append(" NESTEDLOOP!")
-        if (proven.nonEmpty) flags.append(s" uwin-proven=${proven.size}")
-        if (contracted.nonEmpty) {
-          if (allowUnpartWindow(name))
-            flags.append(s" uwin-contract=${contracted.size}")
-          else flags.append(" UNPARTWIN!")
-        }
-        // text-reading scans: each one is a pass over the corpus' fat
-        // column — the dominant cost at 100 TB when a multi-section plan
-        // fans out over union branches (Catalyst shares no subtrees)
-        val textScans = """ReadSchema: [^\n]*\btext\b""".r.findAllIn(p).size
-        println(f"$name%-26s ex=${n("Exchange")}%d sort=${n("Sort")}%d " +
-          f"win=${n("Window")}%d scan=${n("Scan parquet")}%d tscan=$textScans%d" +
-          f"${flags.toString}")
-      } catch { case e: Throwable =>
-        println(s"$name AUDIT-ERROR ${e.getClass.getSimpleName}")
+    try {
+      val qe = df.queryExecution
+      val p = qe.explainString(ExplainMode.fromString("formatted"))
+      def n(s: String): Int = s"""\\(\\d+\\) $s""".r.findAllIn(p).size
+      val cart = n("CartesianProduct")
+      val bnlj = n("BroadcastNestedLoopJoin")
+      val uwinAll = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
       }
+      val (proven, contracted) = uwinAll.partition(w => boundedInput(w.child))
+      val flags = new StringBuilder
+      if (cart > 0) flags.append(" CARTESIAN!")
+      if (bnlj > 0 && !allowNestedLoop(name)) flags.append(" NESTEDLOOP!")
+      if (proven.nonEmpty) flags.append(s" uwin-proven=${proven.size}")
+      if (contracted.nonEmpty) {
+        if (allowUnpartWindow(name))
+          flags.append(s" uwin-contract=${contracted.size}")
+        else flags.append(" UNPARTWIN!")
+      }
+      // text-reading scans: each one is a pass over the corpus' fat
+      // column — the dominant cost at 100 TB when a multi-section plan
+      // fans out over union branches (Catalyst shares no subtrees)
+      val textScans = """ReadSchema: [^\n]*\btext\b""".r.findAllIn(p).size
+      f"ex=${n("Exchange")}%d sort=${n("Sort")}%d " +
+        f"win=${n("Window")}%d scan=${n("Scan parquet")}%d tscan=$textScans%d" +
+        flags.toString
+    } catch { case e: Throwable =>
+      s"AUDIT-ERROR ${e.getClass.getSimpleName}"
     }
   }
+
+  /** Audit every registered query; returns (name, census+flags) rows.
+    * PlanAuditSpec asserts zero flag tokens over this on every
+    * `sbt test` (r15 verdict task 7 — the zero-flag sweep used to run
+    * out-of-band only, so a new single-partition exchange surfaced at
+    * judge time, not build time); the main below prints it. */
+  def runAudit(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // frame CONSTRUCTION can throw too (eager checkpoint inputs) — that
+      // is just as much an audit failure as an unplannable frame
+      val flags =
+        try auditOne(name, fn(spark, sfDir))
+        catch { case e: Throwable => s"AUDIT-ERROR ${e.getClass.getSimpleName}" }
+      name -> flags
+    }
 }
