@@ -88,9 +88,76 @@ object Queries44 {
        |WHERE wj_ppm >= 600000 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** MULTISET-faithful banded near-dup pairs: MinHash over the quantized
+    * repeated-shingle expansion (`term#1 … term#min(tf,8)`), so the
+    * banding itself samples tf-capped WEIGHTED Jaccard — repetition-mass
+    * near-dups and reorderings-with-repetition reach the candidate stage
+    * that q262's set-semantic bigram banding documents as out of reach.
+    * [[graft.ops.Dedup.weightedMinHashLshPairs]]. */
+  val q268WeightedMinhash: Q = (spark, dir) =>
+    Dedup.weightedMinHashLshPairs(Tables.documents(spark, dir),
+        "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.6,
+        tfCap = 8)
+      .orderBy("id_a", "id_b")
+
+  /** [[q268WeightedMinhash]] restricted to pairs with BOTH endpoints in a
+    * deterministic id slice — the 64× proof spelling (the q249/q262
+    * precedent: expansion and signatures are per-doc, candidate
+    * generation pairwise, so slice-filtered full pairs equal
+    * slice-restricted pairs while the oracle expands only the slice). */
+  private[graft] def q268Sliced(spark: SparkSession, dir: String,
+      m: Long, r: Long): DataFrame =
+    Dedup.weightedMinHashLshPairs(Tables.documents(spark, dir),
+        "doc_id", "text", numHashes = 12, bands = 4, threshold = 0.6,
+        tfCap = 8)
+      .filter(col("id_a") % m === r && col("id_b") % m === r)
+      .orderBy("id_a", "id_b")
+
+  private[graft] def q268SqlSliced(m: Long, r: Long): String =
+    q268SqlWhere(s"docs AS (SELECT * FROM documents WHERE doc_id % $m = $r)")
+
+  val q268Sql: String = q268SqlWhere("docs AS (SELECT * FROM documents)")
+
+  private def q268SqlWhere(docsCte: String): String = {
+    val perms = HashFns.minHashCoeffs(12).map { case (a, b) =>
+      s"list_min(list_transform(hb, h -> ($a * h + $b) % ${HashFns.MinHashP}))"
+    }.mkString(",\n       ")
+    s"""WITH $docsCte,
+       |tfq AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |          string_split_regex(lower(trim(text)), '\\s+'),
+       |          x -> x <> '')) AS t
+       |        FROM docs) GROUP BY 1, 2),
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |    list_sort(list(term || '#' || k::VARCHAR)) AS sh
+       |  FROM (SELECT doc_id, term,
+       |          unnest(generate_series(1, least(tf, 8))) AS k FROM tfq)
+       |  GROUP BY doc_id),
+       |hbs AS (SELECT doc_id, list_transform(sh,
+       |          s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % ${HashFns.MinHashP}) AS hb
+       |        FROM sh),
+       |mh AS (SELECT doc_id, [$perms] AS sig
+       |       FROM hbs),
+       |bands AS (SELECT doc_id, b,
+       |            array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '_') AS bsig
+       |          FROM mh, unnest(generate_series(0, 3)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.bsig = c.bsig
+       |           AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(x.sh, y.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+       |            JOIN sh y ON y.doc_id = cand.id_b) v
+       |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
-    "q262_weighted_jaccard" -> q262WeightedJaccard)
+    "q262_weighted_jaccard" -> q262WeightedJaccard,
+    "q268_weighted_minhash_lsh" -> q268WeightedMinhash)
 
   val oracle: Map[String, String] = Map(
-    "q262_weighted_jaccard" -> q262Sql)
+    "q262_weighted_jaccard" -> q262Sql,
+    "q268_weighted_minhash_lsh" -> q268Sql)
 }

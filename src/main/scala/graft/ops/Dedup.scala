@@ -162,6 +162,54 @@ object Dedup {
       .filter(col("wj_ppm") >= thresholdPpm)
   }
 
+  /** WEIGHTED-MinHash near-dup pairs with MULTISET-faithful banding — the
+    * r15 verdict's ICWS exploration, landed via the integer-exact
+    * reduction instead of gamma draws: each term with frequency f expands
+    * to the shingles `term#1 … term#min(f, tfCap)`, and set Jaccard over
+    * the expanded sets IS the tf-capped weighted Jaccard
+    * (`term#k ∈ A∩B ⇔ k ≤ min(tf_a, tf_b)`, so |A∩B| = Σmin and
+    * |A∪B| = Σmax exactly). Ordinary MinHash banding over the expansion
+    * therefore samples the WEIGHTED measure — repetition-mass near-dups
+    * (template floods, boilerplate stuffing) reach the candidate stage,
+    * which [[weightedJaccardPairs]]'s set-semantic bigram banding cannot
+    * do by design. This is the classic integer-weight CWS reduction
+    * (Charikar-style repeat encoding); true ICWS (Ioffe 2010) generalizes
+    * it to REAL weights via per-term gamma draws, which have no portable
+    * integer oracle spelling — rejected for the correctness gate, see
+    * BASELINE.md round 15/16. `tfCap` bounds the expansion (a 10k-repeat
+    * token would otherwise dominate every signature AND the shingle
+    * array width); weights above the cap saturate, which is standard
+    * quantized-CWS practice.
+    *
+    * The expansion is ORDER-INSENSITIVE (unigram multiset): a token
+    * reordering with repetition shifts keeps the exact same expanded
+    * set, hence identical signatures — the recall gap q262 documents.
+    * Verify is exact set Jaccard over the expanded arrays (= tf-capped
+    * weighted Jaccard), 6dp-rounded like q14. Docs with ZERO non-empty
+    * tokens have no expansion and are not candidates (nothing weighted
+    * to compare — unlike the bigram path's <2-token fallback shingle).
+    *
+    * Scale shape: one tf aggregation (fingerprint-width shuffle), the
+    * expanded-shingle build (groupBy id, array ≤ tfCap·|terms|), then
+    * [[minHashLshPairsOn]]'s banded equi-join — never the pair cross
+    * product. */
+  def weightedMinHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      tfCap: Int): DataFrame = {
+    require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
+    val tf = df.select(col(idCol).as("id"),
+        explode(array_remove(
+          TextFns.wordTokens(col(textCol)), "")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val expanded = tf
+      .withColumn("__reps", transform(
+        sequence(lit(1), least(col("tf"), lit(tfCap.toLong)).cast("int")),
+        k => concat(col("term"), lit("#"), k.cast("string"))))
+      .groupBy(col("id"))
+      .agg(sort_array(flatten(collect_list(col("__reps")))).as("sh"))
+    minHashLshPairsOn(expanded, "id", col("sh"), numHashes, bands, threshold)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs — the quote-inclusion case
     * symmetric Jaccard misses: a short document fully embedded in a long
     * one has tiny Jaccard (|A∩B|/|A∪B| ≈ |A|/|B|) but containment

@@ -35,9 +35,14 @@ object VerifyScaled {
     val only: Option[Seq[String]] =
       if (args.length > 3) Some(args(3).split(",").toSeq) else None
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // SPARK_GRAFT_SHUFFLE: partition override for dumps whose verify
+    // joins carry wide array rows (q268's 64x expanded-shingle pairs GC-
+    // thrash a 32-partition single JVM; more, smaller partitions spill
+    // instead — exactly the cluster remedy, minus the extra machines)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -568,7 +573,14 @@ object VerifyScaled {
       // grids, the oracle scan is bucket-restricted (nprobe 3 of 10), so
       // the DuckDB side stays ~queries x 0.3 corpus and runs at 64x too
       "q267_matryoshka_ivf" ->
-        (() => graft.Queries42.q267With(spark, sfDir, queryMod)))
+        (() => graft.Queries42.q267With(spark, sfDir, queryMod)),
+      // q268: multiset-faithful weighted-MinHash banding — full oracle at
+      // 8x; at 64x the DuckDB list_intersect over 320k expanded lists is
+      // the q262 memory class, so the bounded id-slice spelling proves it
+      "q268_weighted_minhash_lsh" ->
+        (() => graft.SparkEntry.queries("q268_weighted_minhash_lsh")(spark, sfDir)),
+      "q268_weighted_minhash_lsh_slice" ->
+        (() => graft.Queries44.q268Sliced(spark, sfDir, 8L, 3L)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -827,5 +839,8 @@ object VerifyScaled {
       "q265_groundedness_str_id" -> graft.Queries46.q265SqlWith(queryMod),
       "q266_surrogate_ids" ->
         graft.SparkEntry.oracleSql("q266_surrogate_ids"),
-      "q267_matryoshka_ivf" -> graft.Queries42.q267SqlWith(queryMod))
+      "q267_matryoshka_ivf" -> graft.Queries42.q267SqlWith(queryMod),
+      "q268_weighted_minhash_lsh" ->
+        graft.SparkEntry.oracleSql("q268_weighted_minhash_lsh"),
+      "q268_weighted_minhash_lsh_slice" -> graft.Queries44.q268SqlSliced(8L, 3L))
 }

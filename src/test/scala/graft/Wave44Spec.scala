@@ -58,4 +58,49 @@ class Wave44Spec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("weightedMinHashLshPairs: reordering with repetition shifts IS a candidate") {
+    // doc 2 is doc 1 reordered with the repetition moved onto another
+    // token — the identical unigram MULTISET. q262's bigram-shingle
+    // banding documents this as out of candidate reach (different
+    // shingle sets); the expansion banding keys on the multiset, so the
+    // signatures are IDENTICAL and the pair is a guaranteed candidate
+    // with jaccard 1.0. Doc 3 shares the support but not the mass.
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta gamma"),
+      (2L, "gamma beta alpha alpha alpha"),
+      (3L, "alpha beta beta gamma gamma"))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedMinHashLshPairs(docs, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.0, tfCap = 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0, out.toString)
+    // (1,3): expansions {a1,a2,a3,b1,g1} vs {a1,b1,b2,g1,g2} — inter 3
+    // (a1,b1,g1), union 7 -> 0.428571
+    for (p <- Seq((1L, 3L), (2L, 3L)) if out.contains(p))
+      assert(out(p) == 0.428571, s"$p -> ${out(p)}")
+  }
+
+  test("weightedMinHashLshPairs: tfCap saturates the repeat mass") {
+    // 12 repeats vs 4 repeats: uncapped weighted Jaccard is 4/12 = 0.33,
+    // but at tfCap=8 doc 1 expands to 8 shingles -> 4/8 = 0.5 exactly
+    val docs = Seq(
+      (1L, Seq.fill(12)("w").mkString(" ")),
+      (2L, Seq.fill(4)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedMinHashLshPairs(docs, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.0, tfCap = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0.5)), out.mkString(","))
+  }
+
+  test("weightedMinHashLshPairs: zero-token docs are not candidates") {
+    val docs = Seq((1L, "   "), (2L, ""), (3L, "x y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedMinHashLshPairs(docs, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.0, tfCap = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((3L, 4L, 1.0)), out.mkString(","))
+  }
 }
