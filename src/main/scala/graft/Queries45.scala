@@ -86,11 +86,58 @@ object Queries45 {
        |        ELSE max_docs * 64 // (n // 1000000) END)::BIGINT AS peak_ppm
        |FROM g ORDER BY scheme""".stripMargin
 
+  /** Three-scheme resharding-stability report over the STRING key for a
+    * 64 → 80 grow — q254's report on the string deploy path, completing
+    * the family (q263 assignment, q264 balance, q269 reshard): mod moves
+    * ~79%, rendezvous AND jump both move ≈ the 20% minimum, with jump's
+    * route going through md5Long. [[graft.ops.Shard.reshardStability3]]. */
+  val q269ReshardThreeStr: Q = (spark, dir) =>
+    graft.ops.Shard.reshardStability3(
+        Tables.documents(spark, dir)
+          .select(strKey(col("doc_id"), col("source")).as("key")),
+        "key", nOld = 64, nNew = 80)
+      .orderBy("scheme")
+
+  val q269Sql: String =
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT $strKeySql AS key, $hashedKeySql AS hk FROM documents),
+       |${Queries40.jumpCteSqlOn("j64", 64, "key", "hk")},
+       |${Queries40.jumpCteSqlOn("j80", 80, "key", "hk")},
+       |jf AS (SELECT x.key, x.b AS sj_old, y.b AS sj_new
+       |  FROM (SELECT key, b FROM j64 WHERE j >= 64) x
+       |  JOIN (SELECT key, b FROM j80 WHERE j >= 80) y USING (key)),
+       |mv AS (SELECT i.key,
+       |    arg_max(t.s, md5(i.key || ':' || t.s::VARCHAR))
+       |      FILTER (WHERE t.s < 64) AS rdv_old,
+       |    arg_max(t.s, md5(i.key || ':' || t.s::VARCHAR))
+       |      AS rdv_new
+       |  FROM ids i CROSS JOIN range(80) t(s) GROUP BY i.key),
+       |md AS (SELECT key, hk AS hv FROM ids),
+       |g AS (SELECT count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN (hv % 64) <> (hv % 80) THEN 1 ELSE 0 END)::BIGINT
+       |      AS mod_moved,
+       |    sum(CASE WHEN rdv_old <> rdv_new THEN 1 ELSE 0 END)::BIGINT
+       |      AS rdv_moved,
+       |    sum(CASE WHEN sj_old <> sj_new THEN 1 ELSE 0 END)::BIGINT
+       |      AS jmp_moved
+       |  FROM mv JOIN md USING (key) JOIN jf USING (key)),
+       |u AS (SELECT 'mod' AS scheme, n_docs, mod_moved AS n_moved FROM g
+       |  UNION ALL SELECT 'rendezvous', n_docs, rdv_moved FROM g
+       |  UNION ALL SELECT 'jump', n_docs, jmp_moved FROM g)
+       |SELECT scheme, n_docs, n_moved,
+       |  (CASE WHEN n_docs <= 0 THEN 0
+       |        WHEN n_moved <= 9223372036854
+       |          THEN n_moved * 1000000 // n_docs
+       |        ELSE n_moved // (n_docs // 1000000) END)::BIGINT AS moved_ppm
+       |FROM u ORDER BY scheme""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q263_jump_shard_str" -> q263JumpShardStr,
-    "q264_shard_balance_str" -> q264ShardBalanceStr)
+    "q264_shard_balance_str" -> q264ShardBalanceStr,
+    "q269_reshard_three_str" -> q269ReshardThreeStr)
 
   val oracle: Map[String, String] = Map(
     "q263_jump_shard_str" -> q263Sql,
-    "q264_shard_balance_str" -> q264Sql)
+    "q264_shard_balance_str" -> q264Sql,
+    "q269_reshard_three_str" -> q269Sql)
 }

@@ -341,11 +341,17 @@ object Shard {
     // assignment or the audit measures a different layout than the export
     def modShard(n: Int): Column =
       pmod(graft.functions.HashFns.md5Long(id.cast("string")), lit(n.toLong))
+    // string keys ride jumpShardStr, the same dtype branch as shardBalance
+    // (mod and rendezvous hash the string rendering already)
+    def jumpCol(n: Int): Column = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => jumpShardStr(id, n)
+      case _ => jumpShard(id, n)
+    }
     val schemes: Seq[(String, Column)] =
       Seq("mod" -> (modShard(nOld) =!= modShard(nNew)),
         "rendezvous" -> (rendezvousShard(id, nOld) =!= rendezvousShard(id, nNew))) ++
         (if (includeJump)
-          Seq("jump" -> (jumpShard(id, nOld) =!= jumpShard(id, nNew)))
+          Seq("jump" -> (jumpCol(nOld) =!= jumpCol(nNew)))
         else Nil)
     val assigned = df.select(schemes.map { case (name, mv) =>
       mv.as(s"__${name}_mv") }: _*)

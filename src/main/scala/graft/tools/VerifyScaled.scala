@@ -562,6 +562,8 @@ object VerifyScaled {
         (() => graft.SparkEntry.queries("q263_jump_shard_str")(spark, sfDir)),
       "q264_shard_balance_str" ->
         (() => graft.SparkEntry.queries("q264_shard_balance_str")(spark, sfDir)),
+      "q269_reshard_three_str" ->
+        (() => graft.SparkEntry.queries("q269_reshard_three_str")(spark, sfDir)),
       // wave 46: q265 rides the q251 bounded-queryMod groundedness chain
       // (same scale rule: 8x perturb, 64x zipf); q266 is the surrogate
       // helper itself — distinct + two-phase rank + join, corpus-linear
@@ -836,6 +838,8 @@ object VerifyScaled {
         graft.SparkEntry.oracleSql("q263_jump_shard_str"),
       "q264_shard_balance_str" ->
         graft.SparkEntry.oracleSql("q264_shard_balance_str"),
+      "q269_reshard_three_str" ->
+        graft.SparkEntry.oracleSql("q269_reshard_three_str"),
       "q265_groundedness_str_id" -> graft.Queries46.q265SqlWith(queryMod),
       "q266_surrogate_ids" ->
         graft.SparkEntry.oracleSql("q266_surrogate_ids"),

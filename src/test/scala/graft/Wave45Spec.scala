@@ -59,6 +59,28 @@ class Wave45Spec extends SparkSpec {
     rows.foreach(r => assert(r._5 < 2000000L, r.toString))
   }
 
+  test("reshardStability3 on a string key: jump moves ~minimum, only onto new shards") {
+    val df = (0 until 4000).map(i => s"k$i").toDF("key")
+    val rows = graft.ops.Shard.reshardStability3(df, "key", 64, 80)
+      .orderBy("scheme").as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("jump", "mod", "rendezvous"))
+    val j = rows.find(_._1 == "jump").get
+    val r = rows.find(_._1 == "rendezvous").get
+    val m = rows.find(_._1 == "mod").get
+    // grow 64 -> 80: minimal-move is 1 - 64/80 = 20%; both consistent
+    // schemes sit near it, mod-hash remaps nearly everything
+    assert(j._4 > 140000L && j._4 < 260000L, j.toString)
+    assert(r._4 > 140000L && r._4 < 260000L, r.toString)
+    // expected mod move for 64->80 is ~1 - 16/80 = 80% (keys whose hash
+    // mod 16 buckets align survive) - bound loosely below it
+    assert(m._4 > 700000L, m.toString)
+    // the jump row equals the direct jumpShardStr comparison
+    val direct = df.select(Shard.jumpShardStr($"key", 64).as("a"),
+        Shard.jumpShardStr($"key", 80).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(j._3 == direct, s"${j._3} vs $direct")
+  }
+
   test("q264 shape on the fixture: three schemes, all docs, sane peaks") {
     val out = Queries45.q264ShardBalanceStr(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect()
