@@ -25,19 +25,22 @@ object Bench {
     Seq(io.Tables.lineitem _, io.Tables.orders _, io.Tables.documents _,
       io.Tables.embeddings _, io.Tables.events _)
       .foreach(t => t(spark, sfDir).count())
-    // ambience probe: q83 min-of-2 against its 3.931 s sf0.1 steady-state
+    // ambience probe: q83 min-of-3 against its 3.931 s sf0.1 steady-state
     // pin (BENCH_stable.json, round 11) — emitted in the JSON so every
     // BENCH artifact self-documents its session weather and cross-round
     // total comparisons need no archaeology (the r14 driver sweep read
     // 1.35x slow and proving that took a same-code re-sweep). probe_x is
     // only calibrated at sf0.1, the pin's fixture; at other dirs read
     // probe_sec as a raw floor. A probe failure records -1, never aborts.
-    // Known bias (ADVICE r15, accepted): the probe gives q83 two extra
-    // warm runs before the timed passes, so q83's per-query number is
+    // Known bias (ADVICE r15, accepted): the probe gives q83 extra warm
+    // runs before the timed passes, so q83's per-query number is
     // post-probe warm relative to every other query and to pre-probe
     // baselines — read q83's BENCH_full entry as a warm floor, and use
     // BENCH_stable's min-of-3 (same warmth) for its cross-round compare.
-    val probe = try (1 to 2).map { _ =>
+    // min-of-3 (r16: the committed sweep's min-of-2 probe read 3.11x by
+    // catching two slow early runs while the sweep's per-query mins ran
+    // 0.93x the prior sweep — a third rep reads through a startup spike)
+    val probe = try (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       SparkEntry.queries("q83_pipeline_golden")(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

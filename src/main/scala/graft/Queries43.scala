@@ -55,8 +55,12 @@ object Queries43 {
   /** The shipped public-suffix entries as a DuckDB list literal (same
     * shared-constant rule). All current entries are two-label; the
     * require pins that so the oracle's single two-label CASE arm stays
-    * faithful if the list ever grows a longer entry. */
-  private val pslSql: String = {
+    * faithful if the list ever grows a longer entry. LAZY (ADVICE r16) so
+    * the gate fires when the ORACLE is built (Verify, Registry, specs),
+    * not at object load from engine-only paths (Bench, PlanAudit) where
+    * the failure would surface far from the oracle it protects;
+    * UrlSpec asserts the same constraint with a direct message. */
+  private lazy val pslSql: String = {
     require(UrlFns.publicSuffixes.forall(_.count(_ == '.') == 1),
       "q261 oracle spells ONLY the two-label PSL arm - a 3+-label entry " +
         "in UrlFns.publicSuffixes needs a matching CASE arm here")
@@ -67,9 +71,11 @@ object Queries43 {
     * [[graft.functions.UrlFns.canonicalizeUrl]] one-for-one (step 0 is
     * [[graft.functions.UrlFns.normalizePercentEncoding]]: split on `%`,
     * decode unreserved triplets, uppercase surviving triplet hex, pass
-    * malformed escapes through). */
-  private val canonCteSql: String =
-    s"""raw AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+    * malformed escapes through) — parameterized on the synthetic-URL
+    * expression so Queries47's host-escape fixture (q272) rides the
+    * SAME spelling instead of a copy. */
+  private[graft] def canonCteFor(urlSql: String): String =
+    s"""raw AS (SELECT doc_id, $urlSql AS url FROM documents),
        |pe AS (SELECT doc_id,
        |    ps[1] || array_to_string(list_transform(ps[2:], p ->
        |      CASE WHEN list_contains($unreservedHexSql, upper(p[1:2]))
@@ -105,6 +111,8 @@ object Queries43 {
        |          p -> p <> '' AND NOT regexp_matches(p,
        |            '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') AS sq
        |        FROM parts))""".stripMargin
+
+  private val canonCteSql: String = canonCteFor(synthUrlSql)
 
   /** Per-row canonicalization on a deterministic id slice — the transform
     * itself hash-checked (percent-normalization, case, port, fragment,
@@ -146,7 +154,7 @@ object Queries43 {
           .cast("long").as("dup_ppm"))
       .orderBy("domain")
 
-  val q261Sql: String =
+  lazy val q261Sql: String =
     s"""WITH $canonCteSql,
        |dom AS (SELECT canonical,
        |    CASE WHEN len(ls) >= 3 AND list_contains($pslSql,
@@ -168,7 +176,7 @@ object Queries43 {
     "q260_url_canonical" -> q260UrlCanonical,
     "q261_url_dedup_domains" -> q261UrlDedupDomains)
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q260_url_canonical" -> q260Sql,
     "q261_url_dedup_domains" -> q261Sql)
 }

@@ -72,6 +72,66 @@ object HashKernels {
     new GenericArrayData(keys)
   }
 
+  /** MinHash band keys over a COMPACT tf vector as PARALLEL arrays
+    * (terms `array<string>`, tfcs `array<long>`, aligned): each entry
+    * contributes the virtual shingles `term#1 … term#tfc` — hashed
+    * incrementally (term bytes, '#', decimal rep digits) so the repeat
+    * expansion never allocates an array — then the same k running minima
+    * and '_'-joined band keys as [[minHashBandKeys]]. Byte-identical to
+    * running [[minHashBandKeys]] over the materialized expansion: the
+    * digest input IS the UTF-8 bytes of `term#rep`. Null for an
+    * empty/absent vector (no signature). */
+  def weightedMinHashBandKeys(terms: ArrayData, tfcs: ArrayData,
+      a: Array[Long], b: Array[Long], bands: Int): ArrayData = {
+    val p = 2147483647L
+    val n = terms.numElements()
+    val k = a.length
+    val rows = k / bands
+    val mins = Array.fill(k)(Long.MaxValue)
+    val digest = md.get()
+    var any = false
+    var i = 0
+    while (i < n) {
+      val termBytes = terms.getUTF8String(i).getBytes
+      val tfc = tfcs.getLong(i)
+      var rep = 1L
+      while (rep <= tfc) {
+        any = true
+        digest.reset()
+        digest.update(termBytes)
+        digest.update('#'.toByte)
+        digest.update(java.lang.Long.toString(rep)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val d = digest.digest()
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        rep += 1L
+      }
+      i += 1
+    }
+    if (!any) return null
+    val keys = new Array[Any](bands)
+    var bIdx = 0
+    while (bIdx < bands) {
+      val sb = new java.lang.StringBuilder(32)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('_')
+        sb.append(mins(bIdx * rows + r))
+        r += 1
+      }
+      keys(bIdx) = UTF8String.fromString(sb.toString)
+      bIdx += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** Jump consistent hash (Lamping & Veach, "A Fast, Minimal Memory,
     * Consistent Hash Algorithm", 2014 — public literature): maps a 64-bit
     * key to a shard in [0, numShards) such that growing the shard count
@@ -206,6 +266,41 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused WEIGHTED MinHash+LSH band-key kernel over the compact tf vector
+  * as parallel (terms, tfcs) arrays
+  * ([[HashKernels.weightedMinHashBandKeys]]) — [[MinHashBandKeys]]'
+  * sibling for [[graft.ops.Dedup.weightedMinHashLshPairs]], where
+  * materializing the `term#k` repeat expansion as an array column is
+  * exactly the row width the operator exists to avoid. */
+case class WeightedMinHashBandKeys(left: Expression, right: Expression,
+    coeffs: Seq[(Long, Long)], bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(coeffs.size % bands == 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val aArr: Array[Long] = coeffs.map(_._1).toArray
+  private lazy val bArr: Array[Long] = coeffs.map(_._2).toArray
+
+  override def nullSafeEval(terms: Any, tfcs: Any): Any =
+    HashKernels.weightedMinHashBandKeys(terms.asInstanceOf[ArrayData],
+      tfcs.asInstanceOf[ArrayData], aArr, bArr, bands)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("wminhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("wminhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (t, c) => s"""
+      ${ev.value} = graft.expr.HashKernels.weightedMinHashBandKeys($t, $c, $aRef, $bRef, $bands);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd [[HashKernels.jumpHash]] over a LongType key — the loop has a
   * data-dependent trip count (O(log n) expected, n worst case), so it lives
   * in a kernel call rather than an unrolled expression tree; the call sits
@@ -240,6 +335,13 @@ object HashExprs {
   def minHashBandKeys(shingles: Column, coeffs: Seq[(Long, Long)], bands: Int): Column =
     ExpressionUtils.column(
       MinHashBandKeys(ExpressionUtils.expression(shingles), coeffs, bands))
+
+  /** Column wrapper for [[WeightedMinHashBandKeys]]. */
+  def weightedMinHashBandKeys(terms: Column, tfcs: Column,
+      coeffs: Seq[(Long, Long)], bands: Int): Column =
+    ExpressionUtils.column(
+      WeightedMinHashBandKeys(ExpressionUtils.expression(terms),
+        ExpressionUtils.expression(tfcs), coeffs, bands))
 
   /** Column wrapper for [[SimHashMd5]]. */
   def simHashMd5(tokens: Column): Column =

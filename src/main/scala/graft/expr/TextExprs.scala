@@ -3,7 +3,7 @@ package graft.expr
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -79,6 +79,47 @@ object ShingleKernels {
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** tf-capped WEIGHTED Jaccard of two compact term-frequency vectors,
+    * each a PARALLEL-ARRAY pair (terms `array<string>` distinct + SORTED
+    * in UTF8String binary order, tfcs `array<long>` aligned — parallel
+    * primitives instead of `array<struct>` so element access allocates
+    * nothing per element) — in one merge walk: |A∩B| = Σ_t min(tfc_a,
+    * tfc_b) accumulates on term matches, the two masses la/lb accumulate
+    * on every element, |A∪B| = la + lb − |A∩B|. The integer (Σmin, Σmax)
+    * pair IS the set intersection/union of the `term#1…term#tfc` repeat
+    * expansion ([[graft.ops.Dedup.weightedMinHashLshPairs]]), so the
+    * returned double equals [[sortedJaccard]] over the expanded arrays
+    * bit-for-bit while the verify join carries one entry per DISTINCT
+    * term instead of tfc repeats. Both empty → 0.0 like
+    * [[sortedJaccard]]. */
+  def sortedWeightedJaccard(ta: ArrayData, ca: ArrayData,
+      tb: ArrayData, cb: ArrayData): Double = {
+    val na = ta.numElements()
+    val nb = tb.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    var la = 0L
+    var lb = 0L
+    while (i < na && j < nb) {
+      val c = ta.getUTF8String(i).compareTo(tb.getUTF8String(j))
+      if (c == 0) {
+        val va = ca.getLong(i)
+        val vb = cb.getLong(j)
+        inter += math.min(va, vb)
+        la += va
+        lb += vb
+        i += 1
+        j += 1
+      } else if (c < 0) { la += ca.getLong(i); i += 1 }
+      else { lb += cb.getLong(j); j += 1 }
+    }
+    while (i < na) { la += ca.getLong(i); i += 1 }
+    while (j < nb) { lb += cb.getLong(j); j += 1 }
+    val union = la + lb - inter
+    if (union == 0L) 0.0 else inter.toDouble / union
   }
 
   /** Fused POSITIONAL word-n-gram spans — [[wordShingles]]'s sibling for
@@ -345,6 +386,35 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused sorted-merge WEIGHTED Jaccard kernel
+  * ([[ShingleKernels.sortedWeightedJaccard]]) over two parallel-array tf
+  * vectors `(terms_a, tfcs_a, terms_b, tfcs_b)`. PRECONDITION: each terms
+  * array distinct + sorted in UTF8String binary order with its tfcs array
+  * aligned — the contract [[graft.ops.Dedup.weightedMinHashLshPairs]]
+  * builds via `sort_array(collect_list(struct))` then field projection. */
+case class SortedWeightedJaccard(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def nullSafeEval(ta: Any, ca: Any, tb: Any, cb: Any): Any =
+    ShingleKernels.sortedWeightedJaccard(
+      ta.asInstanceOf[ArrayData], ca.asInstanceOf[ArrayData],
+      tb.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ta, ca, tb, cb) =>
+      s"${ev.value} = graft.expr.ShingleKernels.sortedWeightedJaccard(" +
+        s"$ta, $ca, $tb, $cb);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Row-loop body of the repetition-signal kernel ([[RepetitionStats]]). */
 object RepetitionKernels {
 
@@ -587,6 +657,13 @@ object TextExprs {
   def sortedJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column wrapper for [[SortedWeightedJaccard]]. */
+  def sortedWeightedJaccard(ta: Column, ca: Column,
+      tb: Column, cb: Column): Column =
+    ExpressionUtils.column(SortedWeightedJaccard(
+      ExpressionUtils.expression(ta), ExpressionUtils.expression(ca),
+      ExpressionUtils.expression(tb), ExpressionUtils.expression(cb)))
 
   /** Column wrapper for [[CharShingles]]. */
   def charShingles(text: Column, n: Int): Column =

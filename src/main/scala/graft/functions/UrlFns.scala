@@ -69,6 +69,20 @@ object UrlFns {
     concat(element_at(parts, 1), array_join(fixed, ""))
   }
 
+  /** Percent-escapes in the HOST (r16 verdict watch item, decided and
+    * fixture-proven by q272): step 0 runs on the whole URL, so an
+    * unreserved triplet in a hostname DECODES (`h%41st` → `hAst`) and
+    * then case-folds with the rest of the host (→ `hast`) — RFC 3986
+    * reg-name allows pct-encoded, and host comparison is
+    * case-insensitive, so decoding before the fold is safe. A
+    * RESERVED-class triplet survives encoded, and the host case fold
+    * then lowercases its hex (`%2F` → `%2f`) — deliberately NOT
+    * re-uppercased: the §6.2.2.1 uppercase-hex form normalizes the URL
+    * as written, but the canonical KEY folds the entire host, and both
+    * hex spellings of the same byte still collide under the uniform
+    * fold. Key-consistency is the tier-0 requirement; an RFC-pretty
+    * host rendering is not a goal (the oracle lowercases identically,
+    * so the decision is hash-checked, not latent). */
   def canonicalizeUrl(u: Column): Column = {
     val norm = normalizePercentEncoding(u)
     val noFrag = regexp_replace(norm, "#.*$", "")
@@ -157,34 +171,87 @@ object UrlFns {
   private[graft] val MaxSuffixLabels: Int =
     publicSuffixes.map(_.count(_ == '.') + 1).max
 
-  /** Registered (registrable) domain under the public-suffix list:
-    * longest `suffixes` entry matching the host's trailing labels — with
-    * the PSL default rule (no match → the last label is the public
-    * suffix) — plus ONE more label. `a.b.example.co.uk` → `example.co.uk`
-    * (suffix `co.uk` matched), `a.b.example.com` → `example.com`
-    * (default rule). A host that IS a public suffix, or has too few
-    * labels to carry a registrable part, passes through unchanged.
-    * Wildcard/exception PSL rules are not modeled (documented subset —
-    * none of the shipped entries need them). Host must be lowercase with
-    * the port already stripped (feed it [[canonicalizeUrl]] output's
-    * host or a bare lowercase host). */
+  /** Wildcard PSL rule BASES this build ships — each models a `*.<base>`
+    * entry of the public list (publicsuffix.org): EVERY label directly
+    * under the base is itself a public suffix, so a registrable domain
+    * under `*.ck` keeps THREE labels (`foo.anything.ck`). The 1-label
+    * bases are the classic all-second-level ccTLD registries; the
+    * 2-label bases are the Japanese city wildcards (`*.kawasaki.jp`
+    * etc., each paired with a `!city.…` exception below). Same
+    * swap-in-the-full-list stance as [[publicSuffixes]]. */
+  val publicSuffixWildcards: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception PSL rules (`!<host>` entries): the named suffix is NOT a
+    * public suffix despite a covering wildcard — per the PSL algorithm
+    * the exception rule itself, as written, IS the registrable domain
+    * (its public suffix is the rule minus the leftmost label). Exception
+    * rules beat every other matching rule regardless of length. */
+  val publicSuffixExceptions: Seq[String] = Seq(
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  /** Registered (registrable) domain under the public-suffix list —
+    * plain, WILDCARD, and EXCEPTION rules (publicsuffix.org semantics):
+    *
+    *  - exception rule `!e` matching the host's trailing labels →
+    *    registrable = those |e| labels (`!www.ck`: `a.www.ck` → `www.ck`);
+    *    exceptions beat every other rule;
+    *  - wildcard base `w` (from `*.w`) matching the trailing |w| labels →
+    *    public suffix = |w|+1 labels, registrable = |w|+2
+    *    (`*.ck`: `www.foo.ck` → `www.foo.ck`… i.e. the last 3 labels); a
+    *    host with exactly |w|+1 labels IS a public suffix → unchanged;
+    *  - plain suffix entry → that suffix plus ONE label
+    *    (`a.b.example.co.uk` → `example.co.uk`);
+    *  - PSL default rule (nothing matches) → last label is the public
+    *    suffix, registrable = last two (`a.b.example.com` →
+    *    `example.com`).
+    *
+    * Rule precedence follows the PSL spec: exceptions first, then the
+    * longest rule (a wildcard counts its `*`, so `*.kawasaki.jp` is a
+    * 3-label rule and outranks 2-label plain entries). A host that IS a
+    * public suffix, or has too few labels to carry a registrable part,
+    * passes through unchanged. Host must be lowercase with the port
+    * already stripped (feed it [[canonicalizeUrl]] output's host or a
+    * bare lowercase host). */
   def registeredDomain(host: Column,
-      suffixes: Seq[String] = publicSuffixes): Column = {
-    val suffixArr = typedLit(suffixes)
+      suffixes: Seq[String] = publicSuffixes,
+      wildcards: Seq[String] = publicSuffixWildcards,
+      exceptions: Seq[String] = publicSuffixExceptions): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    val maxK = suffixes.map(_.count(_ == '.') + 1).max
-    // longest match wins: fold ascending so a later (longer) hit
-    // overwrites; a k-label suffix needs k+1 host labels to leave a
-    // registrable part
-    val k = (2 to maxK).foldLeft(lit(1)) { (acc, kk) =>
-      when(n >= kk + 1 && array_contains(suffixArr,
-          array_join(slice(labels, n - lit(kk - 1), lit(kk)), ".")),
-        lit(kk)).otherwise(acc)
+    def lastK(k: Int): Column =
+      array_join(slice(labels, n - lit(k - 1), lit(k)), ".")
+    def inList(k: Int, entries: Seq[String]): Column =
+      array_contains(typedLit(entries), lastK(k))
+    // (priority, condition, result) arms; built per label-count group so
+    // each list literal stays one broadcast constant
+    val excArms = exceptions.groupBy(_.count(_ == '.') + 1).toSeq
+      .sortBy(-_._1).map { case (el, es) =>
+        // registrable = the exception rule itself (= its |e| trailing
+        // labels); valid whenever the host has at least |e| labels
+        (n >= el && inList(el, es), lastK(el))
+      }
+    val ruleArms = (
+      wildcards.groupBy(_.count(_ == '.') + 1).toSeq.map { case (wl, ws) =>
+        // rule length |w|+1 ( the `*` counts); two sub-arms share it:
+        // deep host → |w|+2 labels; host == public suffix → unchanged
+        (wl + 1, Seq(
+          (n >= wl + 2 && inList(wl, ws), lastK(wl + 2)),
+          (n === wl + 1 && inList(wl, ws), host)))
+      } ++
+      suffixes.groupBy(_.count(_ == '.') + 1).toSeq.map { case (k, ss) =>
+        (k, Seq((n >= k + 1 && inList(k, ss), lastK(k + 1))))
+      })
+      .sortBy(-_._1).flatMap(_._2)
+    val default = when(n >= 2, lastK(2)).otherwise(host)
+    (excArms ++ ruleArms).foldRight(default) { case ((cond, res), acc) =>
+      when(cond, res).otherwise(acc)
     }
-    when(n >= k + 1,
-      array_join(slice(labels, n - k, k + 1), "."))
-      .otherwise(host)
   }
 
   /** Host of an (already canonical) URL. */

@@ -184,18 +184,98 @@ object Dedup {
     * The expansion is ORDER-INSENSITIVE (unigram multiset): a token
     * reordering with repetition shifts keeps the exact same expanded
     * set, hence identical signatures — the recall gap q262 documents.
-    * Verify is exact set Jaccard over the expanded arrays (= tf-capped
-    * weighted Jaccard), 6dp-rounded like q14. Docs with ZERO non-empty
-    * tokens have no expansion and are not candidates (nothing weighted
-    * to compare — unlike the bigram path's <2-token fallback shingle).
+    * Verify is exact tf-capped weighted Jaccard, 6dp-rounded like q14.
+    * Docs with ZERO non-empty tokens have no expansion and are not
+    * candidates (nothing weighted to compare — unlike the bigram path's
+    * <2-token fallback shingle).
     *
-    * Scale shape: one tf aggregation (fingerprint-width shuffle), the
-    * expanded-shingle build (groupBy id, array ≤ tfCap·|terms|), then
-    * [[minHashLshPairsOn]]'s banded equi-join — never the pair cross
-    * product. */
+    * COMPACT spelling (r17, replacing the r16 expanded-array one — kept
+    * as [[weightedMinHashLshPairsExpanded]] for the A/B record): the
+    * `term#k` repeat expansion never materializes as an array anywhere.
+    * The per-doc unit is a COMPACT tf vector
+    * (`array<struct<term, tfc>>`, one entry per DISTINCT term, sorted —
+    * up to tfCap× narrower than the expansion); band keys come from a
+    * fused kernel that hashes the virtual shingles incrementally off the
+    * vector ([[graft.expr.HashKernels.weightedMinHashBandKeys]],
+    * byte-identical digests to hashing the materialized expansion), and
+    * verify computes |A∩B| = Σ_t min(tfc_a, tfc_b),
+    * |A∪B| = mass_a + mass_b − |A∩B| in one fused merge walk
+    * ([[graft.expr.ShingleKernels.sortedWeightedJaccard]]) — the
+    * identities that make the expanded set Jaccard exactly computable
+    * from the capped tf vectors alone. Same candidates (same min
+    * tuples), same jaccard doubles (same integer |∩|/|∪| pairs), so the
+    * oracle SQL is unchanged; what changes is the row width through the
+    * checkpoint, the banding, and the verify join — the expanded arrays
+    * GC-thrashed the 64× verify at default shuffle partitions until the
+    * r16 partition override (BASELINE.md round 16, task 5). Rejected
+    * intermediate (measured, [[graft.tools.TimeWmh]] history in
+    * BASELINE round 17): verifying via a candidates×terms equi-join
+    * keeps every shuffle fingerprint-width but explodes 2.5M candidates
+    * × avg terms/doc through the pair-key shuffle — 2.9× slower than
+    * the array spelling at sf0.1; the compact-vector join carries ~23
+    * struct entries per side instead and stays at array-spelling speed.
+    *
+    * Scale shape: one tf aggregation, one per-doc vector aggregation
+    * (both fingerprint-width shuffles), the banded equi-join, then a
+    * verify join whose widest column is one struct entry per distinct
+    * term — never the pair cross product, never a repeat-expanded row. */
   def weightedMinHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double,
       tfCap: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
+    // compact per-doc tf vector: ONE entry per distinct term, sorted by
+    // term (sort_array on array<struct> orders by the first field; terms
+    // are distinct per doc so the tfc field never decides), then split
+    // into PARALLEL (terms, tfcs) arrays so the kernels' element access
+    // is allocation-free (getStruct would build an UnsafeRow per element
+    // × candidates × terms). Pinned: feeds the banding AND both
+    // verify-join sides.
+    val compact = df.select(col(idCol).as("id"),
+        explode(array_remove(
+          TextFns.wordTokens(col(textCol)), "")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tfc"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("tfc"))))
+        .as("tv"))
+      .select(col("id"),
+        transform(col("tv"), e => e.getField("term")).as("terms"),
+        transform(col("tv"), e => e.getField("tfc")).as("tfcs"))
+      .localCheckpoint(false)
+    val banded = compact.select(col("id"),
+      posexplode(graft.expr.HashExprs.weightedMinHashBandKeys(
+        col("terms"), col("tfcs"), HashFns.minHashCoeffs(numHashes), bands))
+        .as(Seq("band", "bsig")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(compact.select(col("id").as("id_a"), col("terms").as("__ta"),
+        col("tfcs").as("__ca")), Seq("id_a"))
+      .join(compact.select(col("id").as("id_b"), col("terms").as("__tb"),
+        col("tfcs").as("__cb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        graft.expr.TextExprs.sortedWeightedJaccard(
+          col("__ta"), col("__ca"), col("__tb"), col("__cb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The r16 expanded-array spelling of [[weightedMinHashLshPairs]], kept
+    * for the A/B measurement record ([[graft.tools.TimeWmh]]) and the
+    * equivalence spec: materializes the `term#1…term#min(tf,cap)`
+    * expansion as a per-doc sorted array and rides
+    * [[minHashLshPairsOn]]'s array-carrying verify join. Identical output
+    * by construction; retired from q268 because the wide expanded-array
+    * rows GC-thrashed the 64× verify join at default shuffle partitions
+    * (BASELINE.md round 16, task 5). */
+  private[graft] def weightedMinHashLshPairsExpanded(df: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      threshold: Double, tfCap: Int): DataFrame = {
     require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
     val tf = df.select(col(idCol).as("id"),
         explode(array_remove(

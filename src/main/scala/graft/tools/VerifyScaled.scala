@@ -582,7 +582,16 @@ object VerifyScaled {
       "q268_weighted_minhash_lsh" ->
         (() => graft.SparkEntry.queries("q268_weighted_minhash_lsh")(spark, sfDir)),
       "q268_weighted_minhash_lsh_slice" ->
-        (() => graft.Queries44.q268Sliced(spark, sfDir, 8L, 3L)))
+        (() => graft.Queries44.q268Sliced(spark, sfDir, 8L, 3L)),
+      // wave 47: PSL wildcard/exception fixture + host-escape
+      // canonicalization — regex/list projections and a bounded domain
+      // rollup, corpus-linear on both engines at any k (the q260 class)
+      "q270_psl_domains" ->
+        (() => graft.SparkEntry.queries("q270_psl_domains")(spark, sfDir)),
+      "q271_psl_rollup" ->
+        (() => graft.SparkEntry.queries("q271_psl_rollup")(spark, sfDir)),
+      "q272_host_escapes" ->
+        (() => graft.SparkEntry.queries("q272_host_escapes")(spark, sfDir)))
 
   /** Oracle SQL for [[queryMap]], same keys. */
   def oracleMap(planes: Array[Array[Double]], bits: Int, docBits: Int,
@@ -846,5 +855,8 @@ object VerifyScaled {
       "q267_matryoshka_ivf" -> graft.Queries42.q267SqlWith(queryMod),
       "q268_weighted_minhash_lsh" ->
         graft.SparkEntry.oracleSql("q268_weighted_minhash_lsh"),
-      "q268_weighted_minhash_lsh_slice" -> graft.Queries44.q268SqlSliced(8L, 3L))
+      "q268_weighted_minhash_lsh_slice" -> graft.Queries44.q268SqlSliced(8L, 3L),
+      "q270_psl_domains" -> graft.SparkEntry.oracleSql("q270_psl_domains"),
+      "q271_psl_rollup" -> graft.SparkEntry.oracleSql("q271_psl_rollup"),
+      "q272_host_escapes" -> graft.SparkEntry.oracleSql("q272_host_escapes"))
 }

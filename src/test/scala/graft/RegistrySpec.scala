@@ -40,21 +40,28 @@ class RegistrySpec extends SparkSpec {
 
   /** Queries with a VALID (>= 0) timing in a BENCH sweep artifact
     * ({"queries":{"qNN_name":sec,...},...}); a -1 sentinel means the
-    * query crashed in the sweep and counts as NOT covered. */
+    * query crashed in the sweep and counts as NOT covered. Scoped to the
+    * "queries" object (ADVICE r16): a future section keyed by query
+    * names (a slowest-list, a probe block) must not count as coverage. */
   private def benchFullKeys(path: String): Set[String] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
+    val qobj = """"queries"\s*:\s*(\{[^}]*\})""".r
+      .findFirstMatchIn(text).map(_.group(1))
+      .getOrElse(fail(s"$path has no queries object"))
     """"(q\d+[a-z0-9_]*)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
-      .findAllMatchIn(text)
+      .findAllMatchIn(qobj)
       .collect { case m if m.group(2).toDouble >= 0 => m.group(1) }.toSet
   }
 
   /** BENCH_stable's q83 steady-state pin (queries.q83_pipeline_golden
-    * .min3) — the value [[graft.Bench.probePin]] duplicates. */
+    * .min3) — the value [[graft.Bench.probePin]] duplicates. min3 may sit
+    * anywhere inside the entry object (ADVICE r16: a re-serialization
+    * putting "runs" first must not read as a missing pin). */
   private def stableProbePin(path: String): Double = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
-    """"q83_pipeline_golden"\s*:\s*\{\s*"min3"\s*:\s*([0-9.]+)""".r
+    """"q83_pipeline_golden"\s*:\s*\{[^}]*?"min3"\s*:\s*([0-9.]+)""".r
       .findFirstMatchIn(text)
       .map(_.group(1).toDouble)
       .getOrElse(fail("BENCH_stable.json has no q83_pipeline_golden.min3"))
@@ -135,5 +142,17 @@ class RegistrySpec extends SparkSpec {
   test("Bench.probePin equals the BENCH_stable q83 pin (the real pair)") {
     assert(Bench.probePin == realStablePin,
       s"Bench.probePin=${Bench.probePin} BENCH_stable=$realStablePin")
+  }
+
+  test("README's stated query count equals the registry (r16 verdict: " +
+    "the repo's own counts must not contradict its gated artifacts)") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val stated = """\((\d+) named queries""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt)
+      .getOrElse(fail("README.md has no '(N named queries' table cell"))
+    assert(stated == queries.size,
+      s"README says $stated named queries; SparkEntry.queries has " +
+        s"${queries.size} - update the entry-points table")
   }
 }

@@ -103,4 +103,20 @@ class Wave44Spec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq == Seq((3L, 4L, 1.0)), out.mkString(","))
   }
+
+  test("narrow (term,k) spelling equals the r16 expanded-array spelling " +
+    "on the fixture (r17 task 2: same candidates, same jaccard)") {
+    // threshold 0.0 keeps EVERY band-collision candidate, so the
+    // equivalence covers the verify join's full domain, not just the
+    // >=0.6 survivors
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val narrow = Dedup.weightedMinHashLshPairs(docs, "doc_id", "text",
+        numHashes = 12, bands = 4, threshold = 0.0, tfCap = 8)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val array = Dedup.weightedMinHashLshPairsExpanded(docs, "doc_id",
+        "text", numHashes = 12, bands = 4, threshold = 0.0, tfCap = 8)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(narrow.nonEmpty && narrow == array,
+      s"narrow=${narrow.size} array=${array.size}")
+  }
 }
