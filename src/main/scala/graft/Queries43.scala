@@ -52,20 +52,13 @@ object Queries43 {
   private val unreservedHexSql: String =
     UrlFns.UnreservedHex.map(h => s"'$h'").mkString("[", ", ", "]")
 
-  /** The shipped public-suffix entries as a DuckDB list literal (same
-    * shared-constant rule). All current entries are two-label; the
-    * require pins that so the oracle's single two-label CASE arm stays
-    * faithful if the list ever grows a longer entry. LAZY (ADVICE r16) so
-    * the gate fires when the ORACLE is built (Verify, Registry, specs),
-    * not at object load from engine-only paths (Bench, PlanAudit) where
-    * the failure would surface far from the oracle it protects;
-    * UrlSpec asserts the same constraint with a direct message. */
-  private lazy val pslSql: String = {
-    require(UrlFns.publicSuffixes.forall(_.count(_ == '.') == 1),
-      "q261 oracle spells ONLY the two-label PSL arm - a 3+-label entry " +
-        "in UrlFns.publicSuffixes needs a matching CASE arm here")
-    UrlFns.publicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
-  }
+  // The registered-domain CASE (plain + wildcard + exception rules) is
+  // shared with wave 47 — Queries47.domCaseSql renders the SAME Scala
+  // lists the engine matches against, LAZILY (ADVICE r16: the list-shape
+  // requires fire when the ORACLE is built, not at registry load from
+  // engine-only paths). r17 review: q261's oracle previously spelled only
+  // the plain arms and silently relied on its fixture never touching a
+  // wildcard TLD; sharing the full CASE removes that latent divergence.
 
   /** The canonicalization steps in DuckDB, mirroring
     * [[graft.functions.UrlFns.canonicalizeUrl]] one-for-one (step 0 is
@@ -157,12 +150,7 @@ object Queries43 {
   lazy val q261Sql: String =
     s"""WITH $canonCteSql,
        |dom AS (SELECT canonical,
-       |    CASE WHEN len(ls) >= 3 AND list_contains($pslSql,
-       |           array_to_string(ls[len(ls) - 1 : len(ls)], '.'))
-       |         THEN array_to_string(ls[len(ls) - 2 : len(ls)], '.')
-       |         WHEN len(ls) >= 2
-       |         THEN array_to_string(ls[len(ls) - 1 : len(ls)], '.')
-       |         ELSE host END AS domain
+       |    ${Queries47.domCaseSql} AS domain
        |  FROM (SELECT canonical, host, string_split(host, '.') AS ls
        |        FROM canon)),
        |g AS (SELECT domain, count(*)::BIGINT AS n_urls,

@@ -62,20 +62,20 @@ object Queries47 {
     * constants the engine matches against (the shared-constant rule).
     * LAZY with requires pinning the label counts each oracle CASE arm
     * assumes — a list entry outside those shapes must fail when the
-    * ORACLE is built, with a message naming the arm to add (the
-    * Queries43 pslSql pattern; Wave47Spec asserts the same constraints
-    * directly). */
+    * ORACLE is built, with a message naming the arm to add (ADVICE r16;
+    * Wave47Spec asserts the same constraints directly). These literals
+    * feed [[domCaseSql]], which q261's oracle shares. */
   private lazy val psl2Sql: String = {
     require(UrlFns.publicSuffixes.forall(_.count(_ == '.') == 1),
-      "q270/q271 oracles spell ONLY the two-label plain-PSL arm - a " +
-        "3+-label entry in UrlFns.publicSuffixes needs a matching arm")
+      "q261/q270/q271 oracles spell ONLY the two-label plain-PSL arm - " +
+        "a 3+-label entry in UrlFns.publicSuffixes needs a matching arm")
     UrlFns.publicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
   }
   private lazy val wildSql: Map[Int, String] = {
     require(UrlFns.publicSuffixWildcards
         .forall(w => Set(0, 1)(w.count(_ == '.'))),
-      "q270/q271 oracles spell 1- and 2-label wildcard bases - a longer " +
-        "base in UrlFns.publicSuffixWildcards needs a matching arm")
+      "q261/q270/q271 oracles spell 1- and 2-label wildcard bases - a " +
+        "longer base in UrlFns.publicSuffixWildcards needs a matching arm")
     UrlFns.publicSuffixWildcards.groupBy(_.count(_ == '.') + 1)
       .map { case (k, ws) =>
         k -> ws.map(w => s"'$w'").mkString("[", ", ", "]") }
@@ -83,8 +83,8 @@ object Queries47 {
   private lazy val excSql: Map[Int, String] = {
     require(UrlFns.publicSuffixExceptions
         .forall(e => Set(1, 2)(e.count(_ == '.'))),
-      "q270/q271 oracles spell 2- and 3-label exception rules - a longer " +
-        "rule in UrlFns.publicSuffixExceptions needs a matching arm")
+      "q261/q270/q271 oracles spell 2- and 3-label exception rules - a " +
+        "longer rule in UrlFns.publicSuffixExceptions needs a matching arm")
     UrlFns.publicSuffixExceptions.groupBy(_.count(_ == '.') + 1)
       .map { case (k, es) =>
         k -> es.map(e => s"'$e'").mkString("[", ", ", "]") }
@@ -97,18 +97,24 @@ object Queries47 {
     * 1-label wildcard bases and plain 2-label entries), then the default
     * rule. The `len = |w|+1` pass-through arm (host IS a wildcard public
     * suffix) must precede the shorter-rule arms or the default would
-    * truncate it. */
-  private lazy val domCaseSql: String = {
+    * truncate it. A label-count group with no shipped entries renders as
+    * a typed EMPTY list (arm inert) rather than a bare key-not-found at
+    * oracle build — the requires above still bound the MAXIMUM shapes.
+    * Shared with q261's oracle (Queries43), which would otherwise
+    * silently rely on its fixture never touching a wildcard TLD. */
+  private[graft] lazy val domCaseSql: String = {
     def lastK(k: Int) = s"array_to_string(ls[len(ls) - ${k - 1} : len(ls)], '.')"
-    s"""CASE WHEN len(ls) >= 3 AND list_contains(${excSql(3)}, ${lastK(3)})
+    def wild(k: Int) = wildSql.getOrElse(k, "[]::VARCHAR[]")
+    def exc(k: Int) = excSql.getOrElse(k, "[]::VARCHAR[]")
+    s"""CASE WHEN len(ls) >= 3 AND list_contains(${exc(3)}, ${lastK(3)})
        |       THEN ${lastK(3)}
-       |     WHEN len(ls) >= 2 AND list_contains(${excSql(2)}, ${lastK(2)})
+       |     WHEN len(ls) >= 2 AND list_contains(${exc(2)}, ${lastK(2)})
        |       THEN ${lastK(2)}
-       |     WHEN len(ls) >= 4 AND list_contains(${wildSql(2)}, ${lastK(2)})
+       |     WHEN len(ls) >= 4 AND list_contains(${wild(2)}, ${lastK(2)})
        |       THEN ${lastK(4)}
-       |     WHEN len(ls) = 3 AND list_contains(${wildSql(2)}, ${lastK(2)})
+       |     WHEN len(ls) = 3 AND list_contains(${wild(2)}, ${lastK(2)})
        |       THEN host
-       |     WHEN len(ls) >= 3 AND list_contains(${wildSql(1)}, ${lastK(1)})
+       |     WHEN len(ls) >= 3 AND list_contains(${wild(1)}, ${lastK(1)})
        |       THEN ${lastK(3)}
        |     WHEN len(ls) >= 3 AND list_contains($psl2Sql, ${lastK(2)})
        |       THEN ${lastK(3)}

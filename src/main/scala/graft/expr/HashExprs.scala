@@ -29,33 +29,24 @@ object HashKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** MinHash band keys: k running minima of (a_k·h + b_k) mod p over the
-    * shingles, grouped into `bands` '_'-joined decimal keys. Returns null
-    * for an empty / all-null shingle set (no signature). */
-  def minHashBandKeys(arr: ArrayData, a: Array[Long], b: Array[Long],
-      bands: Int): ArrayData = {
+  /** k running-minima update for one base hash — the permutation step
+    * shared (verbatim, so the documented byte-identity cannot drift) by
+    * [[minHashBandKeys]] and [[weightedMinHashBandKeys]]. */
+  private def updateMins(h: Long, a: Array[Long], b: Array[Long],
+      mins: Array[Long]): Unit = {
     val p = 2147483647L
-    val n = arr.numElements()
-    val k = a.length
-    val rows = k / bands
-    val mins = Array.fill(k)(Long.MaxValue)
-    val digest = md.get()
-    var i = 0
-    var any = false
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        any = true
-        val h = md5Prefix(digest, arr.getUTF8String(i)) % p
-        var j = 0
-        while (j < k) {
-          val v = (a(j) * h + b(j)) % p
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
+    var j = 0
+    while (j < a.length) {
+      val v = (a(j) * h + b(j)) % p
+      if (v < mins(j)) mins(j) = v
+      j += 1
     }
-    if (!any) return null
+  }
+
+  /** `bands` '_'-joined decimal band keys from the finished minima —
+    * the emission tail shared by both band-key kernels. */
+  private def bandKeysOf(mins: Array[Long], bands: Int): ArrayData = {
+    val rows = mins.length / bands
     val keys = new Array[Any](bands)
     var bIdx = 0
     while (bIdx < bands) {
@@ -72,6 +63,28 @@ object HashKernels {
     new GenericArrayData(keys)
   }
 
+  /** MinHash band keys: k running minima of (a_k·h + b_k) mod p over the
+    * shingles, grouped into `bands` '_'-joined decimal keys. Returns null
+    * for an empty / all-null shingle set (no signature). */
+  def minHashBandKeys(arr: ArrayData, a: Array[Long], b: Array[Long],
+      bands: Int): ArrayData = {
+    val p = 2147483647L
+    val n = arr.numElements()
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    val digest = md.get()
+    var i = 0
+    var any = false
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        updateMins(md5Prefix(digest, arr.getUTF8String(i)) % p, a, b, mins)
+      }
+      i += 1
+    }
+    if (!any) return null
+    bandKeysOf(mins, bands)
+  }
+
   /** MinHash band keys over a COMPACT tf vector as PARALLEL arrays
     * (terms `array<string>`, tfcs `array<long>`, aligned): each entry
     * contributes the virtual shingles `term#1 … term#tfc` — hashed
@@ -85,9 +98,7 @@ object HashKernels {
       a: Array[Long], b: Array[Long], bands: Int): ArrayData = {
     val p = 2147483647L
     val n = terms.numElements()
-    val k = a.length
-    val rows = k / bands
-    val mins = Array.fill(k)(Long.MaxValue)
+    val mins = Array.fill(a.length)(Long.MaxValue)
     val digest = md.get()
     var any = false
     var i = 0
@@ -105,31 +116,13 @@ object HashKernels {
         val d = digest.digest()
         val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
-        var j = 0
-        while (j < k) {
-          val v = (a(j) * h + b(j)) % p
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
+        updateMins(h, a, b, mins)
         rep += 1L
       }
       i += 1
     }
     if (!any) return null
-    val keys = new Array[Any](bands)
-    var bIdx = 0
-    while (bIdx < bands) {
-      val sb = new java.lang.StringBuilder(32)
-      var r = 0
-      while (r < rows) {
-        if (r > 0) sb.append('_')
-        sb.append(mins(bIdx * rows + r))
-        r += 1
-      }
-      keys(bIdx) = UTF8String.fromString(sb.toString)
-      bIdx += 1
-    }
-    new GenericArrayData(keys)
+    bandKeysOf(mins, bands)
   }
 
   /** Jump consistent hash (Lamping & Veach, "A Fast, Minimal Memory,

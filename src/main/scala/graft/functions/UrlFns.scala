@@ -254,6 +254,36 @@ object UrlFns {
     }
   }
 
+  /** Parse rules in the publicsuffix.org FILE FORMAT (one rule per line;
+    * `//` comment lines and blank lines ignored; `*.`-prefixed =
+    * wildcard base; `!`-prefixed = exception; anything else = a plain
+    * suffix — SINGLE-label plain entries are dropped because the PSL
+    * default rule already yields the same registrable domain). Returns
+    * `(plain, wildcards, exceptions)` ready to pass to
+    * [[registeredDomain]], whose matching is fully general over label
+    * counts — this makes the "full publicsuffix.org list swaps in
+    * unchanged" stance EXECUTABLE, not just documented: read the file
+    * with any line source, parse here, pass the three lists through.
+    * Rules are lowercased; IDN labels must already be in punycode (the
+    * published list carries the punycode spelling, which is what a
+    * lowercase-ASCII host pipeline matches against). NOTE the ORACLE
+    * CASE arms (Queries47.domCaseSql) are bounded to the SHIPPED subset
+    * shapes by requires — swapping a larger list into an oracle-gated
+    * query needs the matching arms, which is exactly what those
+    * requires' messages say. */
+  def parsePslRules(
+      lines: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val rules = lines.iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase).toSeq
+    val exceptions = rules.filter(_.startsWith("!")).map(_.drop(1))
+    val wildcards = rules.filter(_.startsWith("*.")).map(_.drop(2))
+    val plain = rules
+      .filterNot(r => r.startsWith("!") || r.startsWith("*."))
+      .filter(_.contains("."))
+    (plain, wildcards, exceptions)
+  }
+
   /** Host of an (already canonical) URL. */
   def urlHost(u: Column): Column =
     regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)

@@ -11,7 +11,10 @@ import graft.ops.Dedup
   * [[graft.ops.Dedup.weightedMinHashLshPairs]] (narrow) and
   * [[graft.ops.Dedup.weightedMinHashLshPairsExpanded]] (r16 array
   * spelling) at q268's parameters in ONE session, interleaved, so ambient
-  * drift cancels. Same session config as [[graft.Bench]]. */
+  * drift cancels. Session config matches [[TimeMany]]/[[TimeOne]] and the
+  * BENCH_stable pin fixture — local[32], 32 shuffle partitions (NOT
+  * [[graft.Bench]]'s `SPARK_GRAFT_CPUS` default of 4); compare against
+  * pins and TimeMany numbers, not a 4-CPU sweep. */
 object TimeWmh {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

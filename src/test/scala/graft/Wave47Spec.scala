@@ -8,45 +8,54 @@ import graft.functions.UrlFns
 class Wave47Spec extends SparkSpec {
   import spark.implicits._
 
-  private def dom(h: String): String =
-    Seq(h).toDF("h").select(UrlFns.registeredDomain($"h")).as[String].head()
+  /** One job per case table (the Wave43Spec batching pattern — a
+    * per-assert collect would pay plan+job overhead ~20 times over). */
+  private def domAll(cases: Seq[(String, String)]): Unit = {
+    val got = cases.map(_._1).toDF("h")
+      .select(UrlFns.registeredDomain($"h")).as[String].collect().toSeq
+    for (((h, want), g) <- cases.zip(got))
+      assert(g == want, s"$h -> $g (want $want)")
+  }
 
   test("registeredDomain: wildcard rules (*.ck, *.kawasaki.jp)") {
-    // *.ck: any label under ck is a public suffix -> registrable keeps 3
-    assert(dom("a.b.foo.ck") == "b.foo.ck")
-    assert(dom("b.foo.ck") == "b.foo.ck")
-    // host IS a wildcard public suffix -> unchanged
-    assert(dom("foo.ck") == "foo.ck")
-    // bare base: wildcard needs a label under it; default rule inert at
-    // one label -> unchanged
-    assert(dom("ck") == "ck")
-    // 2-label wildcard base (3-label rule): registrable keeps 4
-    assert(dom("www.shop.foo.kawasaki.jp") == "shop.foo.kawasaki.jp")
-    assert(dom("shop.foo.kawasaki.jp") == "shop.foo.kawasaki.jp")
-    // host IS the wildcard public suffix (base + one label) -> unchanged
-    assert(dom("foo.kawasaki.jp") == "foo.kawasaki.jp")
-    // the bare 2-label base itself: no rule matches a 2-label host
-    // except the default -> last two = the host
-    assert(dom("kawasaki.jp") == "kawasaki.jp")
+    domAll(Seq(
+      // *.ck: any label under ck is a public suffix -> registrable keeps 3
+      "a.b.foo.ck" -> "b.foo.ck",
+      "b.foo.ck" -> "b.foo.ck",
+      // host IS a wildcard public suffix -> unchanged
+      "foo.ck" -> "foo.ck",
+      // bare base: wildcard needs a label under it; default rule inert at
+      // one label -> unchanged
+      "ck" -> "ck",
+      // 2-label wildcard base (3-label rule): registrable keeps 4
+      "www.shop.foo.kawasaki.jp" -> "shop.foo.kawasaki.jp",
+      "shop.foo.kawasaki.jp" -> "shop.foo.kawasaki.jp",
+      // host IS the wildcard public suffix (base + one label) -> unchanged
+      "foo.kawasaki.jp" -> "foo.kawasaki.jp",
+      // the bare 2-label base itself: no rule matches a 2-label host
+      // except the default -> last two = the host
+      "kawasaki.jp" -> "kawasaki.jp"))
   }
 
   test("registeredDomain: exception rules beat wildcards (!www.ck, " +
     "!city.kawasaki.jp)") {
-    assert(dom("www.ck") == "www.ck")
-    assert(dom("deep.path.www.ck") == "www.ck")
-    assert(dom("city.kawasaki.jp") == "city.kawasaki.jp")
-    assert(dom("a.city.kawasaki.jp") == "city.kawasaki.jp")
-    // a NON-excepted sibling still follows the wildcard
-    assert(dom("a.town.kawasaki.jp") == "a.town.kawasaki.jp")
+    domAll(Seq(
+      "www.ck" -> "www.ck",
+      "deep.path.www.ck" -> "www.ck",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "a.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // a NON-excepted sibling still follows the wildcard
+      "a.town.kawasaki.jp" -> "a.town.kawasaki.jp"))
   }
 
   test("registeredDomain: plain entries and the default rule unchanged " +
     "by the wildcard extension (the q261 contract)") {
-    assert(dom("a.b.example.co.uk") == "example.co.uk")
-    assert(dom("example.com") == "example.com")
-    assert(dom("a.b.example.com") == "example.com")
-    assert(dom("localhost") == "localhost")
-    assert(dom("co.uk") == "co.uk")
+    domAll(Seq(
+      "a.b.example.co.uk" -> "example.co.uk",
+      "example.com" -> "example.com",
+      "a.b.example.com" -> "example.com",
+      "localhost" -> "localhost",
+      "co.uk" -> "co.uk"))
   }
 
   test("oracle list constraints: the q270/q271 CASE arms cover every " +
@@ -73,6 +82,28 @@ class Wave47Spec extends SparkSpec {
       Seq(u).toDF("u").select(UrlFns.canonicalizeUrl($"u")).as[String].head()
     assert(canon("HTTP://H%41S%2fT.Example.COM:80/P%41th%2f?b=2&utm_x=1#f")
       == "http://has%2ft.example.com/PAth%2F?b=2")
+  }
+
+  test("parsePslRules: the publicsuffix.org file format round-trips into " +
+    "registeredDomain (the swap-in stance, executable)") {
+    // a verbatim-format snippet: comments, blanks, a plain 2-label rule,
+    // a 3-LABEL plain rule (beyond the shipped subset's shape - the
+    // ENGINE matcher is fully general), a wildcard, and its exception
+    val (plain, wild, exc) = UrlFns.parsePslRules(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "", "com", "co.uk", "pref.hokkaido.jp", "*.ck", "!www.ck",
+      "// ===END ICANN DOMAINS==="))
+    assert(plain == Seq("co.uk", "pref.hokkaido.jp"), plain.toString)
+    assert(wild == Seq("ck") && exc == Seq("www.ck"))
+    val got = Seq("a.b.site.pref.hokkaido.jp", "x.co.uk", "shop.foo.ck",
+        "deep.www.ck", "plain.com").toDF("h")
+      .select(UrlFns.registeredDomain($"h", plain, wild, exc))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      // the 3-label plain rule matches and keeps FOUR labels
+      "site.pref.hokkaido.jp", "x.co.uk", "shop.foo.ck", "www.ck",
+      // 'com' was dropped as single-label: the default rule covers it
+      "plain.com"), got.toString)
   }
 
   test("q271 shape: the exception arm collapses onto ONE domain; the " +
