@@ -83,4 +83,38 @@ object Layout {
       .drop("__z", "__za", "__zb", "__amin", "__amax", "__bmin", "__bmax")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` as a HASH-BUCKETED, per-bucket-sorted managed table:
+    * `numBuckets` file groups keyed by `hash(key) % numBuckets` (Spark's
+    * bucketing spec), registered in the session catalog under `table`.
+    * This is the CO-LOCATED-JOIN layout: a join or aggregation on `key`
+    * between any two tables bucketed the same way (same key, same bucket
+    * count) needs NO Exchange at read time — the scan itself reports the
+    * bucket partitioning, so the shuffle is paid ONCE at write time and
+    * amortized over every subsequent join against the table (LayoutSpec
+    * proves the join plan is exchange-free on both sides). The
+    * sort-merge join's per-partition Sorts REMAIN: Spark 3+ stopped
+    * propagating bucket sort order from the scan by default (multiple
+    * files per bucket give no global per-bucket order; the opt-in is the
+    * legacy `bucketedTableScan.outputOrdering` flag) — those sorts are
+    * in-partition and network-free, and the `sortBy` still buys
+    * row-group min/max pruning for point/range predicates on `key`
+    * within each bucket. At 100 TB this is the standard layout for a fact table
+    * repeatedly joined on one key (orders ⋈ lineitem, doc ⋈ annotations):
+    * the dominant cost of every downstream join — the shuffle of the big
+    * side — disappears.
+    *
+    * Managed-table caveat (same stance as [[scratchArtifact]]): the files
+    * land under `spark.sql.warehouse.dir`, so cluster validity holds when
+    * the deployment points the warehouse at shared storage. Bucket
+    * pruning/co-location additionally requires reading through the
+    * catalog (`spark.table(table)`), not `spark.read.parquet` on the
+    * files — path reads see plain parquet and re-shuffle. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
