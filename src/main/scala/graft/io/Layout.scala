@@ -90,13 +90,18 @@ object Layout {
     * This is the CO-LOCATED-JOIN layout: a join or aggregation on `key`
     * between any two tables bucketed the same way (same key, same bucket
     * count) needs NO Exchange at read time — the scan itself reports the
-    * bucket partitioning, so the shuffle is paid ONCE at write time and
-    * amortized over every subsequent join against the table (LayoutSpec
-    * proves the join plan is exchange-free on both sides). The
-    * sort-merge join's per-partition Sorts REMAIN: Spark 3+ stopped
-    * propagating bucket sort order from the scan by default (multiple
-    * files per bucket give no global per-bucket order; the opt-in is the
-    * legacy `bucketedTableScan.outputOrdering` flag) — those sorts are
+    * bucket partitioning, so the shuffle is paid ONCE here at write time
+    * and amortized over every subsequent join against the table
+    * (BucketingSpec proves the join plan is exchange-free on both
+    * sides). The explicit `repartition(numBuckets, key)` matters:
+    * `bucketBy` alone does NOT shuffle — every write task emits its own
+    * file per bucket it holds rows for, so a 10k-partition source with
+    * 1k buckets would explode into up to 10M small files; pre-shuffling
+    * by the bucket expression gives ONE file per bucket (spec-asserted).
+    * The sort-merge join's per-partition Sorts still REMAIN at read:
+    * Spark 3+ stopped propagating bucket sort order from the scan by
+    * default (opt-in is the legacy `bucketedTableScan.outputOrdering`
+    * flag, which single-file buckets make safe) — those sorts are
     * in-partition and network-free, and the `sortBy` still buys
     * row-group min/max pruning for point/range predicates on `key`
     * within each bucket. At 100 TB this is the standard layout for a fact table
@@ -112,7 +117,9 @@ object Layout {
     * files — path reads see plain parquet and re-shuffle. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(numBuckets, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")

@@ -19,12 +19,20 @@ class BucketingSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"CREATE DATABASE $db")
     try {
-      graft.io.Tables.orders(spark, sfDir)
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$db.orders_b")
-      graft.io.Tables.lineitem(spark, sfDir)
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$db.lineitem_b")
+      // through the op (r17): its pre-repartition by the bucket
+      // expression is what bounds the layout at ONE file per bucket —
+      // bare bucketBy writes one file per (task, bucket) pair
+      graft.io.Layout.writeBucketed(graft.io.Tables.orders(spark, sfDir),
+        s"$db.orders_b", "o_orderkey", 8)
+      graft.io.Layout.writeBucketed(graft.io.Tables.lineitem(spark, sfDir),
+        s"$db.lineitem_b", "l_orderkey", 8)
+      val tableDir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"$db.db/orders_b")
+      val bucketFiles = tableDir.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(bucketFiles.length == 8,
+        s"one file per bucket expected: ${bucketFiles.map(_.getName).toSeq}")
 
       val joined = spark.table(s"$db.lineitem_b")
         .join(spark.table(s"$db.orders_b"),

@@ -112,45 +112,8 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("writeBucketed: a same-key same-count bucketed join runs with ZERO " +
-    "exchanges (the write-once-shuffle-never layout)") {
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    // force the sort-merge path: a broadcast join would hide the exchange
-    // question this layout exists to answer
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      Layout.writeBucketed(graft.io.Tables.orders(spark, sfDir)
-        .select($"o_orderkey", $"o_totalprice"), "lay_bkt_ord",
-        "o_orderkey", 4)
-      Layout.writeBucketed(graft.io.Tables.lineitem(spark, sfDir)
-        .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
-        "lay_bkt_li", "o_orderkey", 4)
-      val joined = spark.table("lay_bkt_ord")
-        .join(spark.table("lay_bkt_li"), Seq("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      // the whole point: neither side re-shuffles — the scan itself
-      // reports the bucket partitioning (in-partition Sorts remain;
-      // Spark 3+ does not propagate bucket sort order by default, and
-      // they are network-free — see the writeBucketed scaladoc)
-      assert(!plan.contains("Exchange hashpartitioning"), plan)
-      assert(plan.contains("Bucketed: true"), plan)
-      // and the result is the same join a shuffled plan computes
-      val expect = graft.io.Tables.orders(spark, sfDir)
-        .join(graft.io.Tables.lineitem(spark, sfDir),
-          $"o_orderkey" === $"l_orderkey").count()
-      assert(joined.count() == expect)
-      // a groupBy on the bucket key rides the same partitioning: no
-      // exchange before the aggregate either
-      val agg = spark.table("lay_bkt_li").groupBy($"o_orderkey")
-        .agg(org.apache.spark.sql.functions.sum($"l_quantity"))
-      assert(!agg.queryExecution.executedPlan.toString
-        .contains("Exchange hashpartitioning"),
-        agg.queryExecution.executedPlan.toString)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.sql("DROP TABLE IF EXISTS lay_bkt_ord")
-      spark.sql("DROP TABLE IF EXISTS lay_bkt_li")
-    }
-  }
+  // The bucketed-table layout (Layout.writeBucketed) is proven in
+  // BucketingSpec, which owns the zero-Exchange join property, the
+  // one-file-per-bucket write shape, and the shuffled-baseline contrast
+  // in an isolated database — one suite, one set of managed tables.
 }
