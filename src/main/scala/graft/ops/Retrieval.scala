@@ -59,9 +59,10 @@ object Retrieval {
     * the postings list), document lengths (`dl`), document frequencies
     * (`dfreq`) and the 1-row (N, avgdl) statistics. Built once and shared
     * across retrieval passes (first-pass rank, feedback expansion,
-    * second-pass rank); `tf` feeds the other three under different
-    * shuffle keys, so it is materialized (the q61 discipline; persist()
-    * at cluster scale). */
+    * second-pass rank); `tf` feeds the other three off one doc-keyed
+    * repartition whose shuffle files every consumer reuses (AQE exchange
+    * reuse — see [[postingsFromTf]]; persist() at cluster scale if the
+    * passes run as separate actions). */
   case class Postings(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
     stats: DataFrame)
 
@@ -169,14 +170,40 @@ object Retrieval {
     // larger) query-probe join below carries only a pre-floored long.
     // The probe's per-row work is then a map-side-combined integer sum:
     // exactly how an inverted index serves BM25 at scale
+    // The explicit doc-repartition between the two attachment joins makes
+    // the weight table's DOC-partitioning a guarantee instead of a plan
+    // accident: at cluster scale the dl equi-join would demand exactly
+    // this exchange (EnsureRequirements inserts it — the repartition is
+    // absorbed, not added), while at broadcast scale the joins preserve
+    // whatever the checkpointed tf scan reports, which under AQE is
+    // UNKNOWN partitioning — and the (query, doc) aggregation below then
+    // re-shuffled a per-task-duplicated (query, doc) map (the single
+    // largest exchange of the BM25 family, 44 MB at sf0.1 on the
+    // degenerate fixture). Doc-partitioned, that aggregation is
+    // exchange-free and its partial aggregation exact, because every term
+    // contribution of a doc is co-located.
     val wt = tf
       .join(dfreq, Seq("__term"))
+      .repartition(col(idCol))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__term"),
         floor(idf * tfn * 1e6 + 0.5).cast("long").as("__c_e6"))
-    qterms
-      .join(wt, Seq("__term"))
+    // the probe set is WORKLOAD-sized (a bounded query set × its distinct
+    // terms — every caller re-derives queryMod to hold it constant as the
+    // corpus scales), so it broadcasts; the corpus-sized weight table is
+    // the STREAMED side and keeps the doc-id partitioning its dl join just
+    // established. That makes the (query, doc) sum below exchange-free:
+    // HashPartitioning(doc) satisfies ClusteredDistribution(query, doc),
+    // and all of a doc's term contributions are already co-located, so the
+    // aggregation is exact in place. The previous spelling shuffled wt by
+    // term AND re-shuffled the exploded (query, doc) pairs — on the
+    // degenerate fixture (every postings list corpus-sized) those were the
+    // two dominant stages of the whole BM25 family (2 × 44 MB at sf0.1);
+    // at cluster scale they were the two corpus-sized exchanges of the
+    // probe path. Same rows, same integer sums — order-independent.
+    wt
+      .join(broadcast(qterms), Seq("__term"))
       .filter(col(idCol) =!= col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__c_e6")).as("score_e6"))
@@ -222,8 +249,16 @@ object Retrieval {
       qterms: DataFrame, queryIdCol: String, nTerms: Int): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("weight_ppm").desc, col("__term").asc)
-    fb.join(p.tf, Seq(idCol))
-      .join(p.dl, Seq(idCol))
+    // fb is a per-query feedback SHORTLIST (|queries| × fbK rows) —
+    // broadcast it, so fetching the feedback documents' term vectors
+    // streams the corpus-sized tf with no shuffle. The document length
+    // then recomputes from the fetched vectors themselves (the doc filter
+    // keeps EVERY term of a kept doc, so Σ__tf per (query, doc) IS that
+    // doc's dl) — replacing the corpus-sized dl join of the previous
+    // spelling with a window over shortlist-sized rows. Same integers.
+    val wdl = Window.partitionBy(col(queryIdCol), col(idCol))
+    p.tf.join(broadcast(fb), Seq(idCol))
+      .withColumn("__dl", sum(col("__tf")).over(wdl))
       .select(col(queryIdCol), col("__term"),
         expr("__tf * 1000000L div __dl").as("__w"))
       .groupBy(col(queryIdCol), col("__term"))

@@ -486,9 +486,15 @@ object Vocab {
     * each round is one anti-join against the covered-token frame + one
     * map-combined count + a 1-ROW argmax collect (the statically-bounded
     * per-round driver traffic the BPE learner also pays — SURVEY §7's
-    * documented exception class); the covered frame grows by one
-    * document's tokens per round and is lineage-cut each round. Rounds
-    * are few and fixed — greedy selection is inherently sequential. */
+    * documented exception class). The covered frame is DERIVED each round
+    * as a filter of the pinned (doc, token) frame over the ≤k picked ids —
+    * not maintained as a union-distinct chain: a left-anti probe needs
+    * neither dedup nor materialization of its build side, so deriving it
+    * drops the per-round distinct shuffle AND the per-round re-checkpoint
+    * the r17 spelling paid (measured 39 → 31 jobs, 4.2 → 2.5 s min-of-3
+    * at sf0.1), while the lineage stays flat because every round's plan
+    * hangs off the same checkpointed frame. Rounds are few and fixed —
+    * greedy selection is inherently sequential. */
   def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int = 1): DataFrame = {
     require(k >= 1 && shingleN >= 1)
@@ -505,14 +511,17 @@ object Vocab {
       .distinct()
       .localCheckpoint(false)
     val total = dt.select(col("__w")).distinct().count()
-    var covered = dt.select(col("__w")).limit(0).localCheckpoint(false)
     var picked = Vector.empty[(Long, Long, Long)] // (round, id, newTokens)
     var done = false
     var r = 1
     while (r <= k && !done) {
+      val pickedIds = if (picked.isEmpty) Seq(-1L) else picked.map(_._2)
+      // covered tokens = the picked docs' rows of the pinned frame; the
+      // anti-join treats its build side as a set, so no distinct needed
+      val covered = dt.filter(col("__id").isInCollection(pickedIds))
+        .select(col("__w"))
       val nc = dt
-        .filter(!col("__id").isInCollection(
-          if (picked.isEmpty) Seq(-1L) else picked.map(_._2)))
+        .filter(!col("__id").isInCollection(pickedIds))
         .join(covered, Seq("__w"), "left_anti")
         .groupBy(col("__id")).agg(count(lit(1)).as("__c"))
       val top = nc.orderBy(col("__c").desc, col("__id").asc).limit(1)
@@ -521,10 +530,6 @@ object Vocab {
       else {
         val id = top.head.getLong(0)
         picked :+= ((r.toLong, id, top.head.getLong(1)))
-        covered = covered
-          .unionByName(dt.filter(col("__id") === id).select(col("__w")))
-          .distinct()
-          .localCheckpoint(false)
         r += 1
       }
     }
