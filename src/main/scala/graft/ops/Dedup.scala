@@ -238,19 +238,38 @@ object Dedup {
       .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tfc"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("term"), col("tfc"))))
-        .as("tv"))
+        .as("tv"),
+        sum(col("tfc")).as("mass"))
       .select(col("id"),
         transform(col("tv"), e => e.getField("term")).as("terms"),
-        transform(col("tv"), e => e.getField("tfc")).as("tfcs"))
+        transform(col("tv"), e => e.getField("tfc")).as("tfcs"),
+        col("mass"))
       .localCheckpoint(false)
-    val banded = compact.select(col("id"),
+    // EXACT mass-ratio prefilter (the length filter of exact set-similarity
+    // joins, Xiao et al.): |A∩B| ≤ min(mass) and |A∪B| ≥ max(mass), so
+    // J ≤ min(mass)/max(mass) — a pair below the (round-boundary-slackened)
+    // threshold ratio provably cannot reach the output. The mass rides the
+    // banded rows (+8 bytes each), so the cut runs INSIDE the band join
+    // condition: failing pairs never reach the pair dedup, let alone the
+    // verify join that attaches the two tf-vector arrays — the widest rows
+    // of the whole op (the 64×-measured GC pressure point). The cut uses
+    // threshold − 1e-6: the output filter passes round(J, 6) ≥ threshold,
+    // i.e. J ≥ threshold − 5e-7 at the rounding boundary, and the extra
+    // 5e-7 slack makes FP evaluation of the cut incapable of dropping a
+    // boundary pair (double error ≪ 5e-7). Pairs kept by the prefilter but
+    // below threshold still die at the exact verify — the output is
+    // byte-identical, only provably-dead candidates disappear.
+    val banded = compact.select(col("id"), col("mass"),
       posexplode(graft.expr.HashExprs.weightedMinHashBandKeys(
         col("terms"), col("tfcs"), HashFns.minHashCoeffs(numHashes), bands))
         .as(Seq("band", "bsig")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.mass"), col("b.mass")).cast("double")
+            >= lit(threshold - 1e-6)
+               * greatest(col("a.mass"), col("b.mass")).cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
