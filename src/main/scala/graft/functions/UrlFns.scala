@@ -245,7 +245,15 @@ object UrlFns {
           (n === wl + 1 && inList(wl, ws), host)))
       } ++
       suffixes.groupBy(_.count(_ == '.') + 1).toSeq.map { case (k, ss) =>
-        (k, Seq((n >= k + 1 && inList(k, ss), lastK(k + 1))))
+        // two sub-arms, mirroring the wildcard group: deep host → suffix
+        // plus one label; host IS the suffix → unchanged (ADVICE r17:
+        // without the pass-through arm a host equal to a 3+-label plain
+        // rule fell to the default rule and truncated to its last two
+        // labels; for the shipped 2-label entries the default coincided
+        // by arithmetic, which is why no oracle-gated query moves)
+        (k, Seq(
+          (n >= k + 1 && inList(k, ss), lastK(k + 1)),
+          (n === k && inList(k, ss), host)))
       })
       .sortBy(-_._1).flatMap(_._2)
     val default = when(n >= 2, lastK(2)).otherwise(host)

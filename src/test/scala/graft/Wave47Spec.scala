@@ -96,14 +96,18 @@ class Wave47Spec extends SparkSpec {
     assert(plain == Seq("co.uk", "pref.hokkaido.jp"), plain.toString)
     assert(wild == Seq("ck") && exc == Seq("www.ck"))
     val got = Seq("a.b.site.pref.hokkaido.jp", "x.co.uk", "shop.foo.ck",
-        "deep.www.ck", "plain.com").toDF("h")
+        "deep.www.ck", "plain.com", "pref.hokkaido.jp").toDF("h")
       .select(UrlFns.registeredDomain($"h", plain, wild, exc))
       .as[String].collect().toSeq
     assert(got == Seq(
       // the 3-label plain rule matches and keeps FOUR labels
       "site.pref.hokkaido.jp", "x.co.uk", "shop.foo.ck", "www.ck",
       // 'com' was dropped as single-label: the default rule covers it
-      "plain.com"), got.toString)
+      "plain.com",
+      // a host that IS a 3-label plain suffix passes through unchanged
+      // (ADVICE r17: the default rule used to truncate it to
+      // 'hokkaido.jp'; only the scaladoc'd pass-through is correct)
+      "pref.hokkaido.jp"), got.toString)
   }
 
   test("q271 shape: the exception arm collapses onto ONE domain; the " +
