@@ -179,13 +179,19 @@ object Queries12 {
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     val p = Retrieval.postings(d, "doc_id", "text")
     val orig = Retrieval.queryTerms(queries, "q_id", "q_text")
+    // ONE checkpointed weight table serves both probe passes (r19): the
+    // per-term weights are probe-independent, so s1 and s2 differ only in
+    // which (query, term) pairs they join — the dfreq/dl attachment and
+    // the idf·tfn arithmetic run once, not once per pass.
+    val wt = Retrieval.bm25WeightTable(p, "doc_id")
+      .localCheckpoint(eager = false)
     // BM25 scores are additive over disjoint probe sets, so the first
     // pass's UN-truncated score table is half of the expanded answer:
     // rank its top-5 as the feedback set, probe ONLY the (≤3 per query)
     // expansion terms in pass two, and sum — the original probe set is
     // never re-joined (the expensive join at degenerate-vocabulary worst
     // case; see ops.Retrieval.bm25ScoresTerms)
-    val s1 = Retrieval.bm25ScoresTerms(p, "doc_id", orig, "q_id")
+    val s1 = Retrieval.bm25ScoresFromWeights(wt, "doc_id", orig, "q_id")
       .localCheckpoint(eager = false)
     val wfb = Window.partitionBy(col("q_id"))
       .orderBy(col("score_e6").desc, col("doc_id").asc)
@@ -195,7 +201,7 @@ object Queries12 {
     val exp = Retrieval.prfExpansionFromFeedback(p, "doc_id", fb, orig,
         "q_id", nTerms = 3)
       .select(col("q_id"), col("term").as("__term"))
-    val s2 = Retrieval.bm25ScoresTerms(p, "doc_id", exp, "q_id")
+    val s2 = Retrieval.bm25ScoresFromWeights(wt, "doc_id", exp, "q_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_e6").desc, col("doc_id").asc)
     s1.unionByName(s2)

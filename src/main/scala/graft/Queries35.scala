@@ -236,9 +236,14 @@ object Queries35 {
     * lazy-checkpoints the tf table), so the corpus is chunked and
     * tokenized once instead of once per route — same-session A/B at
     * sf0.1: 8.23 → 6.68 s min-of-3 vs the two-independent-plans
-    * spelling (the score/rank passes, not the build, dominate). The
-    * oracle's CTE chain is the same factoring (tf/dl/dfreq/st
-    * materialize once, both score passes read them). */
+    * spelling (the score/rank passes, not the build, dominate) — AND one
+    * checkpointed [[graft.ops.Retrieval.bm25WeightTable]] (r19): per-term
+    * weights are cutoff-invariant, so the cut route is a row FILTER on
+    * the shared table and the dfreq/dl joins + idf·tfn arithmetic run
+    * once instead of once per route. The oracle's CTE chain is the same
+    * factoring (tf/dl/dfreq/st materialize once; its wt/wt_cut CTEs both
+    * read them — engine now also shares the wt weights themselves, same
+    * integers either way). */
   private[graft] def cutoffAgreement(spark: SparkSession, dir: String,
       queryMod: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -249,12 +254,14 @@ object Queries35 {
     val queries = sd.filter(col("doc_id") % queryMod === 7L)
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     val p = Retrieval.postings(passages, "passage_id", "chunk")
+    val wt = Retrieval.bm25WeightTable(p, "passage_id")
+      .localCheckpoint(false) // scored by BOTH routes
     val qterms = Retrieval.queryTerms(queries, "q_id", "q_text")
       .localCheckpoint(false) // probes BOTH routes
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_e6").desc, col("passage_id").asc)
     def route(maxDfPpm: Option[Long]): DataFrame =
-      Retrieval.bm25ScoresTerms(p, "passage_id", qterms, "q_id",
+      Retrieval.bm25ScoresFromWeights(wt, "passage_id", qterms, "q_id",
           maxDfPpm = maxDfPpm)
         .filter(expr("passage_id div 10000L") =!= col("q_id"))
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -79,15 +79,35 @@ object Dedup {
     // fused kernel: md5 + k permutations + band keys in one pass per row
     // (the pure-builtin spelling, kept in HashFns, pays ~25 interpreted
     // HOF calls per shingle — see graft.expr.MinHashBandKeys)
+    //
+    // EXACT size-ratio prefilter (the set-Jaccard specialization of
+    // q268's mass cut — the length filter of exact set-similarity joins,
+    // Xiao et al.): shingle arrays are DISTINCT sets by contract, so
+    // |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), hence
+    // J ≤ min(|A|,|B|)/max(|A|,|B|) — a candidate whose sizes are
+    // farther apart than the threshold ratio provably cannot reach the
+    // output. The size rides the banded rows (+8 bytes) and the cut runs
+    // INSIDE the band-join condition, so failing pairs never reach the
+    // pair dedup or the verify join that attaches the two shingle
+    // ARRAYS — the widest rows of the op (the q268-measured GC pressure
+    // point at 64×). Slack analysis as in weightedMinHashLshPairs: the
+    // output filter passes round(J, 6) ≥ threshold, i.e.
+    // J ≥ threshold − 5e-7 at the rounding boundary; the cut uses
+    // threshold − 1e-6, so FP evaluation cannot drop a boundary pair
+    // (double error ≪ 5e-7). threshold = 0 (weightedJaccardPairs'
+    // candidate pass) leaves the cut inert — sizes are non-negative.
     val banded = sh
-      .select(col("id"),
+      .select(col("id"), size(col("sh")).cast("long").as("nsh"),
         posexplode(graft.expr.HashExprs.minHashBandKeys(
           col("sh"), HashFns.minHashCoeffs(numHashes), bands))
           .as(Seq("band", "bsig")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.nsh"), col("b.nsh")).cast("double")
+            >= lit(threshold - 1e-6)
+               * greatest(col("a.nsh"), col("b.nsh")).cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,7 +145,17 @@ object Retrieval {
     * N ≤ 9.2e12 documents. Applies to the PROBE only — document lengths,
     * avgdl and the other terms' idf stay computed over the full index, so
     * scores of surviving terms are unchanged (the additivity contract
-    * holds across mixed-cutoff passes only if both use the same cut). */
+    * holds across mixed-cutoff passes only if both use the same cut).
+    *
+    * PRECONDITION (ADVICE r18): `qterms` must be a WORKLOAD-BOUNDED probe
+    * set — a query sample held constant as the corpus scales (every
+    * caller here re-derives `queryMod` for exactly that; see
+    * Queries11.q130Bm25With). The probe side carries an unconditional
+    * `broadcast()` hint, which overrides autoBroadcastJoinThreshold: a
+    * corpus-proportional qterms frame would be force-broadcast and can
+    * OOM the driver instead of degrading to a shuffle join. If your probe
+    * set scales with the corpus, pre-aggregate or shard it — do not feed
+    * it here. */
   def bm25ScoresTerms(p: Postings, idCol: String, qterms: DataFrame,
       queryIdCol: String, k1: Double = 1.2, b: Double = 0.75,
       maxDfPpm: Option[Long] = None): DataFrame = {
@@ -158,13 +168,8 @@ object Retrieval {
           .select(col("__term"), col("__df"))
       case None => p.dfreq
     }
-    val tfD = col("__tf").cast("double")
-    val dfD = col("__df").cast("double")
-    val dlD = col("__dl").cast("double")
-    val nD = col("__n_docs").cast("double")
-    val idf = log(((nD - dfD) + 0.5) / (dfD + 0.5) + 1.0)
-    val tfn = (tfD * lit(k1 + 1.0)) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("__avgdl"))))
+    val idf = bm25Idf
+    val tfn = bm25Tfn(k1, b)
     // the per-term weight is a (doc, term) fact — the query never enters
     // it — so the double chain runs ONCE per postings row, and the (much
     // larger) query-probe join below carries only a pre-floored long.
@@ -182,9 +187,26 @@ object Retrieval {
     // degenerate fixture). Doc-partitioned, that aggregation is
     // exchange-free and its partial aggregation exact, because every term
     // contribution of a doc is co-located.
+    //
+    // The partition COUNT is pinned to the session's configured shuffle
+    // parallelism rather than left to AQE coalescing: everything from
+    // this exchange's read to the (query, doc) window exchange — weight
+    // arithmetic, the probe join, its per-row output × |probe terms per
+    // doc-term match|, and the partial aggregation — runs in ONE stage
+    // whose WORK is input rows × matching probe rows, a multiplier AQE's
+    // byte heuristic cannot see. Left adaptive, the coalescer shrinks the
+    // read to the byte floor (minPartitionSize) and serializes the only
+    // compute-bound stage of the family (same-session A/B, min-of-3:
+    // q142 4.39 → 2.07 s, q241 5.56 → 2.51 s, q251 6.00 → 1.72 s,
+    // q228 4.61 → 1.64 s — OPTIMIZATION_r19.md). At corpus scale the
+    // exchange exceeds the advisory size and AQE would not coalesce it
+    // anyway, so pinning costs nothing there — the pin only matters
+    // exactly where the byte heuristic misjudges. Same pattern and
+    // rationale as [[Dedup.editConfirmPairs]]'s DP repartition.
+    val shufN = tf.sparkSession.sessionState.conf.numShufflePartitions
     val wt = tf
       .join(dfreq, Seq("__term"))
-      .repartition(col(idCol))
+      .repartition(shufN, col(idCol))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("__term"),
@@ -203,6 +225,76 @@ object Retrieval {
     // at cluster scale they were the two corpus-sized exchanges of the
     // probe path. Same rows, same integer sums — order-independent.
     wt
+      .join(broadcast(qterms), Seq("__term"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c_e6")).as("score_e6"))
+  }
+
+  /** The BM25 idf of a postings row — the pinned-association double chain
+    * shared by [[bm25ScoresTerms]] and [[bm25WeightTable]] (one spelling,
+    * so the two paths cannot drift). */
+  private def bm25Idf: Column = {
+    val dfD = col("__df").cast("double")
+    val nD = col("__n_docs").cast("double")
+    log(((nD - dfD) + 0.5) / (dfD + 0.5) + 1.0)
+  }
+
+  /** The BM25 tf normalization of a postings row (see [[bm25Idf]]). */
+  private def bm25Tfn(k1: Double, b: Double): Column = {
+    val tfD = col("__tf").cast("double")
+    val dlD = col("__dl").cast("double")
+    (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / col("__avgdl"))))
+  }
+
+  /** The (doc, term) BM25 weight table of [[bm25ScoresTerms]] EXPOSED as
+    * a frame — (idCol, __term, __c_e6, __df, __n_docs) — for callers that
+    * score the SAME index under several probe passes or df cutoffs:
+    * q241's cutoff-agreement A/B scores two routes, q137's two-pass
+    * expansion probes original then expansion terms. Per-term weights are
+    * identical across cutoffs by construction (`maxDfPpm` drops terms
+    * from the PROBE; surviving weights stay full-index — see
+    * [[bm25ScoresTerms]]), so one weight build serves every pass: build
+    * this once, `localCheckpoint` it, and feed each pass through
+    * [[bm25ScoresFromWeights]] — the dfreq/dl attachment joins and the
+    * idf·tfn double chain run once instead of once per pass. Carries
+    * `__df` and `__n_docs` so a cutoff pass is a row FILTER on the table.
+    *
+    * No repartition here: the table is built to be checkpointed, which
+    * under AQE reports unknown partitioning anyway — the consumer
+    * ([[bm25ScoresFromWeights]]) re-establishes the doc partitioning it
+    * needs. At SMJ scale the dl equi-join inserts its own doc exchange
+    * (EnsureRequirements), exactly as in [[bm25ScoresTerms]]. */
+  def bm25WeightTable(p: Postings, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    p.tf
+      .join(p.dfreq, Seq("__term"))
+      .join(p.dl, Seq(idCol))
+      .crossJoin(broadcast(p.stats))
+      .select(col(idCol), col("__term"),
+        floor(bm25Idf * bm25Tfn(k1, b) * 1e6 + 0.5).cast("long").as("__c_e6"),
+        col("__df"), col("__n_docs"))
+
+  /** [[bm25ScoresTerms]]' probe-and-sum tail over a pre-built (usually
+    * checkpointed) [[bm25WeightTable]]: optional df cutoff as a filter,
+    * explicit doc repartition (the checkpoint lost the partitioning
+    * declaration; the pin also keeps the compute-bound probe stage at
+    * session parallelism — see the [[bm25ScoresTerms]] comment), then the
+    * broadcast probe join and the exchange-free (query, doc) sum. Same
+    * integers as [[bm25ScoresTerms]] with the same `maxDfPpm` — the only
+    * difference is WHERE the weight build ran. Same bounded-probe-set
+    * precondition as [[bm25ScoresTerms]]. */
+  def bm25ScoresFromWeights(wt: DataFrame, idCol: String, qterms: DataFrame,
+      queryIdCol: String, maxDfPpm: Option[Long] = None): DataFrame = {
+    val w = maxDfPpm match {
+      case Some(ppm) =>
+        require(ppm >= 1 && ppm <= 1000000L, s"maxDfPpm out of range: $ppm")
+        wt.filter(col("__df") * 1000000L <= lit(ppm) * col("__n_docs"))
+      case None => wt
+    }
+    val shufN = wt.sparkSession.sessionState.conf.numShufflePartitions
+    w.repartition(shufN, col(idCol))
       .join(broadcast(qterms), Seq("__term"))
       .filter(col(idCol) =!= col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
@@ -244,7 +336,18 @@ object Retrieval {
     * from HOW the feedback set was ranked: `fb(queryIdCol, idCol)` is any
     * per-query feedback shortlist, `qterms` the original probe set whose
     * terms are excluded. Exposed so a score-reusing two-pass spelling
-    * (q137) can feed the shortlist it already ranked. */
+    * (q137) can feed the shortlist it already ranked.
+    *
+    * PRECONDITIONS (ADVICE r18): (1) `fb` must be DISTINCT on
+    * (queryIdCol, idCol) — every ranker here emits it that way; a
+    * duplicated feedback row would double that document's recomputed
+    * `__dl` below and shift its term weights. (2) The document length is
+    * recomputed as Σ __tf over the fetched vectors, which equals `p.dl`
+    * exactly when `p` was built by [[postings]]/[[postingsFromTf]] (dl is
+    * DEFINED as Σ tf there); a hand-built [[Postings]] whose dl differs
+    * from Σ tf would see the Σ-tf weighting, not its custom dl. Both are
+    * properties every in-repo caller already satisfies — stated because
+    * the API accepts arbitrary frames. */
   def prfExpansionFromFeedback(p: Postings, idCol: String, fb: DataFrame,
       qterms: DataFrame, queryIdCol: String, nTerms: Int): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol))

@@ -36,16 +36,21 @@ object Profile {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val jobs = new AtomicInteger(0)
+    val jobEnds = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskNanos = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     val shuffleBytes = new AtomicLong(0L)
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val stageShuf = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobEnds.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         stageNames.put(s.stageInfo.stageId,
@@ -56,12 +61,15 @@ object Profile {
         val m = t.taskMetrics
         if (m != null) {
           taskNanos.addAndGet(m.executorRunTime * 1000000L)
+          gcMs.addAndGet(m.jvmGCTime)
           val sb = m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten
           shuffleBytes.addAndGet(sb)
           stageMs.computeIfAbsent(t.stageId, _ => new AtomicLong)
             .addAndGet(m.executorRunTime)
           stageShuf.computeIfAbsent(t.stageId, _ => new AtomicLong)
             .addAndGet(sb)
+          stageTasks.computeIfAbsent(t.stageId, _ => new AtomicLong)
+            .incrementAndGet()
         }
       }
     }
@@ -86,29 +94,40 @@ object Profile {
           top.linesIterator.take(25).mkString("\n"))
       }
       val runs = (1 to reps).map { _ =>
-        jobs.set(0); stages.set(0); tasks.set(0)
-        taskNanos.set(0L); shuffleBytes.set(0L)
+        jobs.set(0); jobEnds.set(0); stages.set(0); tasks.set(0)
+        taskNanos.set(0L); gcMs.set(0L); shuffleBytes.set(0L)
         stageNames.clear(); stageMs.clear(); stageShuf.clear()
+        stageTasks.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener bus is async; give queued task-end events a beat to drain
-        Thread.sleep(150)
+        // the listener bus is async: wait until every started job has
+        // reported its end AND the task counters have been quiet for a
+        // beat (ADVICE r18 — the previous fixed 150 ms sleep let straggler
+        // task-end events bleed into the next rep's totals)
+        val deadline = System.nanoTime() + 5L * 1000000000L
+        var lastTasks = -1
+        while (System.nanoTime() < deadline &&
+            (jobEnds.get < jobs.get || tasks.get != lastTasks)) {
+          lastTasks = tasks.get
+          Thread.sleep(50)
+        }
         (wall,
           jobs.get, stages.get, tasks.get, taskNanos.get / 1e9,
-          shuffleBytes.get)
+          shuffleBytes.get, gcMs.get / 1e3)
       }
       val best = runs.minBy(_._1)
       System.err.println(
         f"[profile] $name wall=${best._1}%.3f plan=$planSec%.3f " +
         f"jobs=${best._2} stages=${best._3} tasks=${best._4} " +
-        f"taskSec=${best._5}%.2f shufMB=${best._6 / 1e6}%.1f " +
+        f"taskSec=${best._5}%.2f gcSec=${best._7}%.2f shufMB=${best._6 / 1e6}%.1f " +
         f"runs=${runs.map(r => f"${r._1}%.2f").mkString(",")}")
       // top stages by summed task time — from the LAST rep (maps cleared
       // per rep), which is fine for attribution: plan shape is identical
       import scala.jdk.CollectionConverters._
       stageMs.asScala.toSeq.sortBy(-_._2.get).take(6).foreach { case (sid, ms) =>
         System.err.println(f"[profile]   stage $sid taskSec=${ms.get / 1e3}%.2f " +
+          f"tasks=${stageTasks.getOrDefault(sid, new AtomicLong).get} " +
           f"shufMB=${stageShuf.get(sid).get / 1e6}%.1f ${stageNames.getOrDefault(sid, "?")}")
       }
     }
