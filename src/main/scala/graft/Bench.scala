@@ -5,8 +5,19 @@ object Bench {
     * min-of-3 from BENCH_stable.json. Duplicated here so the probe needs
     * no JSON parse at bench time — RegistrySpec asserts this constant
     * EQUALS the BENCH_stable entry on every `sbt test`, so a re-pin
-    * cannot silently stale the calibration (r15 verdict watch item 2). */
-  val probePin = 3.931
+    * cannot silently stale the calibration (r15 verdict watch item 2).
+    *
+    * RE-BASELINED round 19 (r17 verdict task 1): the round-11 pin
+    * (3.931) was measured in a container that no longer exists — every
+    * session rounds 13–19 probed 1.27–2.94× against it, including idle
+    * boxes, so "calibrated ≈ pin" claims compounded two estimates. New
+    * pin = q83 min-of-3 in a representative r19 session (q83's plan is
+    * unchanged this round — this re-baselines the CONTAINER, not q83);
+    * the old pin is recorded as historical in BENCH_stable's q83 note
+    * and BASELINE.md. Standing rule, adopted from the r17 verdict: if a
+    * round's sessions consistently probe ≥1.3× against the current pin,
+    * re-baseline again rather than carry the drift. */
+  val probePin = 5.663
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

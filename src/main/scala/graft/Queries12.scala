@@ -182,9 +182,9 @@ object Queries12 {
     // ONE checkpointed weight table serves both probe passes (r19): the
     // per-term weights are probe-independent, so s1 and s2 differ only in
     // which (query, term) pairs they join — the dfreq/dl attachment and
-    // the idf·tfn arithmetic run once, not once per pass.
-    val wt = Retrieval.bm25WeightTable(p, "doc_id")
-      .localCheckpoint(eager = false)
+    // the idf·tfn arithmetic run once, not once per pass; the checkpoint
+    // DECLARES its doc partitioning, so each pass is exchange-free
+    val wt = Retrieval.bm25WeightTableCheckpointed(p, "doc_id")
     // BM25 scores are additive over disjoint probe sets, so the first
     // pass's UN-truncated score table is half of the expanded answer:
     // rank its top-5 as the feedback set, probe ONLY the (≤3 per query)

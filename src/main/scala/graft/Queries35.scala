@@ -254,8 +254,9 @@ object Queries35 {
     val queries = sd.filter(col("doc_id") % queryMod === 7L)
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
     val p = Retrieval.postings(passages, "passage_id", "chunk")
-    val wt = Retrieval.bm25WeightTable(p, "passage_id")
-      .localCheckpoint(false) // scored by BOTH routes
+    // scored by BOTH routes; the checkpoint DECLARES its doc partitioning
+    // (graftbridge), so each route is one exchange-free stage over it
+    val wt = Retrieval.bm25WeightTableCheckpointed(p, "passage_id")
     val qterms = Retrieval.queryTerms(queries, "q_id", "q_text")
       .localCheckpoint(false) // probes BOTH routes
     val w = Window.partitionBy(col("q_id"))

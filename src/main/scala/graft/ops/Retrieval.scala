@@ -261,11 +261,11 @@ object Retrieval {
     * idf·tfn double chain run once instead of once per pass. Carries
     * `__df` and `__n_docs` so a cutoff pass is a row FILTER on the table.
     *
-    * No repartition here: the table is built to be checkpointed, which
-    * under AQE reports unknown partitioning anyway — the consumer
-    * ([[bm25ScoresFromWeights]]) re-establishes the doc partitioning it
-    * needs. At SMJ scale the dl equi-join inserts its own doc exchange
-    * (EnsureRequirements), exactly as in [[bm25ScoresTerms]]. */
+    * No repartition here: use [[bm25WeightTableCheckpointed]] for the
+    * shared form — it pins the doc layout AND keeps it visible to the
+    * planner through the checkpoint. At SMJ scale the dl equi-join
+    * inserts its own doc exchange (EnsureRequirements), exactly as in
+    * [[bm25ScoresTerms]]. */
   def bm25WeightTable(p: Postings, idCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     p.tf
@@ -276,15 +276,39 @@ object Retrieval {
         floor(bm25Idf * bm25Tfn(k1, b) * 1e6 + 0.5).cast("long").as("__c_e6"),
         col("__df"), col("__n_docs"))
 
-  /** [[bm25ScoresTerms]]' probe-and-sum tail over a pre-built (usually
-    * checkpointed) [[bm25WeightTable]]: optional df cutoff as a filter,
-    * explicit doc repartition (the checkpoint lost the partitioning
-    * declaration; the pin also keeps the compute-bound probe stage at
-    * session parallelism — see the [[bm25ScoresTerms]] comment), then the
-    * broadcast probe join and the exchange-free (query, doc) sum. Same
-    * integers as [[bm25ScoresTerms]] with the same `maxDfPpm` — the only
-    * difference is WHERE the weight build ran. Same bounded-probe-set
-    * precondition as [[bm25ScoresTerms]]. */
+  /** [[bm25WeightTable]] lazily checkpointed with its DOC partitioning
+    * both pinned (explicit session-parallelism count — the
+    * [[bm25ScoresTerms]] compute-parallelism argument) and DECLARED
+    * through the checkpoint
+    * ([[org.apache.spark.sql.graftbridge.Bridge.localCheckpointHashPartitioned]]
+    * — a plain lazy localCheckpoint reports UnknownPartitioning under
+    * AQE, so every scoring pass over it would re-exchange a table that
+    * is already doc-partitioned). Every [[bm25ScoresFromWeights]] pass
+    * over the returned frame plans EXCHANGE-FREE: filter → broadcast
+    * probe → in-place exact (query, doc) aggregation, one stage per
+    * pass over the checkpointed blocks. The weight table is
+    * corpus-sized, so the helper's no-auto-broadcast conservatism is
+    * exactly right here. */
+  def bm25WeightTableCheckpointed(p: Postings, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val wt = bm25WeightTable(p, idCol, k1, b)
+    org.apache.spark.sql.graftbridge.Bridge.localCheckpointHashPartitioned(
+      wt, Seq(idCol),
+      wt.sparkSession.sessionState.conf.numShufflePartitions)
+  }
+
+  /** [[bm25ScoresTerms]]' probe-and-sum tail over a pre-built
+    * [[bm25WeightTableCheckpointed]] frame: optional df cutoff as a
+    * filter, then the broadcast probe join and the (query, doc) sum —
+    * NO exchange of the weight table: the checkpoint's declared doc
+    * partitioning satisfies the aggregation's clustered distribution
+    * (all of a doc's term contributions co-located), so each pass is
+    * one stage over the checkpointed blocks. Same integers as
+    * [[bm25ScoresTerms]] with the same `maxDfPpm` — the only difference
+    * is WHERE the weight build ran. Same bounded-probe-set precondition
+    * as [[bm25ScoresTerms]]. Feeding a frame WITHOUT a partitioning
+    * declaration stays correct — EnsureRequirements inserts the
+    * (query, doc) exchange the declaration would have avoided. */
   def bm25ScoresFromWeights(wt: DataFrame, idCol: String, qterms: DataFrame,
       queryIdCol: String, maxDfPpm: Option[Long] = None): DataFrame = {
     val w = maxDfPpm match {
@@ -293,9 +317,7 @@ object Retrieval {
         wt.filter(col("__df") * 1000000L <= lit(ppm) * col("__n_docs"))
       case None => wt
     }
-    val shufN = wt.sparkSession.sessionState.conf.numShufflePartitions
-    w.repartition(shufN, col(idCol))
-      .join(broadcast(qterms), Seq("__term"))
+    w.join(broadcast(qterms), Seq("__term"))
       .filter(col(idCol) =!= col(queryIdCol))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__c_e6")).as("score_e6"))

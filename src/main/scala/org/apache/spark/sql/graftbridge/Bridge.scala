@@ -96,4 +96,60 @@ object Bridge {
       code.body
     }
   }
+
+  /** LAZY localCheckpoint that KEEPS its hash partitioning visible to the
+    * planner — the general fix for the checkpoint-vs-partitioning tension
+    * the r18 record documents: `Dataset.localCheckpoint` rebuilds the
+    * frame over a `LogicalRDD` whose `outputPartitioning` is
+    * `UnknownPartitioning` under AQE (probed on this Spark: lazy AND
+    * eager both lose it), so every keyed consumer of a checkpointed
+    * intermediate pays a fresh exchange of data that is ALREADY laid out
+    * exactly as required. This helper pins the layout itself —
+    * `repartition(numPartitions, cols)` with an EXPLICIT count, which AQE
+    * is documented not to coalesce — checkpoints lazily, and re-wraps the
+    * `LogicalRDD` leaf with the matching `HashPartitioning` declared, so
+    * downstream joins/aggregations keyed on `cols` plan exchange-free
+    * against it.
+    *
+    * Soundness: the declared partitioning is the SAME expression set and
+    * partition count as the repartition that physically produced the
+    * checkpointed rows (`HashPartitioning(cols, n)`, Murmur3 — what every
+    * `ClusteredDistribution` requirement hashes with), and user-specified
+    * repartition counts are exempt from AQE coalescing, so declaration
+    * and physical layout cannot diverge. The rebuilt leaf carries NO
+    * origin statistics (they live in a curried constructor list the
+    * instance does not expose), so the planner sizes it at
+    * `defaultSizeInBytes` — i.e. the frame will never be auto-broadcast.
+    * That is the right conservatism for this helper's intended use
+    * (corpus-sized intermediates whose broadcast would be a bug); do NOT
+    * route a small frame you expect AQE to broadcast through here.
+    * `BridgeCanarySpec` asserts the contract (LogicalRDD leaf shape,
+    * partition count, exchange-free keyed aggregation, result equality)
+    * and fails fast on a Spark upgrade that moves any of it. */
+  def localCheckpointHashPartitioned(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    val ck = df
+      .repartition(numPartitions, cols.map(df.col): _*)
+      .localCheckpoint(eager = false)
+    val lr = ck.queryExecution.analyzed.collect { case l: LogicalRDD => l }
+    require(lr.size == 1, s"expected one LogicalRDD leaf, got ${lr.size}")
+    val leaf = lr.head
+    // NOTE: the physical partition count is NOT asserted here — touching
+    // leaf.rdd.partitions could force stage materialization at query
+    // CONSTRUCTION time, violating the repo's zero-job construction
+    // contract (PlanAudit/explain build every query). The count property
+    // is guaranteed by construction (explicit-N repartition root, exempt
+    // from AQE coalescing) and asserted under execution in
+    // BridgeCanarySpec.
+    val attrs = cols.map(c => leaf.output.find(_.name == c).getOrElse(
+      sys.error(s"no column $c in ${leaf.output.map(_.name)}")))
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val newLeaf = leaf.copy(
+        outputPartitioning = HashPartitioning(attrs, numPartitions))(
+      cs, None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, newLeaf)
+  }
 }

@@ -62,4 +62,30 @@ class BridgeCanarySpec extends SparkSpec {
     }.collect().toSeq.sorted
     assert(got == want)
   }
+
+  test("canary 4: localCheckpointHashPartitioned — declared layout is real, keyed agg is exchange-free, results exact") {
+    val df = spark.range(10000)
+      .select($"id", ($"id" % 97).as("k"))
+    val ck = Bridge.localCheckpointHashPartitioned(df, Seq("k"), 6)
+    // the declared partitioning matches the physical layout: every key's
+    // rows live in exactly the partition Murmur3(k) % 6 names
+    val byPart = ck.select(spark_partition_id().as("pid"), $"k")
+      .distinct().as[(Int, Long)].collect()
+    assert(byPart.map(_._2).distinct.length == 97)
+    assert(byPart.groupBy(_._2).forall(_._2.length == 1),
+      "a key appeared in two partitions — declared partitioning is a lie")
+    assert(ck.rdd.getNumPartitions == 6,
+      "explicit-N repartition root was coalesced — AQE contract moved")
+    // the keyed aggregation plans NO exchange against the declaration...
+    val agg = ck.groupBy($"k").agg(sum($"id").as("s"))
+    agg.collect()
+    val finalPlan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
+    // ...and computes the same integers as the undeclared plan
+    val want = df.groupBy($"k").agg(sum($"id").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val got = agg.as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
 }
